@@ -1,0 +1,171 @@
+"""VRL coercion semantics as Column builders.
+
+These replicate the EXACT cascades from the reference — which differ
+from Spark's cast defaults on every interesting point:
+
+- ``to_int``   (reference src/stdlib/to_int.rs:4-19): float truncates,
+  bool -> 1/0, **null -> 0** (Spark cast keeps null!), string parsed,
+  timestamp -> epoch seconds, otherwise error.
+- ``to_float`` (src/stdlib/to_float.rs:11-28): bool -> 1.0/0.0,
+  null -> 0.0, timestamp -> epoch seconds with fractional nanos.
+- ``to_bool``  (src/stdlib/to_bool.rs:4-17 + conversion table
+  src/compiler/conversion/mod.rs:150+): numbers != 0, null -> false,
+  strings via the table: true/t/yes/y + nonzero-int-string -> true,
+  false/f/no/n/0 -> false, anything else errors.
+- ``to_string`` (src/stdlib/to_string.rs:3-16): timestamp -> RFC3339,
+  **null -> ""**, collections error.
+
+"Error" in the relational encoding means the value column is NULL
+and (when the caller asked for it) an error-message column is set —
+rows never throw (fallibility-as-data, SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Strings the reference's Conversion::Boolean accepts
+# (src/compiler/conversion/mod.rs: parse_bool behavior).
+_TRUE_STRINGS = ["true", "t", "yes", "y"]
+_FALSE_STRINGS = ["false", "f", "no", "n", "0"]
+
+_INT_RE = r"^\s*[+-]?\d+\s*$"
+_FLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
+
+
+def _dtype(col_or_df, col: Column):
+    raise NotImplementedError
+
+
+def to_int(col: Column, dtype: T.DataType) -> Column:
+    """VRL ``to_int`` for a column of Spark type ``dtype`` -> LongType.
+
+    Unlike VRL (dynamic), the input type is statically known, so the
+    cascade specializes at plan build — the same trick as VRL's
+    compile-time type narrowing (src/compiler/type_def.rs).
+    Strings that don't parse yield NULL (error branch).
+    """
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        out = col.cast("long")
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        # Rust `as i64` truncates toward zero; Spark double->long cast
+        # also truncates. NaN -> error (NULL) per NotNan semantics.
+        out = F.when(F.isnan(col), F.lit(None)).otherwise(col.cast("long"))
+    elif isinstance(dtype, T.BooleanType):
+        out = F.when(col, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    elif isinstance(dtype, T.TimestampType):
+        out = F.unix_timestamp(col)
+    elif isinstance(dtype, T.StringType):
+        # whole-string int parse; float-looking strings error in VRL
+        out = F.when(col.rlike(_INT_RE), F.trim(col).cast("long"))
+    elif isinstance(dtype, T.NullType):
+        out = F.lit(0).cast("long")
+    else:
+        raise TypeError(f"to_int: unsupported input type {dtype}")
+    # null input -> 0 (to_int.rs:4-19 Null => 0)
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(out).alias("to_int")
+
+
+def to_float(col: Column, dtype: T.DataType) -> Column:
+    """VRL ``to_float`` -> DoubleType. null -> 0.0; NaN errors."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        out = F.when(F.isnan(col), F.lit(None)).otherwise(col.cast("double"))
+    elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        out = col.cast("double")
+    elif isinstance(dtype, T.BooleanType):
+        out = F.when(col, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif isinstance(dtype, T.TimestampType):
+        # epoch seconds with sub-second fraction (to_float.rs:19-24)
+        out = col.cast("double")
+    elif isinstance(dtype, T.StringType):
+        out = F.when(col.rlike(_FLOAT_RE), F.trim(col).cast("double"))
+    elif isinstance(dtype, T.NullType):
+        out = F.lit(0.0)
+    else:
+        raise TypeError(f"to_float: unsupported input type {dtype}")
+    return F.when(col.isNull(), F.lit(0.0)).otherwise(out).alias("to_float")
+
+
+def to_bool(col: Column, dtype: T.DataType) -> Column:
+    """VRL ``to_bool`` -> BooleanType. null -> false; bad string errors."""
+    if isinstance(dtype, T.BooleanType):
+        out = col
+    elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        out = col != 0
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        out = F.when(F.isnan(col), F.lit(None)).otherwise(col != 0.0)
+    elif isinstance(dtype, T.StringType):
+        lowered = F.lower(F.trim(col))
+        out = (
+            F.when(lowered.isin(_TRUE_STRINGS), F.lit(True))
+            .when(lowered.isin(_FALSE_STRINGS), F.lit(False))
+            # int-string: nonzero -> true, zero -> false (conversion table)
+            .when(lowered.rlike(_INT_RE), F.trim(col).cast("long") != 0)
+        )
+    elif isinstance(dtype, T.NullType):
+        out = F.lit(False)
+    else:
+        raise TypeError(f"to_bool: unsupported input type {dtype}")
+    return F.when(col.isNull(), F.lit(False)).otherwise(out).alias("to_bool")
+
+
+def to_string(col: Column, dtype: T.DataType) -> Column:
+    """VRL ``to_string`` -> StringType. null -> ''; timestamp RFC3339."""
+    if isinstance(dtype, T.StringType):
+        out = col
+    elif isinstance(dtype, T.BooleanType):
+        out = F.when(col, "true").otherwise("false")
+    elif isinstance(dtype, T.TimestampType):
+        out = rfc3339(col)
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        # Rust ryu prints 1.0 as "1", 1.5 as "1.5"; Spark cast prints
+        # "1.0"/"1.5". Normalize trailing ".0" to match.
+        out = F.regexp_replace(col.cast("string"), r"\.0$", "")
+    elif isinstance(dtype, T.NullType):
+        out = F.lit("")
+    else:
+        out = col.cast("string")
+    return F.when(col.isNull(), F.lit("")).otherwise(out).alias("to_string")
+
+
+def rfc3339(ts: Column) -> Column:
+    """RFC3339 w/ 'AutoSi' precision like the reference's renderer
+    (src/value/value.rs:219-221): second precision when no sub-second
+    part, otherwise full precision. We emit micros when present."""
+    whole = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    frac = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    has_frac = F.unix_micros(ts) % 1_000_000 != 0
+    return F.when(has_frac, frac).otherwise(whole)
+
+
+# --- type predicates (reference src/stdlib/is_*.rs) ------------------
+
+def is_nullish(col: Column) -> Column:
+    """null, "", "-", or whitespace-only (src/stdlib/is_nullish.rs)."""
+    return col.isNull() | F.trim(col).isin("", "-")
+
+
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"
+)
+
+
+def is_ipv4(col: Column) -> Column:
+    return col.rlike(_IPV4_RE)
+
+
+def is_json(col: Column) -> Column:
+    """Parseable as JSON (src/stdlib/is_json.rs)."""
+    return F.try_parse_json(col).isNotNull()
+
+
+def is_empty(col: Column, dtype: T.DataType) -> Column:
+    """'' / [] / {} (src/stdlib/is_empty.rs)."""
+    if isinstance(dtype, T.StringType):
+        return F.length(col) == 0
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.size(col) == 0
+    raise TypeError(f"is_empty: unsupported type {dtype}")

@@ -1,0 +1,385 @@
+"""Parse functions — the heart of the north star.
+
+Two lowerings per extraction function, chosen by the pipeline builder:
+
+- ``native``      one JVM ``regexp_extract`` per field. Zero Python on
+  the hot path, fully inside whole-stage codegen. Best when the field
+  count is small (Catalyst does not CSE the repeated regex match, so
+  cost is fields x match).
+- ``vectorized``  one Arrow-batched pandas UDF emitting a struct of
+  all captures via ``pd.Series.str.extract`` — a single regex pass
+  per row regardless of field count, C-speed inside pandas.
+
+Reference semantics:
+- parse_regex: first match -> object of named captures, all values
+  strings (src/stdlib/parse_regex.rs:83-86), no-match = error.
+- parse_grok: pattern compiled once at compile time
+  (src/stdlib/parse_grok.rs:148-169), no-match = error
+  "unable to parse input with grok pattern" (parse_grok.rs:11-25).
+- parse_key_value: logfmt-style, standalone key -> "true"-like,
+  quoted values, duplicate keys -> array (src/stdlib/parse_key_value.rs:52-98).
+- parse_timestamp: strptime with chrono tokens (src/stdlib/parse_timestamp.rs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from vrl_spark.grok import CompiledGrok, compile_grok
+
+# ---------------------------------------------------------------------
+# parse_regex / parse_grok
+# ---------------------------------------------------------------------
+
+
+def parse_regex_native(col: Column, compiled: CompiledGrok) -> Column:
+    """Struct of string captures via JVM regexp_extract per field.
+
+    Spark's regexp_extract returns '' both for "no match" and for
+    "matched but group empty"; VRL distinguishes no-match (= error).
+    We gate on an rlike match flag so no-match yields a NULL struct
+    (the error branch), matching parse_regex.rs no-match semantics.
+    """
+    matched = col.rlike(compiled.regex)
+    fields = [
+        F.regexp_extract(col, compiled.regex, compiled.group_index(name)).alias(name)
+        for name in compiled.fields
+    ]
+    return F.when(matched, F.struct(*fields))
+
+
+def parse_regex_vectorized(col: Column, compiled: CompiledGrok) -> Column:
+    """Struct of string captures via ONE Arrow-batched pandas UDF.
+
+    The compiled regex string is captured in the closure (compiled
+    driver-side once — mirroring VRL's compile-time pattern
+    compilation), recompiled once per executor, then applied with
+    pandas' vectorized ``str.extract``. No-match rows -> NULL struct.
+    """
+    regex = compiled.regex
+    names = list(compiled.fields)
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+
+    @pandas_udf(schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        import re as _re
+
+        pat = _re.compile(regex)
+        df = s.str.extract(pat, expand=True)
+        df.columns = names[: len(df.columns)]
+        # str.extract gives NaN per group on no-match; VRL's error is
+        # whole-object — null out entire rows where nothing matched.
+        return df
+
+    out = extract(col)
+    # whole-struct null when no field matched (no-match = error)
+    any_hit = F.coalesce(*[out.getField(n) for n in names]).isNotNull() if names else F.lit(False)
+    return F.when(any_hit, out)
+
+
+def parse_grok(col: Column, pattern: str, mode: str = "native") -> Column:
+    """Compile grok -> regex on the driver, lower per ``mode``."""
+    compiled = compile_grok(pattern)
+    if mode == "native":
+        return parse_regex_native(col, compiled)
+    return parse_regex_vectorized(col, compiled)
+
+
+# ---------------------------------------------------------------------
+# parse_key_value / parse_logfmt
+# ---------------------------------------------------------------------
+
+
+def parse_key_value_native(
+    col: Column,
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+) -> Column:
+    """Simple-case logfmt -> MapType via JVM ``str_to_map``.
+
+    Handles the unquoted fast path (the overwhelming majority of real
+    logfmt). Quoted values / duplicate-key arrays use the pandas
+    lowering below.
+    """
+    import re as _re
+
+    return F.str_to_map(
+        F.trim(col),
+        F.lit(_re.escape(field_delimiter) + "+"),
+        F.lit(_re.escape(key_value_delimiter)),
+    )
+
+
+def parse_key_value_vectorized(
+    col: Column,
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+) -> Column:
+    """Full logfmt semantics (quoted values w/ escapes, standalone key
+    -> "true", first-win ordering) as one Arrow-batched UDF -> MapType.
+
+    Reference: src/stdlib/parse_key_value.rs:52-98 (nom parser);
+    duplicate keys -> array there, map here keeps the LAST value and
+    is documented as the relational restriction (MapType is
+    single-valued).
+    """
+    kvd, fd = key_value_delimiter, field_delimiter
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def kv(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        # token = quoted string | bare word, around the kv delimiter
+        tok = _re.compile(
+            r'\s*([^'
+            + _re.escape(kvd)
+            + _re.escape(fd)
+            + r'"]+)\s*(?:'
+            + _re.escape(kvd)
+            + r'\s*("(?:[^"\\]|\\.)*"|[^'
+            + _re.escape(fd)
+            + r']*))?'
+        )
+
+        def one(line):
+            if line is None:
+                return None
+            out = {}
+            for m in tok.finditer(line):
+                k, v = m.group(1), m.group(2)
+                if v is None:
+                    v = "true"  # standalone key (parse_key_value.rs:75-80)
+                elif len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                    v = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+                out[k] = v
+            return out
+
+        return s.map(one)
+
+    return kv(col)
+
+
+# ---------------------------------------------------------------------
+# parse_timestamp — chrono strftime -> JVM DateTimeFormatter tokens
+# ---------------------------------------------------------------------
+
+# chrono token -> Spark (java.time) pattern fragment
+_CHRONO_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%p": "a",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%j": "DDD", "%z": "xx", "%:z": "xxx", "%Z": "zzz",
+    "%f": "SSSSSSSSS", "%.f": "[.SSSSSSSSS]", "%3f": "SSS",
+    "%6f": "SSSSSS", "%9f": "SSSSSSSSS",
+    "%s": None,  # epoch seconds — handled specially
+    "%%": "%",
+}
+
+
+def chrono_to_java(fmt: str) -> str:
+    """Translate a chrono strftime format to a java.time pattern.
+
+    Raises on tokens with no JVM equivalent (callers then fall back to
+    the pandas lowering).
+    """
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush():
+        if literal:
+            text = "".join(literal)
+            out.append("'" + text.replace("'", "''") + "'")
+            literal.clear()
+
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            for tok_len in (3, 2):
+                tok = fmt[i : i + tok_len]
+                if tok in _CHRONO_TO_JAVA:
+                    java = _CHRONO_TO_JAVA[tok]
+                    if java is None:
+                        raise ValueError(f"chrono token {tok} unsupported in JVM path")
+                    flush()
+                    out.append(java)
+                    i += tok_len
+                    break
+            else:
+                raise ValueError(f"unknown chrono token at {fmt[i:]!r}")
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def parse_timestamp(col: Column, format: str) -> Column:
+    """VRL parse_timestamp: strptime parse -> TimestampType (UTC).
+
+    Unparseable input -> NULL (error branch); the JVM path uses
+    try_to_timestamp so bad rows never throw.
+    """
+    java_fmt = chrono_to_java(format)
+    return F.try_to_timestamp(col, F.lit(java_fmt))
+
+
+def from_unix_timestamp(col: Column, unit: str = "seconds") -> Column:
+    """src/stdlib/from_unix_timestamp.rs — unit in s/ms/us/ns."""
+    if unit in ("seconds", "s"):
+        return F.timestamp_seconds(col)
+    if unit in ("milliseconds", "ms"):
+        return F.timestamp_millis(col)
+    if unit in ("microseconds", "us"):
+        return F.timestamp_micros(col)
+    if unit in ("nanoseconds", "ns"):
+        return F.timestamp_micros((col / 1000).cast("long"))
+    raise ValueError(f"bad unit {unit}")
+
+
+def to_unix_timestamp(col: Column, unit: str = "seconds") -> Column:
+    if unit in ("seconds", "s"):
+        return F.unix_seconds(col)
+    if unit in ("milliseconds", "ms"):
+        return F.unix_millis(col)
+    if unit in ("microseconds", "us"):
+        return F.unix_micros(col)
+    if unit in ("nanoseconds", "ns"):
+        return F.unix_micros(col) * 1000
+    raise ValueError(f"bad unit {unit}")
+
+
+# ---------------------------------------------------------------------
+# parse_url / parse_query_string / parse_json / parse_csv
+# ---------------------------------------------------------------------
+
+
+def parse_url(col: Column) -> Column:
+    """URL -> struct{scheme,host,port,path,query,fragment,username}.
+
+    Reference src/stdlib/parse_url.rs:30-80. Lowered entirely to JVM
+    ``parse_url`` calls — one tokenizer pass each but all codegen'd.
+    """
+    return F.struct(
+        F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)).alias("scheme"),
+        F.lower(F.parse_url(col, F.lit("HOST"))).alias("host"),
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\d+)", 1)
+        .try_cast("long")
+        .alias("port"),
+        F.parse_url(col, F.lit("PATH")).alias("path"),
+        F.parse_url(col, F.lit("QUERY")).alias("query"),
+        F.parse_url(col, F.lit("REF")).alias("fragment"),
+        F.parse_url(col, F.lit("USERINFO")).alias("username"),
+    )
+
+
+def parse_query_string(col: Column) -> Column:
+    """query string -> map (src/stdlib/parse_query_string.rs).
+
+    Duplicate keys keep the last value (MapType restriction; the
+    reference builds arrays)."""
+    stripped = F.regexp_replace(col, r"^[?&]", "")
+    return F.str_to_map(stripped, F.lit("&"), F.lit("="))
+
+
+def parse_json(col: Column, schema: T.DataType | str | None = None) -> Column:
+    """serde_json -> Value (src/stdlib/parse_json.rs). With a known
+    schema: from_json; without: Spark VariantType (semi-structured)."""
+    if schema is not None:
+        return F.from_json(col, schema)
+    return F.try_parse_json(col)
+
+
+def parse_csv(col: Column, delimiter: str = ",") -> Column:
+    """One CSV row -> array<string> (src/stdlib/parse_csv.rs).
+
+    JVM lowering handles the quoted-field grammar with a single
+    regexp_extract_all pass."""
+    import re as _re
+
+    d = _re.escape(delimiter)
+    # field = quoted (with "" escapes) | bare
+    pat = f'(?:^|{d})("(?:[^"]|"")*"|[^{d}]*)'
+    raw = F.regexp_extract_all(col, F.lit(pat), 1)
+    return F.transform(
+        raw,
+        lambda s: F.when(
+            s.rlike('^".*"$'),
+            F.regexp_replace(F.substring(s, 2, F.length(s) - 2), '""', '"'),
+        ).otherwise(s),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_duration / parse_bytes (vectorized arithmetic, JVM-side)
+# ---------------------------------------------------------------------
+
+_DURATION_UNITS = {  # src/stdlib/parse_duration.rs unit table
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+def parse_duration(col: Column, unit: str = "s") -> Column:
+    """'5m30s' -> numeric in ``unit`` (src/stdlib/parse_duration.rs).
+
+    Lowered to regexp_extract_all + aggregate — pure JVM."""
+    scale = _DURATION_UNITS[unit]
+    pairs = F.regexp_extract_all(
+        col, F.lit(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)"), 0
+    )
+    per = F.transform(
+        pairs,
+        lambda p: F.regexp_extract(p, r"([\d.]+)", 1).cast("double")
+        * _unit_factor(F.regexp_extract(p, r"[\d.]+(\D+)", 1)),
+    )
+    total = F.aggregate(per, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(F.size(pairs) > 0, total / F.lit(scale))
+
+
+def _unit_factor(unit_col: Column) -> Column:
+    expr = F.lit(None).cast("double")
+    cascade = F
+    out = None
+    for u, f_ in _DURATION_UNITS.items():
+        cond = unit_col == u
+        out = F.when(cond, F.lit(f_)) if out is None else out.when(cond, F.lit(f_))
+    return out.otherwise(expr)
+
+
+_BYTE_UNITS = {  # src/stdlib/parse_bytes.rs: decimal + binary units
+    "b": 1.0,
+    "kb": 1e3, "mb": 1e6, "gb": 1e9, "tb": 1e12, "pb": 1e15,
+    "kib": 2**10, "mib": 2**20, "gib": 2**30, "tib": 2**40, "pib": 2**50,
+}
+
+
+def parse_bytes(col: Column, unit: str = "B") -> Column:
+    """'5MiB' -> bytes count (src/stdlib/parse_bytes.rs)."""
+    num = F.regexp_extract(col, r"^\s*([\d.]+)\s*([A-Za-z]+)\s*$", 1)
+    u = F.lower(F.regexp_extract(col, r"^\s*([\d.]+)\s*([A-Za-z]+)\s*$", 2))
+    factor = None
+    for name, f_ in _BYTE_UNITS.items():
+        cond = u == name
+        factor = F.when(cond, F.lit(f_)) if factor is None else factor.when(cond, F.lit(f_))
+    return (num.try_cast("double") * factor) / F.lit(_BYTE_UNITS[unit.lower()])
+
+
+def parse_int(col: Column, base: int = 10) -> Column:
+    """string -> int with radix (src/stdlib/parse_int.rs). Base-10
+    strings may carry 0x/0o/0b prefixes selecting the radix."""
+    if base == 10:
+        return (
+            F.when(col.rlike("^[+-]?0[xX]"), F.conv(F.regexp_replace(col, "^([+-]?)0[xX]", "$1"), 16, 10))
+            .when(col.rlike("^[+-]?0[oO]"), F.conv(F.regexp_replace(col, "^([+-]?)0[oO]", "$1"), 8, 10))
+            .when(col.rlike("^[+-]?0[bB]"), F.conv(F.regexp_replace(col, "^([+-]?)0[bB]", "$1"), 2, 10))
+            .otherwise(col.try_cast("long").cast("string"))
+            .try_cast("long")
+        )
+    return F.conv(col, base, 10).try_cast("long")

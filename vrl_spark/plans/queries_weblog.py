@@ -1,0 +1,34 @@
+"""Registry entries for the flagship weblog pipeline stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrl_spark.plans import weblog
+from vrl_spark.registry import register
+
+
+@register("pipeline_aggregate", weblog.aggregate_oracle_sql())
+def pipeline_aggregate(spark, sf_dir):
+    """Full parse->enrich->route->aggregate (the flagship)."""
+    return weblog.full_pipeline(spark, sf_dir)
+
+
+@register("pipeline_routed_rows", weblog.routed_oracle_sql())
+def pipeline_routed_rows(spark, sf_dir):
+    """Routed-row equality: every row with its route + parsed fields."""
+    return weblog.routed_rows(spark, sf_dir)
+
+
+@register(
+    "pipeline_route_counts",
+    weblog.parsed_cte_sql()
+    + "SELECT route, COUNT(*) AS n FROM routed GROUP BY route",
+)
+def pipeline_route_counts(spark, sf_dir):
+    """Per-sink counts (the north rule's per-sink aggregate equality)."""
+    df = weblog.load_pages(spark, sf_dir)
+    df = weblog.parse_stage(df)
+    df = weblog.enrich_stage(spark, df)
+    df = weblog.route_stage(df)
+    return df.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
