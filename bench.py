@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the wall time of the flagship end-to-end pipeline
+(parse->enrich->route->aggregate). Extra keys record docs/sec and
+GB/s for the flagship, per the BASELINE.json metric.
+
+Each query is forced with a noop-format write (full computation, no
+driver collect bottleneck, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vrl_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    master = os.environ.get("BENCH_MASTER")  # e.g. local[8] for scaling runs
+    spark = get_spark("vrl_spark_bench", master=master)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # input volume for throughput numbers (pages text bytes)
+    from vrl_spark.plans import weblog
+
+    pages = weblog.load_pages(spark, sf_dir)
+    stats = pages.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.octet_length("text") + F.octet_length("html")).alias("bytes"),
+    ).collect()[0]
+    n_docs, n_bytes = stats["rows"], stats["bytes"]
+
+    results: dict[str, float] = {}
+    # warm the JVM/parquet footing once
+    force(weblog.load_pages(spark, sf_dir).select("url"))
+
+    for name, fn in sorted(qs.items()):
+        try:
+            results[name] = round(force(fn(spark, sf_dir)), 3)
+        except Exception as e:  # a broken query shouldn't kill the bench
+            results[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    flagship = results.get("pipeline_aggregate", max(results.values()))
+    out = {
+        "metric": "e2e parse->enrich->route->aggregate wall time (flagship)",
+        "value": flagship,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
+        "gb_per_sec": round(n_bytes / flagship / 1e9, 4) if flagship > 0 else None,
+        "cores": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Grok compiler unit tests (pure Python — no Spark session).
+
+Vectors model the reference's test_function! cases for parse_grok
+(reference src/stdlib/parse_grok.rs:193-236): a parseable line yields
+the expected captures; an ungrokkable line yields no match (= the
+VRL error 'unable to parse input with grok pattern')."""
+
+import re
+
+import pytest
+
+from vrl_spark.grok import GROK_PATTERNS, compile_grok
+
+
+def test_simple_pattern_fields_in_order():
+    c = compile_grok("%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:message}")
+    assert c.fields == ["timestamp", "level", "message"]
+    m = re.search(c.regex, "2020-10-02T23:22:12.223222Z info Hello world")
+    assert m is not None
+    assert m.group(c.group_index("timestamp")) == "2020-10-02T23:22:12.223222Z"
+    assert m.group(c.group_index("level")) == "info"
+    assert m.group(c.group_index("message")) == "Hello world"
+
+
+def test_ungrokkable_no_match():
+    # reference parse_grok.rs: "an ungrokkable message" -> error
+    c = compile_grok("%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level}")
+    assert re.search(c.regex, "an ungrokkable message") is None
+
+
+def test_combined_apache_log():
+    c = compile_grok("%{COMBINEDAPACHELOG}")
+    line = (
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+    )
+    m = re.search(c.regex, line)
+    assert m is not None
+    got = {f: m.group(c.group_index(f)) for f in c.fields}
+    assert got["client_ip"] == "127.0.0.1"
+    assert got["user"] == "frank"
+    assert got["method"] == "GET"
+    assert got["status"] == "200"
+    assert got["bytes"] == "2326"
+    assert got["agent"] == "Mozilla/4.08 [en] (Win98; I ;Nav)"
+
+
+def test_type_hints_recorded():
+    c = compile_grok("%{NONNEGINT:status:int} %{NUMBER:dur:float}")
+    assert c.type_hints == {"status": "int", "dur": "float"}
+
+
+def test_unknown_pattern_raises():
+    with pytest.raises(KeyError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_duplicate_field_raises():
+    with pytest.raises(ValueError):
+        compile_grok("%{INT:x} %{INT:x}")
+
+
+def test_all_vocab_patterns_compile():
+    for name in GROK_PATTERNS:
+        compile_grok("%{" + name + ":v}")
+
+
+@pytest.mark.parametrize(
+    "pat,text,expect",
+    [
+        ("%{IPV4:ip}", "at 10.1.2.3 end", "10.1.2.3"),
+        ("%{URI:u}", "see https://u:p@example.com:8080/a/b?q=1 now", "https://u:p@example.com:8080/a/b?q=1"),
+        ("%{HTTPDATE:d}", "[10/Oct/2000:13:55:36 -0700]", "10/Oct/2000:13:55:36 -0700"),
+        ("%{SYSLOGTIMESTAMP:t}", "Jun  4 07:12:01 host", "Jun  4 07:12:01"),
+        ("%{QUOTEDSTRING:q}", 'x "a \\"b\\" c" y', '"a \\"b\\" c"'),
+        ("%{UUID:id}", "id=0e3f2a9e-59b0-4e2a-8c10-5a1f3c9b0d22;", "0e3f2a9e-59b0-4e2a-8c10-5a1f3c9b0d22"),
+    ],
+)
+def test_vocab_extraction(pat, text, expect):
+    c = compile_grok(pat)
+    m = re.search(c.regex, text)
+    assert m is not None, (pat, text)
+    assert m.group(1) == expect

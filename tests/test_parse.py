@@ -1,0 +1,159 @@
+"""Parse-function vectors through the Spark lowerings.
+
+Modeled on reference test_function! vectors:
+parse_regex.rs:216-305, parse_key_value.rs, parse_timestamp.rs:135+,
+parse_url.rs, parse_csv.rs, parse_duration.rs, parse_bytes.rs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrl_spark.functions import parse as P
+from vrl_spark.grok import compile_grok
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def col_of(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["s"])
+
+
+# --- parse_regex / parse_grok lowerings ------------------------------
+
+GROK = "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:message}"
+
+
+@pytest.mark.parametrize("mode", ["native", "vectorized"])
+def test_parse_grok_both_lowerings(spark, mode):
+    df = col_of(spark, [
+        "2020-10-02T23:22:12.223222Z info Hello world",
+        "an ungrokkable message",
+        None,
+    ])
+    out = df.select(P.parse_grok(F.col("s"), GROK, mode=mode).alias("o")).collect()
+    ok = out[0]["o"]
+    assert ok["timestamp"] == "2020-10-02T23:22:12.223222Z"
+    assert ok["level"] == "info"
+    assert ok["message"] == "Hello world"
+    assert out[1]["o"] is None      # no-match = error = NULL struct
+    assert out[2]["o"] is None
+
+
+def test_parse_regex_native_group_semantics(spark):
+    # parse_regex.rs: named captures, first match
+    c = compile_grok("%{IPV4:ip}:%{POSINT:port}")
+    df = col_of(spark, ["conn from 10.0.0.1:8080 ok", "no address here"])
+    out = df.select(P.parse_regex_native(F.col("s"), c).alias("o")).collect()
+    assert out[0]["o"].asDict() == {"ip": "10.0.0.1", "port": "8080"}
+    assert out[1]["o"] is None
+
+
+# --- parse_key_value -------------------------------------------------
+
+def test_parse_key_value_simple(spark):
+    got = one(spark, P.parse_key_value_native(F.lit("a=1 b=two c=3")))
+    assert got == {"a": "1", "b": "two", "c": "3"}
+
+
+def test_parse_key_value_vectorized_full(spark):
+    df = col_of(spark, [
+        'at=info method=GET path="/x y" status=200',
+        "standalone key=v",
+        None,
+    ])
+    out = df.select(P.parse_key_value_vectorized(F.col("s")).alias("m")).collect()
+    assert out[0]["m"] == {
+        "at": "info", "method": "GET", "path": "/x y", "status": "200"}
+    # standalone key -> "true" (parse_key_value.rs:75-80)
+    assert out[1]["m"] == {"standalone": "true", "key": "v"}
+    assert out[2]["m"] is None
+
+
+# --- parse_timestamp -------------------------------------------------
+
+def test_chrono_to_java():
+    assert P.chrono_to_java("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss xx"
+    assert P.chrono_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def test_parse_timestamp(spark):
+    got = one(spark, P.parse_timestamp(
+        F.lit("10/Oct/2020:13:55:36 +0000"), "%d/%b/%Y:%H:%M:%S %z"))
+    assert str(got) == "2020-10-10 13:55:36"
+    # unparseable -> NULL (error branch), never a throw
+    assert one(spark, P.parse_timestamp(F.lit("not a date"), "%Y-%m-%d")) is None
+
+
+def test_unix_timestamp_roundtrip(spark):
+    got = one(spark, P.to_unix_timestamp(
+        P.from_unix_timestamp(F.lit(1604000000)), "seconds"))
+    assert got == 1604000000
+    got_ms = one(spark, P.to_unix_timestamp(
+        P.from_unix_timestamp(F.lit(1604000000123), "ms"), "ms"))
+    assert got_ms == 1604000000123
+
+
+# --- parse_url / parse_query_string ----------------------------------
+
+def test_parse_url(spark):
+    got = one(spark, P.parse_url(
+        F.lit("https://user:pw@Example.COM:8443/a/b?x=1&y=2#frag")))
+    d = got.asDict()
+    assert d["scheme"] == "https"
+    assert d["host"] == "example.com"
+    assert d["port"] == 8443
+    assert d["path"] == "/a/b"
+    assert d["query"] == "x=1&y=2"
+    assert d["fragment"] == "frag"
+    assert d["username"] == "user:pw"
+
+
+def test_parse_url_defaults(spark):
+    d = one(spark, P.parse_url(F.lit("http://example.com"))).asDict()
+    assert d["scheme"] == "http"
+    assert d["host"] == "example.com"
+    assert d["port"] is None
+
+
+def test_parse_query_string(spark):
+    got = one(spark, P.parse_query_string(F.lit("?foo=bar&baz=qux")))
+    assert got == {"foo": "bar", "baz": "qux"}
+
+
+# --- parse_csv -------------------------------------------------------
+
+def test_parse_csv(spark):
+    got = one(spark, P.parse_csv(F.lit('a,"b,c",d')))
+    assert got == ["a", "b,c", "d"]
+    got2 = one(spark, P.parse_csv(F.lit('x,"say ""hi""",z')))
+    assert got2 == ["x", 'say "hi"', "z"]
+
+
+# --- parse_duration / parse_bytes ------------------------------------
+
+def test_parse_duration(spark):
+    assert one(spark, P.parse_duration(F.lit("5m30s"))) == 330.0
+    assert one(spark, P.parse_duration(F.lit("1h"), unit="m")) == 60.0
+    assert one(spark, P.parse_duration(F.lit("500ms"))) == 0.5
+    assert one(spark, P.parse_duration(F.lit("junk"))) is None
+
+
+def test_parse_bytes(spark):
+    assert one(spark, P.parse_bytes(F.lit("1KiB"))) == 1024.0
+    assert one(spark, P.parse_bytes(F.lit("5MB"))) == 5e6
+    assert one(spark, P.parse_bytes(F.lit("2GiB"), unit="MiB")) == 2048.0
+
+
+def test_parse_int(spark):
+    assert one(spark, P.parse_int(F.lit("0x10"))) == 16
+    assert one(spark, P.parse_int(F.lit("0b101"))) == 5
+    assert one(spark, P.parse_int(F.lit("42"))) == 42
+    assert one(spark, P.parse_int(F.lit("ff"), base=16)) == 255
+
+
+def test_parse_json(spark):
+    got = one(spark, P.parse_json(F.lit('{"k": 87}'), "k INT"))
+    assert got.asDict() == {"k": 87}

@@ -195,7 +195,11 @@ def chrono_to_java(fmt: str) -> str:
     def flush():
         if literal:
             text = "".join(literal)
-            out.append("'" + text.replace("'", "''") + "'")
+            # only letter-containing literals need quoting in java.time
+            if any(c.isalpha() or c == "'" for c in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
             literal.clear()
 
     while i < len(fmt):
