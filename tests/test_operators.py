@@ -1,0 +1,141 @@
+"""Dedup / similarity / textstats operator tests on small constructed
+DataFrames (fast, deterministic)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrl_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "a quick brown fox jumps over the lazy dog"),            # near dup of 1
+        (4, "completely different content about spark pipelines"),
+        (5, "spark pipelines about completely different content"),  # same words, diff order
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["content_hash"]: r for r in dedup.exact_dedup(docs).collect()}
+    counts = sorted(r["dup_count"] for r in out.values())
+    assert counts == [1, 1, 1, 2]
+    dup_group = [r for r in out.values() if r["dup_count"] == 2][0]
+    assert dup_group["keep_id"] == 1
+
+
+def test_exact_dedup_rows(docs):
+    kept = {r["doc_id"] for r in dedup.exact_dedup_rows(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_word_shingles(spark):
+    row = spark.range(1).select(
+        dedup.word_shingles(F.lit("a b c d"), 3).alias("s"),
+        dedup.word_shingles(F.lit("a b"), 3).alias("short"),
+        dedup.word_shingles(F.lit(""), 3).alias("empty"),
+    ).collect()[0]
+    assert row["s"] == ["a b c", "b c d"]
+    assert row["short"] == ["a b"]
+    assert row["empty"] == []
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found          # exact dup: jaccard 1.0
+    assert (1, 3) in found          # near dup
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 <= j[(1, 3)] < 1.0
+
+
+def test_ngram_jaccard_blocked(docs):
+    blocked = docs.withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(
+        blocked, block_cols=["blk"], threshold=0.4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(docs, block_cols=None)
+
+
+def test_simhash_properties(docs):
+    rows = docs.select(
+        "doc_id", dedup.simhash_bits(F.col("text")).alias("sig")
+    ).collect()
+    sigs = {r["doc_id"]: r["sig"] for r in rows}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+    # word-order invariance (bag-of-words sketch): 4 vs 5 identical
+    assert sigs[4] == sigs[5]
+
+
+def test_simhash64_long_roundtrip(spark):
+    row = spark.range(1).select(
+        dedup.simhash64(F.lit("the quick brown fox")).alias("h")
+    ).collect()[0]
+    assert isinstance(row["h"], int)
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 1)
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [2, 3, 4]
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert sims[2] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-6)
+    assert sims[4] == -1.0
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=3).collect()
+    approx = similarity.lsh_topk(emb, q, dim=64, k=3, num_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # recall needn't be 1.0 but buckets must produce some true neighbors
+    assert len(exact_set & approx_set) >= len(exact_set) // 3
+
+
+def test_textstats(spark):
+    row = spark.range(1).select(
+        textstats.token_count(F.lit("a b  c")).alias("tc"),
+        textstats.token_count(F.lit("")).alias("tc0"),
+        textstats.bpe_ish_token_count(F.lit("hello, world 123")).alias("bpe"),
+        textstats.fingerprint(F.lit("The QUICK fox!")).alias("fp1"),
+        textstats.fingerprint(F.lit("fox quick the")).alias("fp2"),
+        textstats.lang_id(F.lit("the cat and the dog is in a house")).alias("en"),
+        textstats.lang_id(F.lit("el gato y el perro en la casa no es")).alias("es"),
+        textstats.lang_id(F.lit("zzz qqq xxx")).alias("und"),
+    ).collect()[0]
+    assert row["tc"] == 3 and row["tc0"] == 0
+    assert row["bpe"] == 4  # hello | , | world | 123 (space runs dropped)
+    assert row["fp1"] == row["fp2"]  # order/case/punct invariant
+    assert row["en"] == "en" and row["es"] == "es" and row["und"] == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(
+        textstats.quality_score(F.col("text")).alias("q")
+    ).agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0

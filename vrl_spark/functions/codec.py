@@ -1,0 +1,201 @@
+"""Codec / hash functions (reference src/stdlib/ encode_*, decode_*,
+md5/sha*/crc/hmac, compression).
+
+JVM built-ins wherever they exist; zlib/gzip and the exotic hashes go
+through Arrow-batched pandas UDFs (stdlib `zlib`/`hashlib` — no extra
+deps)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --- base16 / base64 / percent (JVM) ---------------------------------
+
+
+def encode_base16(col: Column) -> Column:
+    """src/stdlib/encode_base16.rs (lowercase hex)."""
+    return F.lower(F.hex(col.cast("binary")))
+
+
+def decode_base16(col: Column) -> Column:
+    return F.unhex(col).cast("string")
+
+
+def encode_base64(col: Column, padding: bool = True) -> Column:
+    """src/stdlib/encode_base64.rs"""
+    out = F.base64(col.cast("binary"))
+    if not padding:
+        out = F.regexp_replace(out, "=+$", "")
+    return out
+
+
+def decode_base64(col: Column) -> Column:
+    return F.unbase64(col).cast("string")
+
+
+def encode_percent(col: Column) -> Column:
+    """src/stdlib/encode_percent.rs"""
+    return F.url_encode(col)
+
+
+def decode_percent(col: Column) -> Column:
+    return F.try_url_decode(col)
+
+
+def encode_json(col: Column) -> Column:
+    """src/stdlib/encode_json.rs — VRL objects are BTreeMaps (sorted
+    keys, src/value/value.rs:34); declare struct fields sorted at
+    schema build so to_json output order matches."""
+    return F.to_json(col)
+
+
+def encode_logfmt(col: Column) -> Column:
+    """src/stdlib/encode_logfmt.rs — map -> 'k=v k2=v2', SORTED keys
+    (via src/core/encode_key_value.rs)."""
+    entries = F.map_entries(col)
+    sorted_entries = F.array_sort(entries)
+    parts = F.transform(
+        sorted_entries,
+        lambda e: F.concat(
+            e.getField("key"),
+            F.lit("="),
+            F.when(
+                e.getField("value").rlike(r"[\s\"=]"),
+                F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(e.getField("value"), '"', '\\\\"'),
+                    F.lit('"'),
+                ),
+            ).otherwise(e.getField("value")),
+        ),
+    )
+    return F.array_join(parts, " ")
+
+
+# --- hashes (JVM where possible) -------------------------------------
+
+
+def md5(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def sha1(col: Column) -> Column:
+    return F.sha1(col.cast("binary"))
+
+
+def sha2(col: Column, variant: int = 256) -> Column:
+    """src/stdlib/sha2.rs — variant in 224/256/384/512."""
+    return F.sha2(col.cast("binary"), variant)
+
+
+def crc(col: Column) -> Column:
+    """src/stdlib/crc.rs (crc32 default)."""
+    return F.crc32(col.cast("binary")).cast("string")
+
+
+def xxhash(col: Column) -> Column:
+    """64-bit xxHash — Spark ships xxhash64 natively."""
+    return F.xxhash64(col)
+
+
+def sha3(col: Column, variant: int = 512) -> Column:
+    """src/stdlib/sha3.rs — no JVM builtin; Arrow-batched hashlib."""
+
+    @pandas_udf(T.StringType())
+    def _sha3(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        name = f"sha3_{variant}"
+        return s.map(
+            lambda v: getattr(hashlib, name)(v.encode()).hexdigest()
+            if v is not None
+            else None
+        )
+
+    return _sha3(col)
+
+
+def hmac_(col: Column, key: str, algorithm: str = "sha256") -> Column:
+    """src/stdlib/hmac.rs — Arrow-batched stdlib hmac."""
+
+    @pandas_udf(T.StringType())
+    def _hmac(s: pd.Series) -> pd.Series:
+        import hashlib
+        import hmac as _h
+
+        k = key.encode()
+        return s.map(
+            lambda v: _h.new(k, v.encode(), getattr(hashlib, algorithm)).hexdigest()
+            if v is not None
+            else None
+        )
+
+    return _hmac(col)
+
+
+# --- compression (Arrow-batched stdlib zlib/gzip) --------------------
+
+
+def encode_zlib(col: Column) -> Column:
+    """src/stdlib/encode_zlib.rs"""
+
+    @pandas_udf(T.BinaryType())
+    def _z(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(lambda v: zlib.compress(v) if v is not None else None)
+
+    return _z(col.cast("binary"))
+
+
+def decode_zlib(col: Column) -> Column:
+    @pandas_udf(T.BinaryType())
+    def _z(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return zlib.decompress(v)
+            except zlib.error:
+                return None  # error branch: data, not throw
+
+        return s.map(one)
+
+    return _z(col)
+
+
+def encode_gzip(col: Column) -> Column:
+    @pandas_udf(T.BinaryType())
+    def _g(s: pd.Series) -> pd.Series:
+        import gzip as _gz
+
+        # mtime pinned for determinism (VRL results must be stable)
+        return s.map(
+            lambda v: _gz.compress(v, mtime=0) if v is not None else None
+        )
+
+    return _g(col.cast("binary"))
+
+
+def decode_gzip(col: Column) -> Column:
+    @pandas_udf(T.BinaryType())
+    def _g(s: pd.Series) -> pd.Series:
+        import gzip as _gz
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _gz.decompress(v)
+            except OSError:
+                return None
+
+        return s.map(one)
+
+    return _g(col)

@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale design (the 100 TB story):
+
+- exact       one shuffle on a 128-bit content hash (not the content!)
+              — group keys are 16 bytes regardless of document size.
+- minhash LSH shingle -> K minhashes -> B bands; candidate pairs come
+              from an equi-join on (band_id, band_signature) — a plain
+              shuffle-hash join on short strings, never an O(n^2)
+              cross join. Verification re-computes true jaccard only
+              on candidates.
+- simhash     64-bit signature via xxhash64 (JVM) per token; near-dup
+              = hamming distance <= r; banding on bit-chunks gives the
+              same join-not-crossjoin property.
+- ngram       exact jaccard on word n-grams within cheap blocks.
+
+Determinism: every hash used for ORACLE-checked paths is md5-based
+(stable across engines); xxhash64 paths are engine-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct content hash.
+
+    Shuffles 16-byte md5 keys, not documents; the winner is resolved
+    with a min_by aggregation (single shuffle, no window sort)."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The surviving rows themselves (min id per hash)."""
+    w = Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), pure JVM expression."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.size(toks)
+    last = F.greatest(k - n, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    empty = F.trim(col) == ""
+    return (
+        F.when(empty, F.array().cast("array<string>"))
+        .when(k >= n, F.array_distinct(grams))
+        .otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """K independent minhashes; hash_i(s) = md5(i || s), min taken as
+    STRING min — identical in Spark and DuckDB (the portability trick
+    that makes the LSH pipeline oracle-checkable)."""
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash-LSH.
+
+    rows -> (band_id, band_sig) keys -> self equi-join. At 100 TB the
+    join keys are (int, short hex concat) — small, shuffle-friendly;
+    hot buckets (boilerplate pages) are exactly what AQE skew-join
+    splitting handles."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.array_join(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact jaccard of two (distinct) arrays — JVM set ops."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """LSH candidates -> verify with TRUE jaccard >= threshold.
+
+    The verify join re-attaches shingle sets only for candidate ids
+    (semi-join pruning), so full documents never pairwise-shuffle."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    n = lsh_kwargs.get("shingle_n", 3)
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram jaccard within blocks (exact, bounded)
+# ---------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact jaccard over word n-grams for pairs sharing a block key.
+
+    Blocking bounds the pair count (block sizes are the scale knob);
+    an unblocked run is a deliberate O(n^2) and refused."""
+    if not block_cols:
+        raise ValueError("ngram_jaccard_pairs requires block_cols at scale")
+    sh = df.select(
+        F.col(id_col), *block_cols,
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------
+
+
+def simhash_bits(col: Column) -> Column:
+    """64-char '0'/'1' SimHash signature over whitespace tokens.
+
+    Each token hashes once (xxhash64 -> two's-complement bit string
+    via bin+lpad); bit j of the signature is the sign of the +/-1
+    vote sum across tokens. Pure JVM expressions."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    bits = [
+        F.when(
+            F.aggregate(
+                bitstrs,
+                F.lit(0),
+                lambda acc, s: acc
+                + F.when(F.substring(s, j + 1, 1) == "1", 1).otherwise(-1),
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(64)
+    ]
+    return F.concat(*bits)
+
+
+def simhash64(col: Column) -> Column:
+    """SimHash as a signed 64-bit long (two's complement of the bit
+    signature). MSB handled by subtraction to stay ANSI-overflow-safe."""
+    bits = simhash_bits(col)
+    low63 = F.conv(F.substring(bits, 2, 63), 2, 10).cast("long")
+    msb = F.substring(bits, 1, 1) == "1"
+    return F.when(msb, F.lit(-9223372036854775808) + low63).otherwise(low63)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.split(a, ""), F.split(b, ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_distance.
+
+    Banding: split the 64-bit signature into ``chunks`` 16-bit pieces;
+    any pair within distance <= chunks-1 shares at least one piece
+    (pigeonhole), so candidates come from an equi-join on
+    (chunk_id, chunk_value) — same join-not-crossjoin shape as LSH."""
+    sig = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("sim"))
+    width = 64 // chunks
+    pieces = sig.select(
+        id_col, "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.substring(F.col("sim"), c * width + 1, width).alias("chunk_val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("p"),
+    ).select(id_col, "sim", "p.chunk_id", "p.chunk_val")
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_bits(F.col("a.sim"), F.col("b.sim")).alias("distance"),
+        )
+        .distinct()
+        .where(F.col("distance") <= max_distance)
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure JVM Column expressions (array/regex ops) — portable to the
+DuckDB oracle and free of Python on the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the n-gram/stopword-hit
+# language heuristic. (A real deployment swaps in fastText or CLD3 as
+# a pandas UDF; the Spark plumbing is identical.)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword count: split on word/number/punct boundaries
+    (the GPT-2 pre-tokenizer shape, public regex family)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+"), 0
+    )
+    # whitespace runs don't count as tokens
+    return F.size(F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))).cast("long")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language with the most stopword hits; ties and
+    zero-hit rows -> 'und'. First-listed wins ties (deterministic)."""
+    toks = tokens(col)
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    out = F.when(best <= 0, "und")
+    for lang in STOPWORDS:  # dict order = priority order
+        out = out.when(hits[lang] == best, lang)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length band + alpha ratio +
+    distinct-word ratio (boilerplate/repetition penalty).
+
+    The shape (not the exact weights) is the standard web-text
+    quality-filter recipe (C4/Gopher-style heuristics)."""
+    t = F.trim(col)
+    n_chars = F.length(t).cast("double")
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(
+        F.when(n_chars > 0, 0.5).otherwise(0.0)
+    )
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")).cast("double") / n_chars,
+    ).otherwise(0.0)
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(0.0)
+    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.3)
+    # raw double — callers round/scale at the output boundary
+    return 0.3 * len_ok + 0.3 * alpha_ratio + 0.2 * distinct_ratio + 0.2 * word_ok
+
+
+def fingerprint(col: Column) -> Column:
+    """OpenRefine-style key-collision fingerprint: lowercase, strip
+    non-alnum, sort DISTINCT tokens, join, md5. Collisions = same
+    content modulo ordering/casing/punct — a cheap canonical-dup key."""
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
+    toks = F.array_sort(F.array_distinct(
+        F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    ))
+    return F.md5(F.array_join(toks, " ").cast("binary"))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-ish: md5 over each word w-gram, keep the MIN hash —
+    a 1-of-n rolling-hash document sketch (content-defined, shift
+    tolerant)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    last = F.greatest(k - window, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ").cast("binary")),
+    )
+    return F.when(k > 0, F.array_min(grams))

@@ -1,1 +1,370 @@
-"""VRL stdlib function queries (filled in incrementally)."""
+"""VRL stdlib function queries, each oracle-checked against DuckDB.
+
+Inputs are the driver's ``events``/``documents`` tables; where a
+function needs a specific input shape (ips, urls, kv lines) the input
+is DERIVED deterministically inside the query, with the identical
+derivation in the oracle SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrl_spark.functions import codec, coerce, collections as C, math_ip, strings
+from vrl_spark.functions import parse as P
+from vrl_spark.registry import register
+from vrl_spark.operators.textstats import STOPWORDS
+
+# ---------------------------------------------------------------------
+# coercions (to_int/to_float/to_bool/to_string cascades)
+# ---------------------------------------------------------------------
+
+_COERCE_ORACLE = """
+WITH derived AS (
+  SELECT event_id,
+    CASE event_id % 5 WHEN 0 THEN '123' WHEN 1 THEN ' 42 ' WHEN 2 THEN '1.5'
+                      WHEN 3 THEN 'abc' ELSE NULL END AS s,
+    CASE event_id % 4 WHEN 0 THEN 'yes' WHEN 1 THEN '0' WHEN 2 THEN 'banana'
+                      ELSE NULL END AS b,
+    value AS f
+  FROM events
+)
+SELECT event_id,
+  -- VRL to_int: null->0, int-string parses, else error(NULL)
+  CASE WHEN s IS NULL THEN 0
+       WHEN regexp_matches(s, '^\\s*[+-]?\\d+\\s*$') THEN TRY_CAST(trim(s) AS BIGINT)
+       END AS int_val,
+  -- VRL to_bool: table lookup, null->false, else error(NULL)
+  CASE WHEN b IS NULL THEN false
+       WHEN lower(trim(b)) IN ('true','t','yes','y') THEN true
+       WHEN lower(trim(b)) IN ('false','f','no','n','0') THEN false
+       WHEN regexp_matches(b, '^\\s*[+-]?\\d+\\s*$') THEN TRY_CAST(trim(b) AS BIGINT) != 0
+       END AS bool_val,
+  -- VRL to_float on double passthrough (NaN absent in events.value)
+  f AS float_val,
+  -- VRL to_string(float): trailing .0 normalized away
+  regexp_replace(CAST(f AS VARCHAR), '\\.0$', '') AS str_val
+FROM derived
+"""
+
+
+@register("vrl_coercions", _COERCE_ORACLE)
+def vrl_coercions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    s = (
+        F.when(e % 5 == 0, "123").when(e % 5 == 1, " 42 ").when(e % 5 == 2, "1.5")
+        .when(e % 5 == 3, "abc")
+    )
+    b = F.when(e % 4 == 0, "yes").when(e % 4 == 1, "0").when(e % 4 == 2, "banana")
+    from pyspark.sql import types as T
+
+    return ev.select(
+        e.alias("event_id"),
+        coerce.to_int(s, T.StringType()).alias("int_val"),
+        coerce.to_bool(b, T.StringType()).alias("bool_val"),
+        coerce.to_float(F.col("value"), T.DoubleType()).alias("float_val"),
+        coerce.to_string(F.col("value"), T.DoubleType()).alias("str_val"),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_json on events.props
+# ---------------------------------------------------------------------
+
+
+@register(
+    "vrl_parse_json",
+    """SELECT event_id, TRY_CAST(props->>'$.k' AS BIGINT) AS k
+       FROM events""",
+)
+def vrl_parse_json(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        P.parse_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_url on derived urls
+# ---------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT event_id,
+    'https://Host' || (event_id % 7) || '.Example.com' ||
+      CASE WHEN event_id % 3 = 0 THEN ':8443' ELSE '' END ||
+      '/p/' || (event_id % 100) ||
+      CASE WHEN event_id % 2 = 0 THEN '?q=' || event_id ELSE '' END AS url
+  FROM events
+)
+SELECT event_id,
+  'https' AS scheme,
+  lower('host' || (event_id % 7) || '.example.com') AS host,
+  CASE WHEN event_id % 3 = 0 THEN 8443 END AS port,
+  '/p/' || (event_id % 100) AS path,
+  CASE WHEN event_id % 2 = 0 THEN 'q=' || event_id END AS query
+FROM u
+"""
+
+
+@register("vrl_parse_url", _URL_ORACLE)
+def vrl_parse_url(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    url = F.concat(
+        F.lit("https://Host"), (e % 7).cast("string"), F.lit(".Example.com"),
+        F.when(e % 3 == 0, ":8443").otherwise(""),
+        F.lit("/p/"), (e % 100).cast("string"),
+        F.when(e % 2 == 0, F.concat(F.lit("?q="), e.cast("string"))).otherwise(""),
+    )
+    parsed = P.parse_url(url)
+    return ev.select(
+        e.alias("event_id"),
+        parsed.getField("scheme").alias("scheme"),
+        parsed.getField("host").alias("host"),
+        parsed.getField("port").alias("port"),
+        parsed.getField("path").alias("path"),
+        parsed.getField("query").alias("query"),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_key_value + parse_timestamp on the logfmt slice of pages
+# ---------------------------------------------------------------------
+
+from vrl_spark.sources.pages import derive_pages_sql  # noqa: E402
+
+_KV_ORACLE = f"""
+WITH pages AS ({derive_pages_sql()})
+SELECT doc_id,
+  regexp_extract(text, 'level=(\\w+)', 1) AS level,
+  TRY_CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT) AS bytes,
+  regexp_extract(text, 'msg=(\\S+)', 1) AS msg,
+  strptime(regexp_extract(text, 'ts=(\\S+)', 1), '%Y-%m-%dT%H:%M:%SZ') AS parsed_ts
+FROM pages WHERE doc_id % 20 IN (16, 17, 18)
+"""
+
+
+@register("vrl_parse_kv_timestamp", _KV_ORACLE)
+def vrl_parse_kv_timestamp(spark, sf_dir):
+    from vrl_spark.plans.weblog import load_pages
+
+    pages = load_pages(spark, sf_dir).where(F.col("doc_id") % 20 >= 16).where(
+        F.col("doc_id") % 20 <= 18
+    )
+    kv = P.parse_key_value_native(F.col("text"))
+    return pages.select(
+        "doc_id",
+        kv.getItem("level").alias("level"),
+        kv.getItem("bytes").try_cast("long").alias("bytes"),
+        kv.getItem("msg").alias("msg"),
+        P.parse_timestamp(kv.getItem("ts"), "%Y-%m-%dT%H:%M:%SZ").alias("parsed_ts"),
+    )
+
+
+# ---------------------------------------------------------------------
+# string functions over documents
+# ---------------------------------------------------------------------
+
+_STR_ORACLE = """
+SELECT doc_id,
+  length(text) AS strlen,
+  octet_length(CAST(text AS BLOB)) AS byte_len,
+  CASE WHEN length(text) > 30 THEN substr(text, 1, 30) || '...'
+       ELSE text END AS truncated,
+  position('spark' IN text) > 0 AS has_spark,
+  upper(substr(text, 1, 10)) AS upped,
+  substr(text, length(text) - 9, 10) AS tail10,
+  lower(replace(source, 'src', 'source_')) AS renamed_source
+FROM documents
+"""
+
+
+@register("vrl_strings", _STR_ORACLE)
+def vrl_strings(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        strings.strlen(t).alias("strlen"),
+        strings.length_bytes(t).alias("byte_len"),
+        strings.truncate(t, 30, "...").alias("truncated"),
+        strings.contains(t, "spark").alias("has_spark"),
+        strings.upcase(F.substring(t, 1, 10)).alias("upped"),
+        strings.slice_(t, -10).alias("tail10"),
+        strings.downcase(strings.replace(F.col("source"), "src", "source_")).alias(
+            "renamed_source"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# hashes & codecs over documents
+# ---------------------------------------------------------------------
+
+_HASH_ORACLE = """
+SELECT doc_id,
+  md5(text) AS md5_hex,
+  sha256(text) AS sha256_hex,
+  lower(hex(CAST(source AS BLOB))) AS hex_enc,
+  to_base64(CAST(source AS BLOB)) AS b64_enc
+FROM documents
+"""
+
+
+@register("vrl_hashes_codecs", _HASH_ORACLE)
+def vrl_hashes_codecs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        codec.md5(F.col("text")).alias("md5_hex"),
+        codec.sha2(F.col("text"), 256).alias("sha256_hex"),
+        codec.encode_base16(F.col("source")).alias("hex_enc"),
+        codec.encode_base64(F.col("source")).alias("b64_enc"),
+    )
+
+
+# ---------------------------------------------------------------------
+# math + ip functions on derived ips / event values
+# ---------------------------------------------------------------------
+
+_IP_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+    (event_id % 223 + 1) AS o1, (event_id % 191) AS o2,
+    (event_id % 13) AS o3, (event_id % 251) AS o4,
+    value AS v
+  FROM events
+)
+SELECT event_id,
+  o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+  o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_back,
+  (o1 = 10) AS in_ten_slash_eight,
+  abs(v - 50) AS abs_v,
+  CAST(ceil(v) AS DOUBLE) AS ceil_v,
+  CAST(floor(v) AS DOUBLE) AS floor_v,
+  round(v, 1) AS round_v,
+  CASE WHEN event_id % 7 != 0 THEN CAST(event_id AS BIGINT) % (event_id % 7) END AS mod_v
+FROM d
+"""
+
+
+@register("vrl_math_ip", _IP_ORACLE)
+def vrl_math_ip(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    ip = F.concat_ws(
+        ".",
+        (e % 223 + 1).cast("string"), (e % 191).cast("string"),
+        (e % 13).cast("string"), (e % 251).cast("string"),
+    )
+    v = F.col("value")
+    return ev.select(
+        e.alias("event_id"),
+        math_ip.ip_aton(ip).alias("ip_num"),
+        math_ip.ip_ntoa(math_ip.ip_aton(ip)).alias("ip_back"),
+        math_ip.ip_cidr_contains("10.0.0.0/8", ip).alias("in_ten_slash_eight"),
+        math_ip.abs_(v - 50).alias("abs_v"),
+        math_ip.ceil_(v).alias("ceil_v"),
+        math_ip.floor_(v).alias("floor_v"),
+        math_ip.round_(v, 1).alias("round_v"),
+        math_ip.mod_(e, e % 7).alias("mod_v"),
+    )
+
+
+# ---------------------------------------------------------------------
+# syslog lookups (generated from the same python tables as the impl)
+# ---------------------------------------------------------------------
+
+
+def _syslog_oracle() -> str:
+    fac = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(math_ip._FACILITIES)
+    )
+    sev = " ".join(
+        f"WHEN '{n}' THEN {i}" for i, n in enumerate(math_ip._SEVERITIES)
+    )
+    return f"""
+    SELECT event_id,
+      CASE event_id % 24 {fac} END AS facility,
+      CAST(CASE CASE event_id % 4 WHEN 0 THEN 'err' WHEN 1 THEN 'info'
+                WHEN 2 THEN 'debug' ELSE 'warning' END {sev} END AS BIGINT) AS severity
+    FROM events
+    """
+
+
+@register("vrl_syslog", _syslog_oracle())
+def vrl_syslog(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    level = (
+        F.when(e % 4 == 0, "err").when(e % 4 == 1, "info")
+        .when(e % 4 == 2, "debug").otherwise("warning")
+    )
+    return ev.select(
+        e.alias("event_id"),
+        math_ip.to_syslog_facility(e % 24).alias("facility"),
+        math_ip.to_syslog_severity(level).alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------
+# collection functions over tokenized documents
+# ---------------------------------------------------------------------
+
+_COLL_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_unique,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+  len(list_filter(toks, x -> x = 'spark')) AS spark_count,
+  array_to_string(toks[1:5], ' ') AS head5
+FROM t
+"""
+
+
+@register("vrl_collections", _COLL_ORACLE)
+def vrl_collections(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(C.unique(toks)).alias("n_unique"),
+        strings.join(F.slice(F.array_sort(C.unique(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        C.tally_value(toks, "spark").alias("spark_count"),
+        strings.join(F.slice(toks, 1, 5), " ").alias("head5"),
+    )
+
+
+# ---------------------------------------------------------------------
+# windowed aggregate over the events stream table
+# ---------------------------------------------------------------------
+
+_EVENTS_WINDOW_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n,
+  CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_x100,
+  COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY hour, event_type
+"""
+
+
+@register("events_windowed", _EVENTS_WINDOW_ORACLE)
+def events_windowed(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_x100"),
+        F.countDistinct("user_id").alias("users"),
+    )

@@ -1,1 +1,326 @@
-"""Training-data text/embedding operator queries (filled in incrementally)."""
+"""Training-data pipeline operators, oracle-checked.
+
+Dedup queries run on a corpus with PLANTED duplicates (documents
+union deterministic copies/perturbations) so results are non-trivial;
+the identical corpus derivation runs in the oracle.
+
+The minhash-LSH oracle replicates the full banded-LSH algorithm in
+DuckDB SQL — every hash is md5-of-string, so signatures, candidate
+pairs, and verified jaccard agree exactly across engines.
+
+Float-valued outputs are emitted as ROUND(x * 1e6) BIGINT on both
+sides: value-hash comparisons stay exact across engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vrl_spark.operators import dedup, similarity, textstats
+from vrl_spark.registry import register
+
+# ---------------------------------------------------------------------
+# planted-duplicate corpus (shared derivation)
+# ---------------------------------------------------------------------
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents + exact copies (doc_id%5==0, id+1000000) + near-dup
+    perturbations (doc_id%7==0, id+2000000, first word -> 'xdup')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    t = F.col("text")
+    exact = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), t.alias("text")
+    )
+    near = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("xdup"), t.substr(F.instr(t, " "), F.length(t))
+        ).alias("text"),
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         'xdup' || substr(text, position(' ' IN text))
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""WITH {_DUP_CORPUS_SQL}
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM corpus GROUP BY content_hash""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# minhash LSH near-dup (full algorithm replicated in the oracle)
+# ---------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH {_DUP_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN list_distinct(
+           list_transform(generate_series(0, len(w) - 3),
+                          i -> array_to_string(w[i+1:i+3], ' ')))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE [] END AS shingles
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, shingles,
+    list_transform(generate_series(0, 15),
+                   h -> list_min(list_transform(shingles, s -> md5(h || '|' || s)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b*4+1 : b*4+4], '|') AS band_sig
+  FROM sig, generate_series(0, 3) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_x1m
+FROM verified WHERE jaccard >= 0.7
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    pairs = dedup.minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), threshold=0.7,
+        num_hashes=16, bands=4, shingle_n=3,
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
+    )
+
+
+# ---------------------------------------------------------------------
+# blocked exact n-gram jaccard
+# ---------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH {_DUP_CORPUS_SQL},
+blocked AS (
+  SELECT doc_id, doc_id % 100000 AS block, text FROM corpus
+),
+toks AS (
+  SELECT doc_id, block, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM blocked
+),
+sh AS (
+  SELECT doc_id, block,
+    CASE WHEN len(w) >= 3 THEN list_distinct(
+           list_transform(generate_series(0, len(w) - 3),
+                          i -> array_to_string(w[i+1:i+3], ' ')))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE [] END AS shingles
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_x1m
+FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir).withColumn(
+        "block", F.col("doc_id") % 100000
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, block_cols=["block"], shingle_n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
+    )
+
+
+# ---------------------------------------------------------------------
+# simhash near-dup — engine-internal hashes (xxhash64): rows-only check
+# ---------------------------------------------------------------------
+
+
+@register("dedup_simhash")  # no oracle: xxhash64 isn't portable to DuckDB
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), max_distance=3, chunks=4
+    )
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+
+def _lang_id_oracle_expr() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"t -> list_contains({words!r}, t)))".replace('"', "'")
+        )
+        for lang, words in textstats.STOPWORDS.items()
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in textstats.STOPWORDS
+    )
+    return f"""
+    SELECT doc_id, CASE WHEN best <= 0 THEN 'und' {cases} END AS lang_pred
+    FROM (SELECT doc_id, text, {greatest} AS best FROM documents)
+    """
+
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, trim(text) AS tt,
+    string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(tt) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+  len(list_filter(
+    regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+', 0),
+    p -> NOT regexp_matches(p, '^\\s+$'))) AS n_bpe_ish,
+  md5(array_to_string(
+    list_sort(list_distinct(
+      list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                  x -> x != ''))), ' ')) AS fingerprint,
+  CAST(ROUND((
+    0.3 * (CASE WHEN length(tt) >= 100 AND length(tt) <= 20000 THEN 1.0
+                WHEN length(tt) > 0 THEN 0.5 ELSE 0.0 END)
+    + 0.3 * (CASE WHEN length(tt) > 0 THEN
+        CAST(length(regexp_replace(tt, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(tt)
+        ELSE 0.0 END)
+    + 0.2 * (CASE WHEN len(toks) > 0 THEN
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END)
+    + 0.2 * (CASE WHEN len(toks) > 0
+                  AND CAST(length(tt) AS DOUBLE) / len(toks) >= 3
+                  AND CAST(length(tt) AS DOUBLE) / len(toks) <= 12
+             THEN 1.0 ELSE 0.3 END)
+  ) * 1000000) AS BIGINT) AS quality_x1m
+FROM t
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).alias("n_bpe_ish"),
+        textstats.fingerprint(t).alias("fingerprint"),
+        F.round(textstats.quality_score(t) * 1000000).cast("long").alias(
+            "quality_x1m"
+        ),
+    )
+
+
+@register("text_lang_id", _lang_id_oracle_expr())
+def text_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------
+# similarity search: brute-force cosine top-k
+# ---------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CAST(ROUND(
+      list_sum(list_transform(list_zip(q.qvec, c.embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / NULLIF(
+          sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 0)
+      * 1000000) AS BIGINT) AS cos_x1m
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_x1m, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_x1m DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_topk", _TOPK_ORACLE)
+def similarity_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(
+            similarity.cosine(F.col("qvec"), F.col("cvec")) * 1000000
+        ).cast("long").alias("cos_x1m"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x1m").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# LSH-bucketed ANN: approximate by construction; the deterministic
+# hyperplanes make it reproducible, checked rows-only + pytest recall.
+@register("similarity_lsh_ann")
+def similarity_lsh_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
