@@ -1,0 +1,56 @@
+"""Idempotent checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vrl_spark.operators.checkpoint import CheckpointedRun, read_output
+
+
+def make_df(spark):
+    return spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_full_run_then_resume_noop(spark, tmp_path):
+    df = make_df(spark)
+    run = CheckpointedRun(str(tmp_path / "out"))
+    summary = run.run(spark, df, [0, 1, 2, 3])
+    assert summary["partitions_ran"] == 4
+    assert summary["rows_written"] == 100
+    # resume: nothing pending, nothing re-runs
+    summary2 = run.run(spark, df, [0, 1, 2, 3])
+    assert summary2["partitions_ran"] == 0
+    assert summary2["partitions_skipped"] == 4
+    out = read_output(spark, run.out_dir)
+    assert out.count() == 100
+
+
+def test_crash_resume_reprocesses_only_missing(spark, tmp_path):
+    df = make_df(spark)
+    run = CheckpointedRun(str(tmp_path / "out"))
+    # simulate a run that died after 2 partitions
+    run.run_partition(spark, df, 0)
+    run.run_partition(spark, df, 1)
+    # a crashed partition: data written but manifest missing
+    df.where(F.col("part") == 2).write.mode("overwrite").parquet(
+        os.path.join(run.out_dir, "part=2")
+    )
+    summary = run.run(spark, df, [0, 1, 2, 3])
+    assert summary["partitions_ran"] == 2  # 2 (re-done idempotently) and 3
+    out = read_output(spark, run.out_dir)
+    assert out.count() == 100
+    # no duplicated rows from the re-run
+    assert out.select("id").distinct().count() == 100
+
+
+def test_manifest_metrics(spark, tmp_path):
+    df = make_df(spark)
+    run = CheckpointedRun(str(tmp_path / "out"))
+    m = run.run_partition(spark, df, 0)
+    assert m["rows"] == 25
+    committed = run.committed_keys(spark)
+    assert committed == {"0"}

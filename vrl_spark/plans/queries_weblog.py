@@ -32,3 +32,29 @@ def pipeline_route_counts(spark, sf_dir):
     df = weblog.enrich_stage(spark, df)
     df = weblog.route_stage(df)
     return df.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "pipeline_host_rollup_salted",
+    weblog.parsed_cte_sql()
+    + """SELECT url_host AS host, COUNT(*) AS pages,
+         SUM(COALESCE(bytes_int, 0)) AS bytes
+       FROM routed GROUP BY url_host""",
+)
+def pipeline_host_rollup_salted(spark, sf_dir):
+    """Per-host rollup through the SALTED two-phase aggregation —
+    the oracle is a plain GROUP BY, proving salting only reshapes the
+    shuffle, never the result. url_host is the skewed key (40% of
+    rows on host0)."""
+    from vrl_spark.operators.skew import salted_agg
+
+    df = weblog.load_pages(spark, sf_dir)
+    df = weblog.parse_stage(df)
+    df = df.withColumn("bytes_or_0", F.coalesce(F.col("bytes_int"), F.lit(0)))
+    out = salted_agg(
+        df.select(F.col("url_host").alias("host"), "bytes_or_0"),
+        ["host"],
+        {"pages": ("count", "*"), "bytes": ("sum", "bytes_or_0")},
+        buckets=16,
+    )
+    return out
