@@ -1,0 +1,85 @@
+"""Streaming pipeline: same stages over an unbounded source, with
+watermarked windows and exactly-once fan-out, checked against the
+batch result on identical input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrl_spark.streaming import (
+    stream_from_directory,
+    stream_pipeline,
+    windowed_counts,
+    )
+from vrl_spark.streaming.pipeline import write_fanout
+
+
+def _prep_pages(spark, sf_dir, tmp_path) -> str:
+    from vrl_spark.plans.weblog import load_pages
+
+    path = str(tmp_path / "pages_in")
+    load_pages(spark, sf_dir).repartition(8).write.parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    pages_path = _prep_pages(spark, sf_dir, tmp_path)
+
+    # batch reference
+    from vrl_spark.plans import weblog
+
+    batch = weblog.route_stage(
+        weblog.enrich_stage(spark, weblog.parse_stage(spark.read.parquet(pages_path)))
+    )
+    batch_counts = {
+        (r["route"], r["hour"]): (r["page_count"], r["total_bytes"])
+        for r in batch.groupBy(
+            "route", F.date_trunc("hour", "warc_ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("page_count"),
+            F.sum(F.coalesce(F.col("bytes_int"), F.lit(0))).alias("total_bytes"),
+        )
+        .collect()
+    }
+
+    # streaming over the same files, 2 files per micro-batch
+    stream = stream_from_directory(spark, pages_path, max_files_per_trigger=2)
+    routed = stream_pipeline(spark, stream)
+    agg = windowed_counts(routed, window="1 hour", watermark="10 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["route"], r["hour"]): (r["page_count"], r["total_bytes"])
+        for r in spark.sql("select * from stream_agg").collect()
+    }
+    assert got == batch_counts
+
+
+def test_stream_fanout_exactly_once(spark, sf_dir, tmp_path):
+    pages_path = _prep_pages(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = stream_from_directory(spark, pages_path, max_files_per_trigger=3)
+    routed = stream_pipeline(spark, stream).select(
+        "doc_id", "route", "bytes_int", "warc_ts"
+    )
+    q = write_fanout(routed, out, ckpt).start()
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    n_in = spark.read.parquet(pages_path).count()
+    assert written.count() == n_in
+    assert written.select("doc_id").distinct().count() == n_in
+
+    # restart with same checkpoint: availableNow sees nothing new
+    q2 = write_fanout(routed, out, ckpt).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_in

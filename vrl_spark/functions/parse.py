@@ -83,11 +83,50 @@ def parse_regex_vectorized(col: Column, compiled: CompiledGrok) -> Column:
     return F.when(any_hit, out)
 
 
-def parse_grok(col: Column, pattern: str, mode: str = "native") -> Column:
-    """Compile grok -> regex on the driver, lower per ``mode``."""
+_SENTINEL = "\x02"
+_SEP = "\x01"
+
+
+def parse_regex_onepass(col: Column, compiled: CompiledGrok, anchored: bool = True) -> Column:
+    """Struct of string captures with ONE JVM regex pass.
+
+    Lowering trick: ``regexp_replace`` rewrites a matching line to
+    SENTINEL + group1 SEP group2 ... in a single match; non-matching
+    lines pass through unchanged (detected via the sentinel, which is
+    a control byte that never begins a text line). One regex
+    execution per row versus fields+1 for the per-field lowering —
+    the difference is the whole parse-stage bill at 100 TB.
+
+    ``anchored`` wraps the pattern in ^...$ (exact-line formats);
+    pass False for search-anywhere grok semantics (costs prefix/suffix
+    capture groups instead)."""
+    n = len(compiled.fields)
+    repl = _SENTINEL + _SEP.join(f"${i}" for i in range(1, n + 1))
+    if anchored:
+        pat = f"^(?:{compiled.regex})$"
+    else:
+        # capture prefix/suffix so the whole line is consumed by one pass
+        pat = f"^((?s:.*?))(?:{compiled.regex})((?s:.*))$"
+        # groups shift by 1; suffix group at the end
+        repl = _SENTINEL + _SEP.join(f"${i}" for i in range(2, n + 2))
+    marked = F.regexp_replace(col, pat, repl)
+    ok = marked.startswith(_SENTINEL)
+    parts = F.split(F.substr(marked, F.lit(2), F.length(marked)), _SEP, -1)
+    fields = [
+        F.element_at(parts, i + 1).alias(name)
+        for i, name in enumerate(compiled.fields)
+    ]
+    return F.when(ok, F.struct(*fields))
+
+
+def parse_grok(col: Column, pattern: str, mode: str = "onepass") -> Column:
+    """Compile grok -> regex on the driver, lower per ``mode``
+    (onepass | native | vectorized)."""
     compiled = compile_grok(pattern)
     if mode == "native":
         return parse_regex_native(col, compiled)
+    if mode == "onepass":
+        return parse_regex_onepass(col, compiled, anchored=False)
     return parse_regex_vectorized(col, compiled)
 
 

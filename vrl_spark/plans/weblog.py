@@ -51,6 +51,15 @@ LOGFMT_FIELDS = {
     "log_ts": r"(?:^|\s)ts=(\S+)",
 }
 
+# engine-side fast path: the generator's fixed-order logfmt line as a
+# single anchored grok pattern (one regex pass; the oracle keeps the
+# order-independent per-key extraction — same values, independent path)
+LOGFMT_PATTERN = (
+    "ts=%{NOTSPACE:log_ts} level=%{WORD:level} host=%{NOTSPACE:log_host} "
+    "bytes=%{NONNEGINT:log_bytes} msg=%{NOTSPACE:msg}"
+)
+LOGFMT = compile_grok(LOGFMT_PATTERN)
+
 # Enrichment dim — single source of truth for Spark AND the oracle.
 LANG_ROWS = [
     ("en", "English", "germanic"), ("de", "German", "germanic"),
@@ -74,25 +83,28 @@ def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 def parse_stage(pages: DataFrame) -> DataFrame:
-    """Grok-parse ``text`` with logfmt fallback; errors become data."""
+    """Grok-parse ``text`` with logfmt fallback; errors become data.
+
+    One-pass lowering: ONE anchored regex execution per row for the
+    primary pattern; only rows it rejects pay a second pass for the
+    fallback (regex work per row is 1 + miss_rate instead of
+    fields + 2 — the parse stage is the pipeline's hot loop)."""
+    from vrl_spark.functions.parse import parse_regex_onepass
+
     txt = F.col("text")
-    matched = txt.rlike(ACCESS.regex)
-
-    parsed_cols = {
-        name: F.regexp_extract(txt, ACCESS.regex, ACCESS.group_index(name))
-        for name in ACCESS.fields
-    }
-    logfmt_hit = txt.rlike(LOGFMT_FIELDS["level"])
-    logfmt_cols = {
-        name: F.regexp_extract(txt, pat, 1) for name, pat in LOGFMT_FIELDS.items()
-    }
-
-    df = pages.select(
+    step1 = pages.withColumn("_ap", parse_regex_onepass(txt, ACCESS, anchored=True))
+    step2 = step1.withColumn(
+        "_lf",
+        F.when(F.col("_ap").isNull(), parse_regex_onepass(txt, LOGFMT, anchored=True)),
+    )
+    ap, lf = F.col("_ap"), F.col("_lf")
+    matched, logfmt_hit = ap.isNotNull(), lf.isNotNull()
+    df = step2.select(
         "*",
         matched.alias("_grok_ok"),
-        (~matched & logfmt_hit).alias("_logfmt_ok"),
-        *[F.when(matched, c).alias(n) for n, c in parsed_cols.items()],
-        *[F.when(~matched & logfmt_hit, c).alias(n) for n, c in logfmt_cols.items()],
+        logfmt_hit.alias("_logfmt_ok"),
+        *[ap.getField(n).alias(n) for n in ACCESS.fields],
+        *[lf.getField(n).alias(n) for n in ("level", "log_bytes", "log_ts")],
     )
     # coercions with VRL semantics: status/bytes strings -> long.
     # (captures are all strings pre-coercion, parse_regex.rs:83-86)
@@ -104,8 +116,10 @@ def parse_stage(pages: DataFrame) -> DataFrame:
         ).alias("bytes_int"),
         F.when(~matched & ~logfmt_hit, F.lit("unable to parse input with grok pattern"))
         .alias("error"),
-        F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1).alias("url_host"),
-    )
+        F.substring_index(F.substring_index(F.col("url"), "/", 3), "/", -1).alias(
+            "url_host"
+        ),
+    ).drop("_ap", "_lf")
 
 
 def enrich_stage(spark: SparkSession, df: DataFrame) -> DataFrame:

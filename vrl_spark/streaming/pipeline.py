@@ -1,0 +1,82 @@
+"""Streaming parse->enrich->route->aggregate.
+
+Identical stage functions as the batch plan (vrl_spark.plans.weblog):
+Spark's unified API means the SAME ``parse_stage``/``enrich_stage``/
+``route_stage`` Column logic runs over an unbounded source. The
+aggregate differs only by watermark + window.
+
+Sinks: ``foreachBatch`` fan-out keeps the single-pass multi-sink
+property (one write job per micro-batch, partitioned by route)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-source stream of pages parquet (the sandbox stand-in for a
+    Kafka/Iceberg CDC source)."""
+    reader = (
+        spark.readStream.format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(path).schema)
+    return reader.load(path)
+
+
+def stream_pipeline(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
+    """parse -> enrich -> route on an unbounded pages stream."""
+    from vrl_spark.plans import weblog
+
+    df = weblog.parse_stage(pages_stream)
+    df = weblog.enrich_stage(spark, df)
+    return weblog.route_stage(df)
+
+
+def windowed_counts(
+    routed: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window per-route aggregate. Late rows
+    beyond the watermark are dropped deterministically — state stays
+    bounded no matter how long the stream runs."""
+    return (
+        routed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("route"))
+        .agg(
+            F.count(F.lit(1)).alias("page_count"),
+            F.sum(F.coalesce(F.col("bytes_int"), F.lit(0))).alias("total_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "route", "page_count", "total_bytes"
+        )
+    )
+
+
+def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Multi-sink fan-out with exactly-once file sink semantics:
+    foreachBatch writes each micro-batch partitioned by route in one
+    job (same single-pass property as the batch sink)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("route")
+            .parquet(out_dir)
+        )
+
+    return (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
