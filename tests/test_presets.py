@@ -1,0 +1,106 @@
+"""Preset-format parser vectors (apache/nginx/syslog/glog/UA/etld)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrl_spark.functions import presets as P
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_parse_common_log(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    d = one(spark, P.parse_common_log(F.lit(line))).asDict()
+    assert d["client_ip"] == "127.0.0.1"
+    assert d["user"] == "frank"
+    assert d["method"] == "GET"
+    assert d["status"] == "200"
+    assert d["bytes"] == "2326"
+
+
+def test_parse_apache_combined(spark):
+    line = (
+        '1.2.3.4 - - [10/Oct/2000:13:55:36 +0000] "POST /x HTTP/1.1" 404 12 '
+        '"http://ref.example" "UA/1.0"'
+    )
+    d = one(spark, P.parse_apache_log(F.lit(line), "combined")).asDict()
+    assert d["referrer"] == "http://ref.example"
+    assert d["agent"] == "UA/1.0"
+    assert d["ident"] == "-" and d["user"] == "-"
+
+
+def test_parse_nginx_error(spark):
+    line = (
+        "2021/06/03 09:30:17 [error] 32700#32700: *6 open() failed (2: No such file)"
+    )
+    d = one(spark, P.parse_nginx_log(F.lit(line), "error")).asDict()
+    assert d["severity"] == "error"
+    assert d["pid"] == "32700"
+    assert d["cid"] == "6"
+    assert d["message"].startswith("open() failed")
+
+
+def test_parse_syslog_5424(spark):
+    line = (
+        "<13>1 2020-03-13T20:45:38.119Z dynamicwireless.name non 2426 ID931 "
+        "- Try to override the THX port!"
+    )
+    d = one(spark, P.parse_syslog(F.lit(line))).asDict()
+    assert d["hostname"] == "dynamicwireless.name"
+    assert d["appname"] == "non"
+    assert d["procid"] == "2426"
+    assert d["facility_code"] == 1 and d["severity_code"] == 5
+    assert d["message"] == "Try to override the THX port!"
+
+
+def test_parse_syslog_3164_fallback(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed on /dev/pts/8"
+    d = one(spark, P.parse_syslog(F.lit(line))).asDict()
+    assert d["hostname"] == "mymachine"
+    assert d["appname"] == "su"
+    assert d["procid"] == "230"
+    assert d["facility_code"] == 4 and d["severity_code"] == 2
+    assert one(spark, P.parse_syslog(F.lit("garbage"))) is None
+
+
+def test_parse_glog(spark):
+    line = "E0102 15:04:05.067890 1234 main.go:42] some error happened"
+    d = one(spark, P.parse_glog(F.lit(line))).asDict()
+    assert d["level"] == "E"
+    assert d["month"] == "01" and d["day"] == "02"
+    assert d["file"] == "main.go" and d["line"] == "42"
+    assert d["message"] == "some error happened"
+
+
+def test_parse_user_agent(spark):
+    ua = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36"
+    )
+    d = one(spark, P.parse_user_agent(F.lit(ua))).asDict()
+    assert d["browser_family"] == "Chrome"
+    assert d["browser_version"].startswith("91.0")
+    assert d["os_family"] == "Windows"
+    assert d["os_version"] == "10.0"
+    assert d["device_family"] == "PC"
+    bot = one(spark, P.parse_user_agent(F.lit("Googlebot/2.1"))).asDict()
+    assert bot["device_family"] == "Bot"
+
+
+def test_parse_etld(spark):
+    assert one(spark, P.parse_etld(F.lit("sub.example.co.uk"))) == "co.uk"
+    assert one(spark, P.parse_etld(F.lit("example.com"))) == "com"
+    assert one(spark, P.parse_etld(F.lit("sub.example.co.uk"), plus_parts=1)) == "example.co.uk"
+    assert one(spark, P.parse_etld(F.lit("a.b.example.com"), plus_parts=1)) == "example.com"
+    assert one(spark, P.parse_etld(F.lit("localhost"))) is None
+
+
+def test_parse_tokens(spark):
+    line = '127.0.0.1 - [10/Oct/2000:13:55:36] "GET /path HTTP/1.1" 200'
+    got = one(spark, P.parse_tokens(F.lit(line)))
+    assert got == [
+        "127.0.0.1", "-", "10/Oct/2000:13:55:36", "GET /path HTTP/1.1", "200",
+    ]

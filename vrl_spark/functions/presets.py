@@ -1,0 +1,206 @@
+"""Preset-format parsers (reference src/stdlib/parse_{apache,nginx,
+syslog,glog,klog,linux_authorization}*.rs) — each is a grok/regex
+preset over the same one-pass extraction lowering, plus lightweight
+user-agent / etld / tokens parsers.
+
+All presets return a struct column of string captures (coercion is a
+separate stage, like the reference where captures are strings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vrl_spark.grok import compile_grok
+from vrl_spark.functions.parse import parse_regex_onepass
+
+# --- web server logs -------------------------------------------------
+
+COMMON_LOG = compile_grok("%{COMMONAPACHELOG}")
+COMBINED_LOG = compile_grok("%{COMBINEDAPACHELOG}")
+
+# nginx error-log preset (parse_nginx_log.rs, format 'error')
+NGINX_ERROR = compile_grok(
+    r"%{YEAR:year}/%{MONTHNUM:month}/%{MONTHDAY:day} "
+    r"%{TIME:time} \[%{LOGLEVEL:severity}\] %{POSINT:pid}#%{NONNEGINT:tid}: "
+    r"(?:\*%{NONNEGINT:cid} )?%{GREEDYDATA:message}"
+)
+
+
+def parse_common_log(col: Column) -> Column:
+    """src/stdlib/parse_common_log.rs"""
+    return parse_regex_onepass(col, COMMON_LOG, anchored=True)
+
+
+def parse_apache_log(col: Column, format: str = "combined") -> Column:
+    """src/stdlib/parse_apache_log.rs — common/combined formats."""
+    compiled = {"common": COMMON_LOG, "combined": COMBINED_LOG}[format]
+    return parse_regex_onepass(col, compiled, anchored=True)
+
+
+def parse_nginx_log(col: Column, format: str = "error") -> Column:
+    """src/stdlib/parse_nginx_log.rs — combined/error formats."""
+    compiled = {"combined": COMBINED_LOG, "error": NGINX_ERROR}[format]
+    return parse_regex_onepass(col, compiled, anchored=True)
+
+
+# --- syslog ----------------------------------------------------------
+
+# RFC 3164: "<PRI>MMM dd HH:MM:SS host tag[pid]: message"
+SYSLOG_3164 = compile_grok(
+    r"(?:<%{NONNEGINT:pri}>)?%{SYSLOGTIMESTAMP:timestamp} %{NOTSPACE:hostname} "
+    r"%{WORD:appname}(?:\[%{POSINT:procid}\])?: %{GREEDYDATA:message}"
+)
+# RFC 5424: "<PRI>VER TIMESTAMP HOST APP PROCID MSGID SD MSG"
+SYSLOG_5424 = compile_grok(
+    r"<%{NONNEGINT:pri}>%{POSINT:version} %{TIMESTAMP_ISO8601:timestamp} "
+    r"%{NOTSPACE:hostname} %{NOTSPACE:appname} %{NOTSPACE:procid} "
+    r"%{NOTSPACE:msgid} (?:-|\[[^\]]*\]) ?%{GREEDYDATA:message}"
+)
+
+
+def parse_syslog(col: Column) -> Column:
+    """src/stdlib/parse_syslog.rs — 5424 first, 3164 fallback (the
+    reference's syslog_loose behavior). Adds derived facility/severity
+    from PRI (pri = facility*8 + severity)."""
+    s5 = parse_regex_onepass(col, SYSLOG_5424, anchored=True)
+    s3 = parse_regex_onepass(col, SYSLOG_3164, anchored=True)
+    base = F.when(s5.isNotNull(), s5)
+    pri5 = s5.getField("pri").try_cast("long")
+    pri3 = s3.getField("pri").try_cast("long")
+    pri = F.when(s5.isNotNull(), pri5).otherwise(pri3)
+    return F.when(
+        s5.isNotNull() | s3.isNotNull(),
+        F.struct(
+            F.coalesce(s5.getField("timestamp"), s3.getField("timestamp")).alias("timestamp"),
+            F.coalesce(s5.getField("hostname"), s3.getField("hostname")).alias("hostname"),
+            F.coalesce(s5.getField("appname"), s3.getField("appname")).alias("appname"),
+            F.coalesce(s5.getField("procid"), s3.getField("procid")).alias("procid"),
+            F.coalesce(s5.getField("message"), s3.getField("message")).alias("message"),
+            (pri / 8).cast("long").alias("facility_code"),
+            (pri % 8).alias("severity_code"),
+        ),
+    )
+
+
+def parse_linux_authorization(col: Column) -> Column:
+    """src/stdlib/parse_linux_authorization.rs — auth.log lines are
+    3164 without PRI."""
+    return parse_regex_onepass(col, SYSLOG_3164, anchored=True)
+
+
+# --- google/kubernetes logs ------------------------------------------
+
+# glog: "E0102 15:04:05.067890 123 file.go:42] message"
+GLOG = compile_grok(
+    r"%{GLOG_LEVEL:level}%{MONTHNUM2:month}%{MONTHDAY2:day} "
+    r"%{TIME:time} +%{POSINT:thread_id} %{NOTSPACE:file}:%{POSINT:line}\] "
+    r"%{GREEDYDATA:message}"
+)
+
+
+def parse_glog(col: Column) -> Column:
+    """src/stdlib/parse_glog.rs"""
+    return parse_regex_onepass(col, GLOG, anchored=True)
+
+
+def parse_klog(col: Column) -> Column:
+    """src/stdlib/parse_klog.rs — kubernetes klog == glog format."""
+    return parse_regex_onepass(col, GLOG, anchored=True)
+
+
+# --- user agent (regex-table 'fast' mode) ----------------------------
+
+_UA_BROWSERS = [  # (family, regex with version group)
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+[\d.]*)"),
+    ("Opera", r"OPR/(\d+[\d.]*)"),
+    ("Chrome", r"Chrome/(\d+[\d.]*)"),
+    ("Firefox", r"Firefox/(\d+[\d.]*)"),
+    ("Safari", r"Version/(\d+[\d.]*)(?=.*Safari)"),
+    ("MSIE", r"MSIE (\d+[\d.]*)"),
+    ("curl", r"curl/(\d+[\d.]*)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT (\d+[\d.]*)"),
+    ("Android", r"Android (\d+[\d.]*)"),
+    ("iOS", r"(?:iPhone|iPad).*OS (\d+[_\d]*)"),
+    ("macOS", r"Mac OS X (\d+[_\d.]*)"),
+    ("Linux", r"(Linux)"),
+]
+_UA_DEVICES = [
+    ("iPhone", r"(iPhone)"), ("iPad", r"(iPad)"),
+    ("Android", r"(Android)"), ("Mac", r"(Macintosh)"),
+    ("PC", r"(Windows)"), ("Bot", r"([Bb]ot|[Ss]pider|[Cc]rawler)"),
+]
+
+
+def parse_user_agent(col: Column) -> Column:
+    """src/stdlib/parse_user_agent.rs 'fast' mode: first-match regex
+    tables -> struct{browser_family, browser_version, os_family,
+    os_version, device_family}. when-cascades: pure JVM."""
+
+    def cascade(table, version: bool):
+        fam, ver = None, None
+        for family, pat in table:
+            hit = col.rlike(pat)
+            fam = (F.when(hit, family) if fam is None else fam.when(hit, family))
+            if version:
+                v = F.regexp_extract(col, pat, 1)
+                ver = (F.when(hit, v) if ver is None else ver.when(hit, v))
+        return fam, ver
+
+    bf, bv = cascade(_UA_BROWSERS, True)
+    of, ov = cascade(_UA_OS, True)
+    df_, _ = cascade(_UA_DEVICES, False)
+    return F.struct(
+        bf.alias("browser_family"),
+        bv.alias("browser_version"),
+        of.alias("os_family"),
+        F.translate(ov, "_", ".").alias("os_version"),
+        df_.alias("device_family"),
+    )
+
+
+# --- etld / tokens ----------------------------------------------------
+
+# compact public-suffix sample: enough for web pipelines' common TLDs;
+# real deployments broadcast the full PSL file as a lookup table.
+_MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "co.za", "com.sg", "com.tr",
+]
+
+
+def parse_etld(col: Column, plus_parts: int = 0) -> Column:
+    """src/stdlib/parse_etld.rs — effective TLD (+N labels) of a
+    hostname, using a broadcastable suffix table."""
+    multi = None
+    for s in _MULTI_SUFFIXES:
+        hit = col.endswith("." + s) | (col == s)
+        multi = F.when(hit, s) if multi is None else multi.when(hit, s)
+    single = F.regexp_extract(col, r"\.([^.]+)$", 1)
+    etld = multi.otherwise(F.when(single != "", single))
+    if plus_parts > 0:
+        # take etld + N preceding labels from the hostname
+        n_et = F.size(F.split(etld, r"\."))
+        parts = F.split(col, r"\.")
+        total = F.size(parts)
+        take = F.least(n_et + plus_parts, total)
+        etld = F.array_join(
+            F.slice(parts, total - take + 1, take), "."
+        )
+    return etld
+
+
+def parse_tokens(col: Column) -> Column:
+    """src/stdlib/parse_tokens.rs — split a log line into tokens:
+    quoted strings and [bracketed] groups stay single tokens."""
+    toks = F.regexp_extract_all(
+        col, F.lit(r'"[^"]*"|\[[^\]]*\]|\S+'), 0
+    )
+    return F.transform(
+        toks,
+        lambda t: F.when(t.rlike(r'^".*"$|^\[.*\]$'),
+                         F.substring(t, 2, F.length(t) - 2)).otherwise(t),
+    )

@@ -70,6 +70,9 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGTIMESTAMP": r"(?:%{MONTH}) +(?:%{MONTHDAY}) (?:%{TIME})",
     # logging
     "LOGLEVEL": r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?",
+    "GLOG_LEVEL": r"[IWEF]",
+    "MONTHNUM2": r"0[1-9]|1[0-2]",
+    "MONTHDAY2": r"[0-3]\d",
     "SYSLOGPROG": r"%{WORD}(?:\[%{POSINT}\])?",
     # composite web-log patterns
     "COMMONAPACHELOG": (
