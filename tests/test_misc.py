@@ -1,0 +1,95 @@
+"""Misc stdlib: ids, env, encode_csv, punycode, community_id,
+unflatten, type predicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrl_spark.functions import misc as M
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_deterministic_id_stable(spark):
+    a = one(spark, M.deterministic_id(F.lit("x"), F.lit("y")))
+    b = one(spark, M.deterministic_id(F.lit("x"), F.lit("y")))
+    c = one(spark, M.deterministic_id(F.lit("x"), F.lit("z")))
+    assert a == b != c
+    import re
+
+    assert re.match(r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$", a)
+
+
+def test_uuid_v4_shape(spark):
+    import re
+
+    v = one(spark, M.uuid_v4())
+    assert re.match(r"^[0-9a-f-]{36}$", v)
+
+
+def test_encode_csv(spark):
+    got = one(spark, M.encode_csv(F.array(
+        F.lit("plain"), F.lit("with,comma"), F.lit('say "hi"'), F.lit("x")
+    )))
+    assert got == 'plain,"with,comma","say ""hi""",x'
+
+
+def test_punycode_roundtrip(spark):
+    enc = one(spark, M.encode_punycode(F.lit("bücher.example")))
+    assert enc == "xn--bcher-kva.example"
+    dec = one(spark, M.decode_punycode(F.lit("xn--bcher-kva.example")))
+    assert dec == "bücher.example"
+    assert one(spark, M.encode_punycode(F.lit(None).cast("string"))) is None
+
+
+def test_community_id_known_vector(spark):
+    # Community ID spec reference vector (v1, seed 0, tcp):
+    # 128.232.110.120:34855 -> 66.35.250.204:80 == 1:LQU9qZlK+B5F3KDmev6m5PMibrg=
+    got = one(spark, M.community_id(
+        F.lit("128.232.110.120"), F.lit("66.35.250.204"),
+        F.lit(34855), F.lit(80), F.lit(6),
+    ))
+    assert got == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # direction-invariant
+    rev = one(spark, M.community_id(
+        F.lit("66.35.250.204"), F.lit("128.232.110.120"),
+        F.lit(80), F.lit(34855), F.lit(6),
+    ))
+    assert rev == got
+
+
+def test_unflatten(spark):
+    df = spark.range(1).select(
+        F.create_map(
+            F.lit("a.x"), F.lit("1"), F.lit("a.y"), F.lit("2"),
+            F.lit("b"), F.lit("3"),
+        ).alias("m")
+    )
+    got = df.select(M.unflatten_map(F.col("m")).alias("u")).collect()[0]["u"]
+    assert got == {"a": {"x": "1", "y": "2"}, "b": {"": "3"}}
+
+
+def test_env_and_predicates(spark):
+    import os
+
+    os.environ["VRL_SPARK_TEST_VAR"] = "hello"
+    assert one(spark, M.get_env_var("VRL_SPARK_TEST_VAR")) == "hello"
+    assert one(spark, M.get_env_var("NOPE_MISSING", "dflt")) == "dflt"
+    assert one(spark, M.is_ipv6(F.lit("2001:db8::1"))) is True
+    assert one(spark, M.is_ipv6(F.lit("1.2.3.4"))) is False
+    from pyspark.sql import types as T
+
+    assert M.type_def(T.StringType()) == "string"
+    assert M.type_def(T.MapType(T.StringType(), T.StringType())) == "object"
+    assert one(spark, M.is_integer(F.lit(5), T.LongType())) is True
+    assert one(spark, M.is_integer(F.lit("5"), T.StringType())) is False
+
+
+def test_seeded_randoms_deterministic(spark):
+    df = spark.range(5)
+    a = [r["r"] for r in df.select(M.random_int_seeded(0, 100).alias("r")).collect()]
+    b = [r["r"] for r in df.select(M.random_int_seeded(0, 100).alias("r")).collect()]
+    assert a == b
+    assert all(0 <= v < 100 for v in a)

@@ -1,0 +1,260 @@
+"""Remaining stdlib surface: type predicates, ids, env, encode_csv,
+punycode, community_id, unflatten.
+
+Nondeterminism policy: VRL's uuid_v4/random_* are nondeterministic by
+nature; a distributed pipeline that must satisfy routed-row EQUALITY
+re-runs (north rule) cannot use them for identity. We therefore also
+provide ``deterministic_id`` (content-derived UUIDv5-style) and seeded
+``random_*`` variants, and document the trade."""
+
+from __future__ import annotations
+
+import os
+import socket
+import time
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- type predicates (src/stdlib/is_*.rs) — static-schema versions ---
+
+_KIND_OF = {
+    T.StringType: "string", T.LongType: "integer", T.IntegerType: "integer",
+    T.DoubleType: "float", T.FloatType: "float", T.BooleanType: "boolean",
+    T.TimestampType: "timestamp", T.NullType: "null",
+}
+
+
+def type_def(dtype: T.DataType) -> str:
+    """Static kind name (VRL type_def/tag_types_externally analogue);
+    Catalyst's schema IS the Kind lattice collapsed to a point."""
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, (T.MapType, T.StructType)):
+        return "object"
+    return _KIND_OF.get(type(dtype), str(dtype))
+
+
+def is_string(col: Column, dtype: T.DataType) -> Column:
+    return F.lit(isinstance(dtype, T.StringType)) & col.isNotNull()
+
+
+def is_integer(col: Column, dtype: T.DataType) -> Column:
+    return F.lit(isinstance(dtype, (T.LongType, T.IntegerType))) & col.isNotNull()
+
+
+def is_float(col: Column, dtype: T.DataType) -> Column:
+    return F.lit(isinstance(dtype, (T.DoubleType, T.FloatType))) & col.isNotNull()
+
+
+def is_boolean(col: Column, dtype: T.DataType) -> Column:
+    return F.lit(isinstance(dtype, T.BooleanType)) & col.isNotNull()
+
+
+def is_timestamp(col: Column, dtype: T.DataType) -> Column:
+    return F.lit(isinstance(dtype, T.TimestampType)) & col.isNotNull()
+
+
+def is_null(col: Column) -> Column:
+    return col.isNull()
+
+
+def is_ipv6(col: Column) -> Column:
+    return col.rlike(r"^(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$")
+
+
+# --- ids ---------------------------------------------------------------
+
+
+def uuid_v4() -> Column:
+    """src/stdlib/uuid_v4.rs — NONDETERMINISTIC (see module note)."""
+    return F.uuid()
+
+
+def deterministic_id(*cols: Column) -> Column:
+    """Content-derived UUID (v5-ish shape): identical rows get
+    identical ids across runs/retries — the id to use wherever the
+    north rule's routed-row equality applies."""
+    h = F.md5(F.concat_ws("\x1f", *cols))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+
+
+def random_int_seeded(lo: int, hi: int, seed: int = 42) -> Column:
+    """src/stdlib/random_int.rs with pinned seed (deterministic)."""
+    return (F.rand(seed) * (hi - lo)).cast("long") + lo
+
+
+def random_float_seeded(seed: int = 42) -> Column:
+    return F.rand(seed)
+
+
+def random_bool_seeded(seed: int = 42) -> Column:
+    return F.rand(seed) >= 0.5
+
+
+# --- environment (driver-side constants, src/stdlib/get_*.rs) --------
+
+
+def get_env_var(name: str, default: str | None = None) -> Column:
+    return F.lit(os.environ.get(name, default))
+
+
+def get_hostname() -> Column:
+    return F.lit(socket.gethostname())
+
+
+def get_timezone_name() -> Column:
+    return F.lit(time.tzname[0] or "UTC")
+
+
+def now() -> Column:
+    """src/stdlib/now.rs — pinned per-query by Spark (current_timestamp
+    is constant within a query: good for lineage stamps)."""
+    return F.current_timestamp()
+
+
+# --- encode_csv / punycode / community_id ------------------------------
+
+
+def encode_csv(col: Column) -> Column:
+    """array<string> -> one CSV row (src/stdlib/encode_csv.rs):
+    quote fields containing delimiter/quote/newline, double quotes."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda s: F.when(
+                s.rlike('[",\n\r]'),
+                F.concat(F.lit('"'), F.regexp_replace(s, '"', '""'), F.lit('"')),
+            ).otherwise(s),
+        ),
+        ",",
+    )
+
+
+def encode_punycode(col: Column) -> Column:
+    """src/stdlib/encode_punycode.rs — IDNA encode via Python stdlib
+    (Arrow-batched; no JVM equivalent)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _enc(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None  # error branch
+
+        return s.map(one)
+
+    return _enc(col)
+
+
+def decode_punycode(col: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("ascii").decode("idna")
+            except (UnicodeError, UnicodeDecodeError):
+                return None
+
+        return s.map(one)
+
+    return _dec(col)
+
+
+def community_id(
+    src_ip: Column, dst_ip: Column, src_port: Column, dst_port: Column,
+    protocol: Column, seed: int = 0,
+) -> Column:
+    """src/stdlib/community_id.rs — Community ID v1 flow hash
+    (sha1-based, ordered endpoints). Arrow-batched: needs binary
+    packing no JVM builtin provides."""
+    import hashlib
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _cid(si: pd.Series, di: pd.Series, sp: pd.Series, dp: pd.Series,
+             pr: pd.Series) -> pd.Series:
+        import base64
+        import socket as _s
+
+        def one(s_ip, d_ip, s_p, d_p, proto):
+            if s_ip is None or d_ip is None:
+                return None
+            try:
+                sb, db = _s.inet_aton(s_ip), _s.inet_aton(d_ip)
+            except OSError:
+                return None
+            s_p, d_p, proto = int(s_p or 0), int(d_p or 0), int(proto or 6)
+            if (sb, s_p) > (db, d_p):  # canonical endpoint order
+                sb, db, s_p, d_p = db, sb, d_p, s_p
+            msg = struct.pack("!H", seed) + sb + db + struct.pack(
+                "!BBHH", proto, 0, s_p, d_p
+            )
+            return "1:" + base64.b64encode(hashlib.sha1(msg).digest()).decode()
+
+        return pd.Series([one(*args) for args in zip(si, di, sp, dp, pr)])
+
+    return _cid(src_ip, dst_ip, src_port, dst_port, protocol)
+
+
+# --- unflatten ----------------------------------------------------------
+
+
+def unflatten_map(col: Column, separator: str = ".") -> Column:
+    """Dotted keys -> one-level nested map<string, map<string,string>>
+    (src/stdlib/unflatten.rs; static schemas make deep nesting a
+    schema-time transform, SURVEY §1.5)."""
+    entries = F.map_entries(col)
+    outer_keys = F.array_distinct(
+        F.transform(
+            entries,
+            lambda e: F.when(
+                e.getField("key").contains(separator),
+                F.substring_index(e.getField("key"), separator, 1),
+            ).otherwise(e.getField("key")),
+        )
+    )
+    import re as _re
+
+    sep = _re.escape(separator)
+
+    def inner_for(k: Column) -> Column:
+        matching = F.filter(
+            entries,
+            lambda e: (e.getField("key") == k)
+            | e.getField("key").startswith(F.concat(k, F.lit(separator))),
+        )
+        return F.map_from_entries(
+            F.transform(
+                matching,
+                lambda e: F.struct(
+                    F.when(
+                        e.getField("key") == k, F.lit("")
+                    ).otherwise(
+                        F.regexp_replace(e.getField("key"), f"^.*?{sep}", "")
+                    ).alias("key"),
+                    e.getField("value").alias("value"),
+                ),
+            )
+        )
+
+    return F.map_from_entries(
+        F.transform(outer_keys, lambda k: F.struct(k.alias("key"), inner_for(k).alias("value")))
+    )
