@@ -1,0 +1,97 @@
+"""Property-based tests (SURVEY §5 level 3 — the reference quickchecks
+path insert/get/remove roundtrips, src/value/value.rs:280-306).
+
+Each hypothesis example packs a BATCH of values into one DataFrame
+pass to keep Spark-job count low."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vrl_spark.functions import codec, collections as C, misc, strings
+from vrl_spark.functions import parse as P
+
+SETTINGS = dict(max_examples=15, deadline=None)
+
+safe_key = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+)
+safe_val = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .:/-", min_size=0, max_size=20
+)
+any_text = st.text(min_size=0, max_size=50)
+
+
+@settings(**SETTINGS)
+@given(st.dictionaries(safe_key, safe_val, min_size=1, max_size=6))
+def test_logfmt_encode_parse_roundtrip(spark, d):
+    df = spark.createDataFrame([(d,)], "m map<string,string>")
+    out = df.select(
+        P.parse_key_value_vectorized(codec.encode_logfmt(F.col("m"))).alias("r")
+    ).collect()[0]["r"]
+    # logfmt encodes empty values as bare `k=` which parses back as ""
+    assert out == {k: v for k, v in d.items()}
+
+
+@settings(**SETTINGS)
+@given(st.lists(safe_val | st.text(alphabet='abc,"x', max_size=10), min_size=1, max_size=6))
+def test_csv_encode_parse_roundtrip(spark, vals):
+    df = spark.createDataFrame([(vals,)], "a array<string>")
+    out = df.select(
+        P.parse_csv(misc.encode_csv(F.col("a"))).alias("r")
+    ).collect()[0]["r"]
+    assert out == vals
+
+
+@settings(**SETTINGS)
+@given(st.lists(any_text, min_size=1, max_size=8))
+def test_base64_roundtrip(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = df.select(
+        codec.decode_base64(codec.encode_base64(F.col("s"))).alias("r")
+    ).collect()
+    assert [r["r"] for r in out] == vals
+
+
+@settings(**SETTINGS)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+    st.integers(-25, 25),
+    st.integers(-25, 25) | st.none(),
+)
+def test_slice_matches_python(spark, s, start, end):
+    got = spark.range(1).select(
+        strings.slice_(F.lit(s), start, end).alias("v")
+    ).collect()[0]["v"]
+    want = s[start:end] if end is not None else s[start:]
+    # python clamps; slice_ clamps the start only to >=0 like VRL
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.dictionaries(safe_key, safe_val, min_size=1, max_size=5), safe_key, safe_val)
+def test_map_set_get_remove_roundtrip(spark, d, k, v):
+    df = spark.createDataFrame([(d,)], "m map<string,string>")
+    row = df.select(
+        C.get(C.set_(F.col("m"), k, F.lit(v)), k).alias("got"),
+        C.exists(C.remove(C.set_(F.col("m"), k, F.lit(v)), k), k).alias("still"),
+        F.size(C.remove(F.col("m"), k)).alias("size_after_rm"),
+    ).collect()[0]
+    assert row["got"] == v                 # set then get returns the value
+    assert row["still"] is False           # set then remove: gone
+    assert row["size_after_rm"] == len(d) - (1 if k in d else 0)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=0, max_size=10))
+def test_unique_preserves_first_occurrence(spark, vals):
+    df = spark.createDataFrame([(vals,)], "a array<string>")
+    got = df.select(C.unique(F.col("a")).alias("u")).collect()[0]["u"]
+    seen, want = set(), []
+    for v in vals:
+        if v not in seen:
+            seen.add(v)
+            want.append(v)
+    assert got == want

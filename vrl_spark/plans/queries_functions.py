@@ -368,3 +368,161 @@ def events_windowed(spark, sf_dir):
         F.round(F.sum("value") * 100).cast("long").alias("value_x100"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+# ---------------------------------------------------------------------
+# parse_syslog on derived RFC5424 lines
+# ---------------------------------------------------------------------
+
+_SYSLOG_ORACLE = """
+WITH lines AS (
+  SELECT event_id,
+    '<' || (event_id % 192) || '>1 ' ||
+    strftime(ts, '%Y-%m-%dT%H:%M:%SZ') ||
+    ' host' || (event_id % 50) || '.example.com app' || (event_id % 9) ||
+    ' ' || (1000 + event_id % 9000) || ' ID' || (event_id % 100) ||
+    ' - event ' || event_type || ' fired' AS line
+  FROM events
+)
+SELECT event_id,
+  regexp_extract(line, '^<(\\d+)>', 1) AS pri,
+  regexp_extract(line, '^<\\d+>1 (\\S+) ', 1) AS timestamp,
+  regexp_extract(line, '^<\\d+>1 \\S+ (\\S+) ', 1) AS hostname,
+  regexp_extract(line, '^<\\d+>1 \\S+ \\S+ (\\S+) ', 1) AS appname,
+  CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) // 8 AS facility_code,
+  CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) % 8 AS severity_code,
+  regexp_extract(line, ' - (.*)$', 1) AS message
+FROM lines
+"""
+
+
+@register("vrl_parse_syslog", _SYSLOG_ORACLE)
+def vrl_parse_syslog(spark, sf_dir):
+    from vrl_spark.functions import presets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    line = F.concat(
+        F.lit("<"), (e % 192).cast("string"), F.lit(">1 "),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(" host"), (e % 50).cast("string"), F.lit(".example.com app"),
+        (e % 9).cast("string"), F.lit(" "), (1000 + e % 9000).cast("string"),
+        F.lit(" ID"), (e % 100).cast("string"),
+        F.lit(" - event "), F.col("event_type"), F.lit(" fired"),
+    )
+    p = presets.parse_syslog(line)
+    # pri string is not a struct field; recover it for the compare
+    pri = F.regexp_extract(line, r"^<(\d+)>", 1)
+    return ev.select(
+        e.alias("event_id"),
+        pri.alias("pri"),
+        p.getField("timestamp").alias("timestamp"),
+        p.getField("hostname").alias("hostname"),
+        p.getField("appname").alias("appname"),
+        p.getField("facility_code").alias("facility_code"),
+        p.getField("severity_code").alias("severity_code"),
+        p.getField("message").alias("message"),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_user_agent on a derived UA rotation
+# ---------------------------------------------------------------------
+
+_UA_SET = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     "Chrome", "120.0.0.0", "Windows", "PC"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+     "Safari", "17.1", "macOS", "Mac"),
+    ("Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+     "Firefox", "121.0", "Linux", None),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+     "Safari", "17.1", "iOS", "iPhone"),
+    ("curl/8.4.0", "curl", "8.4.0", None, None),
+    ("Googlebot/2.1 (+http://www.google.com/bot.html)", None, None, None, "Bot"),
+]
+
+
+def _ua_oracle() -> str:
+    ua_case = " ".join(
+        f"WHEN {i} THEN '{ua}'" for i, (ua, *_ ) in enumerate(_UA_SET)
+    )
+    def col_case(idx):
+        parts = []
+        for i, row in enumerate(_UA_SET):
+            v = row[idx]
+            parts.append(f"WHEN {i} THEN " + ("NULL" if v is None else f"'{v}'"))
+        return " ".join(parts)
+    return f"""
+    SELECT event_id,
+      CASE event_id % {len(_UA_SET)} {col_case(1)} END AS browser_family,
+      CASE event_id % {len(_UA_SET)} {col_case(2)} END AS browser_version,
+      CASE event_id % {len(_UA_SET)} {col_case(3)} END AS os_family,
+      CASE event_id % {len(_UA_SET)} {col_case(4)} END AS device_family
+    FROM events
+    """
+
+
+@register("vrl_parse_user_agent", _ua_oracle())
+def vrl_parse_user_agent(spark, sf_dir):
+    from vrl_spark.functions import presets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    ua = None
+    for i, (s, *_rest) in enumerate(_UA_SET):
+        cond = e % len(_UA_SET) == i
+        ua = F.when(cond, s) if ua is None else ua.when(cond, s)
+    p = presets.parse_user_agent(ua)
+    return ev.select(
+        e.alias("event_id"),
+        p.getField("browser_family").alias("browser_family"),
+        p.getField("browser_version").alias("browser_version"),
+        p.getField("os_family").alias("os_family"),
+        p.getField("device_family").alias("device_family"),
+    )
+
+
+# ---------------------------------------------------------------------
+# parse_etld over derived hostnames
+# ---------------------------------------------------------------------
+
+_ETLD_ORACLE = """
+WITH h AS (
+  SELECT event_id,
+    CASE event_id % 4
+      WHEN 0 THEN 'sub' || event_id || '.example.co.uk'
+      WHEN 1 THEN 'www.site' || event_id || '.com'
+      WHEN 2 THEN 'a.b.host' || event_id || '.com.au'
+      ELSE 'plain' || event_id || '.org' END AS host
+  FROM events
+)
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                    WHEN 2 THEN 'com.au' ELSE 'org' END AS etld,
+  CASE event_id % 4
+    WHEN 0 THEN 'example.co.uk'
+    WHEN 1 THEN 'site' || event_id || '.com'
+    WHEN 2 THEN 'host' || event_id || '.com.au'
+    ELSE 'plain' || event_id || '.org' END AS etld_plus_one
+FROM h
+"""
+
+
+@register("vrl_parse_etld", _ETLD_ORACLE)
+def vrl_parse_etld(spark, sf_dir):
+    from vrl_spark.functions import presets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    host = (
+        F.when(e % 4 == 0, F.concat(F.lit("sub"), e.cast("string"), F.lit(".example.co.uk")))
+        .when(e % 4 == 1, F.concat(F.lit("www.site"), e.cast("string"), F.lit(".com")))
+        .when(e % 4 == 2, F.concat(F.lit("a.b.host"), e.cast("string"), F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("plain"), e.cast("string"), F.lit(".org")))
+    )
+    return ev.select(
+        e.alias("event_id"),
+        presets.parse_etld(host).alias("etld"),
+        presets.parse_etld(host, plus_parts=1).alias("etld_plus_one"),
+    )

@@ -324,3 +324,31 @@ def similarity_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
+
+
+# ---------------------------------------------------------------------
+# rolling-hash document sketch (winnowing-ish min-of-wgram-md5)
+# ---------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(w) > 0 THEN
+    list_min(list_transform(
+      generate_series(0, greatest(len(w) - 8, 0)),
+      i -> md5(array_to_string(w[i+1:i+8], ' '))))
+  END AS sketch
+FROM toks
+"""
+
+
+@register("text_rolling_fingerprint", _ROLLING_ORACLE)
+def text_rolling_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textstats.rolling_hash_fingerprint(F.col("text"), window=8).alias("sketch"),
+    )
