@@ -174,14 +174,17 @@ def parse_key_value_vectorized(
     def kv(s: pd.Series) -> pd.Series:
         import re as _re
 
-        # token = quoted string | bare word, around the kv delimiter
+        # token = quoted string | bare word, around the kv delimiter.
+        # NB no whitespace-skip after the delimiter: `k= v` is an
+        # EMPTY value then the next token (logfmt semantics) — a \s*
+        # there would swallow the following key as the value.
         tok = _re.compile(
             r'\s*([^'
             + _re.escape(kvd)
             + _re.escape(fd)
             + r'"]+)\s*(?:'
             + _re.escape(kvd)
-            + r'\s*("(?:[^"\\]|\\.)*"|[^'
+            + r'("(?:[^"\\]|\\.)*"|[^'
             + _re.escape(fd)
             + r']*))?'
         )
@@ -342,16 +345,23 @@ def parse_json(col: Column, schema: T.DataType | str | None = None) -> Column:
 def parse_csv(col: Column, delimiter: str = ",") -> Column:
     """One CSV row -> array<string> (src/stdlib/parse_csv.rs).
 
-    JVM lowering handles the quoted-field grammar with a single
-    regexp_extract_all pass."""
+    JVM lowering: single regexp_extract_all pass with a
+    field-then-(delimiter|$) grammar. A row NOT ending in a bare
+    delimiter yields one spurious zero-length match at end-of-string
+    (find() semantics) — dropped explicitly; a trailing delimiter's
+    legitimate empty final field is kept."""
     import re as _re
 
     d = _re.escape(delimiter)
-    # field = quoted (with "" escapes) | bare
-    pat = f'(?:^|{d})("(?:[^"]|"")*"|[^{d}]*)'
+    pat = f'("(?:[^"]|"")*"|[^{d}]*)(?:{d}|$)'
     raw = F.regexp_extract_all(col, F.lit(pat), 1)
+    n = F.size(raw)
+    spurious = (
+        ~col.endswith(delimiter) & (n > 1) & (F.element_at(raw, -1) == "")
+    )
+    fields = F.when(spurious, F.slice(raw, 1, n - 1)).otherwise(raw)
     return F.transform(
-        raw,
+        fields,
         lambda s: F.when(
             s.rlike('^".*"$'),
             F.regexp_replace(F.substring(s, 2, F.length(s) - 2), '""', '"'),
