@@ -63,6 +63,36 @@ def main() -> None:
             print(f"# bench error {name}: {e}", file=sys.stderr)
 
     flagship = results.get("pipeline_aggregate", max(results.values()))
+
+    # amplified flagship: sf-dir row counts are overhead-dominated, so
+    # also measure docs/sec on 100x input (materialized parquet scan ->
+    # pipeline, the production shape; see bench_worker.py)
+    amp_stats = {}
+    try:
+        from bench_worker import materialize_pages
+
+        amp = 100
+        path = materialize_pages(spark, sf_dir, amp)
+        pages = spark.read.parquet(path)
+        amp_docs = pages.count()
+
+        def amp_pipeline():
+            df = spark.read.parquet(path)
+            df = weblog.parse_stage(df)
+            df = weblog.enrich_stage(spark, df)
+            df = weblog.route_stage(df)
+            return weblog.aggregate_stage(df)
+
+        force(amp_pipeline())  # warmup
+        amp_best = min(force(amp_pipeline()) for _ in range(3))
+        amp_stats = {
+            "amplified_docs": amp_docs,
+            "amplified_sec": round(amp_best, 3),
+            "amplified_docs_per_sec": round(amp_docs / amp_best, 1),
+        }
+    except Exception as e:  # amplification failure shouldn't kill bench
+        print(f"# bench amplified error: {e}", file=sys.stderr)
+
     out = {
         "metric": "e2e parse->enrich->route->aggregate wall time (flagship)",
         "value": flagship,
@@ -73,6 +103,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / flagship, 1) if flagship > 0 else None,
         "gb_per_sec": round(n_bytes / flagship / 1e9, 4) if flagship > 0 else None,
         "cores": spark.sparkContext.defaultParallelism,
+        **amp_stats,
     }
     print(json.dumps(out))
 

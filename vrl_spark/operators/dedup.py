@@ -77,16 +77,52 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """K independent minhashes; hash_i(s) = md5(i || s), min taken as
-    STRING min — identical in Spark and DuckDB (the portability trick
-    that makes the LSH pipeline oracle-checkable)."""
-    sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """K independent minhashes, md5-derived so the identical value is
+    computable in DuckDB (the portability trick that makes the LSH
+    pipeline oracle-checkable).
+
+    hash_i(s) = hex-substring i%4 of md5((i//4) || '|' || s): one md5
+    yields FOUR independent 32-bit minhash pieces, so K=16 costs 4
+    md5 calls per shingle, not 16. Mins are taken as fixed-width hex
+    STRING mins (= numeric mins). Computed as one fold over the
+    shingles carrying a K-wide running-min vector."""
+    n_md5 = (num_hashes + 3) // 4
+    init = F.array_repeat(F.lit("g"), num_hashes)  # 'g' > any hex digit
+
+    def pieces(s: Column) -> Column:
+        # concat the md5s once, slice 8-hex-char (32-bit) pieces
+        cat = F.concat(
+            *[F.md5(F.concat(F.lit(f"{j}|"), s)) for j in range(n_md5)]
+        )
+        return F.array(
+            *[F.substring(cat, 1 + 8 * i, 8) for i in range(num_hashes)]
+        )
+
+    folded = F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(acc, pieces(s), lambda a, b: F.least(a, b)),
+    )
+    # empty shingle set -> NULL signature (matches array_min semantics)
+    return F.when(F.size(shingles) > 0, folded)
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, persist: bool = True,
+) -> DataFrame:
+    """(id, shingles) — computed ONCE and persisted: the LSH pipeline
+    references it four times (two self-join sides, two verify sides)
+    and without materialization Spark recomputes the expensive
+    shingle+hash fold per branch. MEMORY_AND_DISK: spills at scale."""
+    out = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -96,16 +132,25 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash-LSH.
 
     rows -> (band_id, band_sig) keys -> self equi-join. At 100 TB the
     join keys are (int, short hex concat) — small, shuffle-friendly;
     hot buckets (boilerplate pages) are exactly what AQE skew-join
-    splitting handles."""
+    splitting handles. The self-join is HINTED shuffle_hash: Spark's
+    size estimate sees the small parquet source and picks broadcast,
+    which would rebuild the whole expensive signature subplan
+    single-threaded on the driver."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    sh = shingles if shingles is not None else shingle_table(
+        df, text_col, id_col, shingle_n
+    )
+    with_sig = sh.select(
+        F.col(id_col),
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -121,7 +166,7 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_sig")
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -154,14 +199,14 @@ def minhash_dedup_pairs(
 
     The verify join re-attaches shingle sets only for candidate ids
     (semi-join pruning), so full documents never pairwise-shuffle."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
     n = lsh_kwargs.get("shingle_n", 3)
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    )
+    sh = shingle_table(df, text_col, id_col, n)
+    pairs = minhash_lsh_pairs(df, text_col, id_col, shingles=sh, **lsh_kwargs)
+    sh_a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a")
+    sh_b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b")
     return (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(sh_a.hint("shuffle_hash"), "id_a")
+        .join(sh_b.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -218,20 +263,19 @@ def simhash_bits(col: Column) -> Column:
     vote sum across tokens. Pure JVM expressions."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
     bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
-    bits = [
-        F.when(
-            F.aggregate(
-                bitstrs,
-                F.lit(0),
-                lambda acc, s: acc
-                + F.when(F.substring(s, j + 1, 1) == "1", 1).otherwise(-1),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for j in range(64)
-    ]
-    return F.concat(*bits)
+    # ONE pass over the tokens: fold a 64-wide vote counter
+    counts = F.aggregate(
+        bitstrs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.split(s, ""),
+            lambda a, c: a + F.when(c == "1", 1).otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(counts, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+    )
 
 
 def simhash64(col: Column) -> Column:

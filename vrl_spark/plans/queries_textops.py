@@ -90,7 +90,8 @@ sh AS (
 sig AS (
   SELECT doc_id, shingles,
     list_transform(generate_series(0, 15),
-                   h -> list_min(list_transform(shingles, s -> md5(h || '|' || s)))) AS sig
+                   h -> list_min(list_transform(shingles,
+                        s -> substr(md5((h // 4) || '|' || s), 1 + (h % 4) * 8, 8)))) AS sig
   FROM sh
 ),
 banded AS (
