@@ -139,3 +139,28 @@ def test_quality_score_bounds(spark, sf_dir):
         textstats.quality_score(F.col("text")).alias("q")
     ).agg(F.min("q"), F.max("q")).collect()[0]
     assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_sessionize(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0, 0)),
+        (1, dt(2024, 1, 1, 0, 10, 0)),   # same session (10 min gap)
+        (1, dt(2024, 1, 1, 1, 0, 0)),    # new session (50 min gap)
+        (2, dt(2024, 1, 1, 0, 0, 0)),    # other user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["user_id"], str(r["ts"])): r["session_seq"]
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out[(1, "2024-01-01 00:00:00")] == 0
+    assert out[(1, "2024-01-01 00:10:00")] == 0
+    assert out[(1, "2024-01-01 01:00:00")] == 1
+    assert out[(2, "2024-01-01 00:00:00")] == 0
+    stats = {(r["user_id"], r["session_seq"]): r
+             for r in session_stats(df, gap_minutes=30).collect()}
+    assert stats[(1, 0)]["n_events"] == 2
+    assert stats[(1, 0)]["duration_sec"] == 600
+    assert stats[(1, 1)]["n_events"] == 1

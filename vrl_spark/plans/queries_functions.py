@@ -118,9 +118,12 @@ def vrl_parse_url(spark, sf_dir):
         F.lit("/p/"), (e % 100).cast("string"),
         F.when(e % 2 == 0, F.concat(F.lit("?q="), e.cast("string"))).otherwise(""),
     )
-    parsed = P.parse_url(url)
-    return ev.select(
-        e.alias("event_id"),
+    step = ev.select(e.alias("event_id"), url.alias("_url")).withColumn(
+        "_p", P.parse_url(F.col("_url"))
+    )
+    parsed = F.col("_p")
+    return step.select(
+        "event_id",
         parsed.getField("scheme").alias("scheme"),
         parsed.getField("host").alias("host"),
         parsed.getField("port").alias("port"),
@@ -410,12 +413,15 @@ def vrl_parse_syslog(spark, sf_dir):
         F.lit(" ID"), (e % 100).cast("string"),
         F.lit(" - event "), F.col("event_type"), F.lit(" fired"),
     )
-    p = presets.parse_syslog(line)
-    # pri string is not a struct field; recover it for the compare
-    pri = F.regexp_extract(line, r"^<(\d+)>", 1)
-    return ev.select(
-        e.alias("event_id"),
-        pri.alias("pri"),
+    # materialize the parsed struct ONCE (a bare multi-getField select
+    # would re-evaluate the regex subplan per projected field)
+    step = ev.select(e.alias("event_id"), line.alias("_line")).withColumn(
+        "_p", presets.parse_syslog(F.col("_line"))
+    )
+    p = F.col("_p")
+    return step.select(
+        "event_id",
+        F.regexp_extract(F.col("_line"), r"^<(\d+)>", 1).alias("pri"),
         p.getField("timestamp").alias("timestamp"),
         p.getField("hostname").alias("hostname"),
         p.getField("appname").alias("appname"),
@@ -526,3 +532,37 @@ def vrl_parse_etld(spark, sf_dir):
         presets.parse_etld(host).alias("etld"),
         presets.parse_etld(host, plus_parts=1).alias("etld_plus_one"),
     )
+
+
+# ---------------------------------------------------------------------
+# sessionization over the events stream (gap-based)
+# ---------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark, sf_dir):
+    from vrl_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30.0)
