@@ -93,3 +93,33 @@ def test_seeded_randoms_deterministic(spark):
     b = [r["r"] for r in df.select(M.random_int_seeded(0, 100).alias("r")).collect()]
     assert a == b
     assert all(0 <= v < 100 for v in a)
+
+
+def test_ip_pton_ntop_subnet(spark):
+    from vrl_spark.functions import math_ip as IP
+
+    r = spark.range(1).select(
+        IP.ip_ntop(IP.ip_pton(F.lit("1.2.3.4"))).alias("rt"),
+        IP.ip_subnet(F.lit("192.168.10.32"), "/16").alias("s1"),
+        IP.ip_subnet(F.lit("192.168.10.32"), "255.255.255.0").alias("s2"),
+    ).collect()[0]
+    assert r["rt"] == "1.2.3.4"
+    assert r["s1"] == "192.168.0.0"
+    assert r["s2"] == "192.168.10.0"
+
+
+def test_uuid_v7_and_friendly(spark):
+    import re
+
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    a = one(spark, M.uuid_v7(ts))
+    b = one(spark, M.uuid_v7(ts))
+    assert a == b  # deterministic for same ts
+    assert re.match(r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$", a)
+    # friendly-id of uuid 00000000-...-0001 is '1'
+    assert one(spark, M.uuid_from_friendly_id(F.lit("1"))) == (
+        "00000000-0000-0000-0000-000000000001")
+
+
+def test_split_path(spark):
+    assert one(spark, M.split_path(F.lit("/a/b/c.txt"))) == ["a", "b", "c.txt"]

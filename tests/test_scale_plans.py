@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, checked
+mechanically so regressions fail CI.
+
+- enrichment join is BROADCAST (no fact-stream shuffle)
+- flagship has exactly the aggregate exchanges (no accidental ones)
+- parquet scans PUSH filters and PRUNE columns
+- hour-partitioned layout prunes partitions on time predicates
+- minhash self-join is NOT broadcast (the expensive-subplan trap)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_enrich_is_broadcast_and_single_agg_shuffle(spark, sf_dir):
+    from vrl_spark.plans import weblog
+
+    plan = plan_of(weblog.full_pipeline(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges: broadcast (dim) + the two-phase distinct-agg pair; no more
+    shuffle_exchanges = plan.count("Exchange hashpartitioning")
+    assert shuffle_exchanges <= 2, plan
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Hour-partitioned pages (the Iceberg layout stand-in): a warc_ts
+    hour predicate must hit partition pruning, not a full scan."""
+    from vrl_spark.plans.weblog import load_pages
+
+    out = str(tmp_path / "pages_by_hour")
+    (
+        load_pages(spark, sf_dir)
+        .withColumn("hour", F.date_format("warc_ts", "yyyyMMddHH"))
+        .write.partitionBy("hour").parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("hour") == "2024010100")
+    plan = plan_of(back)
+    assert "PartitionFilters: [isnotnull(hour" in plan
+    n_all = spark.read.parquet(out).count()
+    n_one = back.count()
+    assert 0 < n_one < n_all
+
+
+def test_minhash_join_not_broadcast(spark, sf_dir):
+    from vrl_spark.plans.queries_textops import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_similarity_broadcasts_queries_not_corpus(spark, sf_dir):
+    from vrl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    plan = plan_of(brute_force_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_parse(spark, sf_dir):
+    """The parse stage must stay inside whole-stage codegen (no
+    Python, no interpreted projection)."""
+    from vrl_spark.plans import weblog
+
+    df = weblog.parse_stage(weblog.load_pages(spark, sf_dir))
+    plan = plan_of(df.select("status_int", "bytes_int", "error"))
+    # '*(N)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

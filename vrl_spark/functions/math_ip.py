@@ -174,3 +174,25 @@ def vrl_add_string(a: Column, b: Column) -> Column:
 def vrl_float_guard(col: Column) -> Column:
     """NaN results error in VRL (NotNan, arithmetic.rs:60-64)."""
     return F.when(~F.isnan(col), col)
+
+
+def ip_pton(col: Column) -> Column:
+    """v4 dotted quad -> 4-byte binary (src/stdlib/ip_pton.rs)."""
+    return F.unhex(F.lpad(F.hex(ip_aton(col)), 8, "0"))
+
+
+def ip_ntop(col: Column) -> Column:
+    """4-byte binary -> dotted quad (src/stdlib/ip_ntop.rs)."""
+    return ip_ntoa(F.conv(F.hex(col), 16, 10).cast("long"))
+
+
+def ip_subnet(col: Column, mask: str) -> Column:
+    """Apply a subnet mask: '255.255.0.0' or '/16' (src/stdlib/ip_subnet.rs)."""
+    if mask.startswith("/"):
+        bits = int(mask[1:])
+        mask_int = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+    else:
+        mask_int = sum(
+            int(p) << (8 * (3 - i)) for i, p in enumerate(mask.split("."))
+        )
+    return ip_ntoa(ip_aton(col).bitwiseAND(F.lit(mask_int)))

@@ -258,3 +258,55 @@ def unflatten_map(col: Column, separator: str = ".") -> Column:
     return F.map_from_entries(
         F.transform(outer_keys, lambda k: F.struct(k.alias("key"), inner_for(k).alias("value")))
     )
+
+
+def uuid_v7(ts: Column | None = None) -> Column:
+    """src/stdlib/uuid_v7.rs — time-ordered UUID. Deterministic
+    variant: the random bits derive from md5 of the timestamp column
+    (pass a per-row unique ts/expr for uniqueness; pinned for
+    routed-row equality)."""
+    t = F.current_timestamp() if ts is None else ts
+    millis_hex = F.lpad(F.hex(F.unix_millis(t.cast("timestamp"))), 12, "0")
+    h = F.md5(t.cast("string"))
+    return F.lower(F.concat_ws(
+        "-",
+        F.substring(millis_hex, 1, 8),
+        F.substring(millis_hex, 9, 4),
+        F.concat(F.lit("7"), F.substring(h, 1, 3)),
+        F.concat(F.lit("8"), F.substring(h, 4, 3)),
+        F.substring(h, 7, 12),
+    ))
+
+
+def split_path(col: Column) -> Column:
+    """Path -> array of components (src/stdlib/split_path.rs)."""
+    return F.filter(F.split(col, "/"), lambda p: p != "")
+
+
+def uuid_from_friendly_id(col: Column) -> Column:
+    """base62 friendly-id -> canonical UUID hex form
+    (src/stdlib/uuid_from_friendly_id.rs). Arrow-batched: needs
+    128-bit base62 arithmetic."""
+    from pyspark.sql.functions import pandas_udf
+
+    _ALPHA = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+    @pandas_udf(T.StringType())
+    def _conv(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            n = 0
+            for ch in v:
+                i = _ALPHA.find(ch)
+                if i < 0:
+                    return None
+                n = n * 62 + i
+            if n >= 1 << 128:
+                return None
+            h = f"{n:032x}"
+            return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+        return s.map(one)
+
+    return _conv(col)
