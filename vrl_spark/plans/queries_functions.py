@@ -566,3 +566,32 @@ def events_sessionize(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return session_stats(ev, gap_minutes=30.0)
+
+
+# ---------------------------------------------------------------------
+# encode_json (sorted-key struct -> canonical JSON both engines)
+# ---------------------------------------------------------------------
+
+_ENCODE_JSON_ORACLE = """
+SELECT doc_id,
+  to_json(struct_pack(
+    lang := lang,
+    n_chars := n_chars,
+    source := source
+  )) AS doc_json
+FROM documents
+"""
+
+
+@register("vrl_encode_json", _ENCODE_JSON_ORACLE)
+def vrl_encode_json(spark, sf_dir):
+    """encode_json with BTreeMap (sorted-key) field order
+    (reference src/stdlib/encode_json.rs + value.rs:34): struct fields
+    declared in sorted order on both sides."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
+        ).alias("doc_json"),
+    )
