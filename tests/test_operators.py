@@ -164,3 +164,38 @@ def test_sessionize(spark):
     assert stats[(1, 0)]["n_events"] == 2
     assert stats[(1, 0)]["duration_sec"] == 600
     assert stats[(1, 1)]["n_events"] == 1
+
+
+def test_find_table_row_semantics(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.enrichment import find_table_row, find_table_rows
+
+    facts = spark.createDataFrame(
+        [(1, "ALPHA", dt(2024, 1, 15)), (2, "beta", dt(2024, 3, 1)),
+         (3, "gamma", dt(2024, 1, 1))],
+        ["fid", "key", "ts"],
+    )
+    dim = spark.createDataFrame(
+        [("alpha", dt(2024, 1, 1), dt(2024, 1, 31), "jan-alpha"),
+         ("alpha", dt(2024, 1, 10), dt(2024, 2, 28), "overlap-alpha"),  # 2nd match: loses
+         ("beta", dt(2024, 2, 1), dt(2024, 3, 31), "spring-beta")],
+        ["k", "valid_from", "valid_to", "label"],
+    )
+    out = {r["fid"]: r["label"] for r in find_table_row(
+        facts, dim, on=[("key", "k")], case_insensitive=True,
+        date_range=("ts", "valid_from", "valid_to"), fact_id="fid",
+    ).collect()}
+    assert out[1] == "jan-alpha"       # first match wins on overlap
+    assert out[2] == "spring-beta"
+    assert out[3] is None              # no dim key -> nulls (miss)
+    # case-sensitive: ALPHA no longer matches
+    out_cs = {r["fid"]: r["label"] for r in find_table_row(
+        facts, dim, on=[("key", "k")], case_insensitive=False,
+        fact_id="fid").collect()}
+    assert out_cs[1] is None
+    # find_table_rows keeps both alpha matches
+    n = find_table_rows(
+        facts.where(F.col("fid") == 1), dim, on=[("key", "k")],
+        case_insensitive=True).count()
+    assert n == 2

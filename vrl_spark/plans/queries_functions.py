@@ -595,3 +595,60 @@ def vrl_encode_json(spark, sf_dir):
             F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
         ).alias("doc_json"),
     )
+
+
+# ---------------------------------------------------------------------
+# enrichment table find_table_row: case-insensitive + date-range,
+# first-match-wins (VRL enrichment semantics)
+# ---------------------------------------------------------------------
+
+_ENRICH_DIM = [
+    # (key, valid_from, valid_to, label, ord)
+    ("error", "2024-01-01 00:00:00", "2024-01-03 23:59:59", "early-error", 1),
+    ("error", "2024-01-02 00:00:00", "2025-12-31 23:59:59", "late-error", 2),
+    ("purchase", "2024-01-01 00:00:00", "2025-12-31 23:59:59", "buy", 3),
+    ("signup", "2024-01-01 00:00:00", "2024-01-31 23:59:59", "jan-signup", 4),
+]
+
+
+def _enrich_oracle() -> str:
+    rows = ", ".join(
+        f"('{k}', TIMESTAMP '{f}', TIMESTAMP '{t}', '{l}', {o})"
+        for k, f, t, l, o in _ENRICH_DIM
+    )
+    return f"""
+    WITH d AS (SELECT * FROM (VALUES {rows}) AS t(k, vf, vt, label, ord)),
+    j AS (
+      SELECT e.event_id, d.label,
+        row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY d.ord ASC NULLS LAST) AS rk
+      FROM events e
+      LEFT JOIN d ON upper(e.event_type) = upper(d.k)
+                 AND e.ts BETWEEN d.vf AND d.vt
+    )
+    SELECT event_id, label FROM j WHERE rk = 1
+    """
+
+
+@register("vrl_enrichment_range", _enrich_oracle())
+def vrl_enrichment_range(spark, sf_dir):
+    from vrl_spark.operators.enrichment import find_table_row
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [
+            (k, f, t, l, o)
+            for k, f, t, l, o in _ENRICH_DIM
+        ],
+        ["k", "vf", "vt", "label", "ord"],
+    ).select(
+        "k",
+        F.to_timestamp("vf").alias("vf"),
+        F.to_timestamp("vt").alias("vt"),
+        "label", "ord",
+    )
+    out = find_table_row(
+        ev, dim, on=[("event_type", "k")], case_insensitive=True,
+        date_range=("ts", "vf", "vt"), fact_id="event_id", order_col="ord",
+    )
+    return out.select("event_id", "label")
