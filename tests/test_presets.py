@@ -104,3 +104,35 @@ def test_parse_tokens(spark):
     assert got == [
         "127.0.0.1", "-", "10/Oct/2000:13:55:36", "GET /path HTTP/1.1", "200",
     ]
+
+
+def test_parse_cef(spark):
+    line = (
+        "CEF:0|Security|threatmanager|1.0|100|worm successfully stopped|10|"
+        "src=10.0.0.1 dst=2.1.2.2 spt=1232"
+    )
+    d = one(spark, P.parse_cef(F.lit(line))).asDict()
+    assert d["cef_version"] == "0"
+    assert d["device_vendor"] == "Security"
+    assert d["name"] == "worm successfully stopped"
+    assert d["severity"] == "10"
+    ext = one(spark, P.parse_cef_extension(F.lit(line)))
+    assert ext == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}
+
+
+def test_parse_aws_alb_log(spark):
+    line = (
+        'http 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+        '192.168.131.39:2817 10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+        '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+        'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+        '"Root=1-58337262-36d228ad5d99923122bbe354" extra'
+    )
+    d = one(spark, P.parse_aws_alb_log(F.lit(line))).asDict()
+    assert d["type"] == "http"
+    assert d["elb"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert d["elb_status_code"] == "200"
+    assert d["received_bytes"] == "34" and d["sent_bytes"] == "366"
+    assert d["request_method"] == "GET"
+    assert d["user_agent"] == "curl/7.46.0"
+    assert d["trace_id"] == "Root=1-58337262-36d228ad5d99923122bbe354"

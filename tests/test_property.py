@@ -95,3 +95,14 @@ def test_unique_preserves_first_occurrence(spark, vals):
             seen.add(v)
             want.append(v)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.binary(max_size=40), min_size=1, max_size=10))
+def test_lossy_decode_matches_cpython(spark, blobs):
+    from vrl_spark.operators.extract import lossy_utf8_decode
+
+    df = spark.createDataFrame([(b,) for b in blobs], "b binary")
+    got = [r["s"] for r in df.select(lossy_utf8_decode(F.col("b")).alias("s")).collect()]
+    want = [b.decode("utf-8", errors="replace") for b in blobs]
+    assert got == want

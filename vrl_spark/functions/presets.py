@@ -204,3 +204,46 @@ def parse_tokens(col: Column) -> Column:
         lambda t: F.when(t.rlike(r'^".*"$|^\[.*\]$'),
                          F.substring(t, 2, F.length(t) - 2)).otherwise(t),
     )
+
+
+# --- CEF (src/stdlib/parse_cef.rs) ------------------------------------
+
+CEF = compile_grok(
+    r"CEF:%{NONNEGINT:cef_version}\|%{CEF_FIELD:device_vendor}\|"
+    r"%{CEF_FIELD:device_product}\|%{CEF_FIELD:device_version}\|"
+    r"%{CEF_FIELD:signature_id}\|%{CEF_FIELD:name}\|%{CEF_FIELD:severity}\|"
+    r"%{GREEDYDATA:extension}"
+)
+
+
+def parse_cef(col: Column) -> Column:
+    """ArcSight CEF header -> struct; the extension tail is kv-parsed
+    separately (parse_key_value) per the reference's two-layer shape."""
+    return parse_regex_onepass(col, CEF, anchored=True)
+
+
+def parse_cef_extension(col: Column) -> Column:
+    """CEF extension 'k=v k2=v2' tail -> map."""
+    from vrl_spark.functions.parse import parse_key_value_native
+
+    return parse_key_value_native(parse_cef(col).getField("extension"))
+
+
+# --- AWS ALB access log (src/stdlib/parse_aws_alb_log.rs) -------------
+
+AWS_ALB = compile_grok(
+    r'%{NOTSPACE:type} %{TIMESTAMP_ISO8601:timestamp} %{NOTSPACE:elb} '
+    r'%{NOTSPACE:client_host} %{NOTSPACE:target_host} '
+    r'%{NUMBER:request_processing_time} %{NUMBER:target_processing_time} '
+    r'%{NUMBER:response_processing_time} %{NOTSPACE:elb_status_code} '
+    r'%{NOTSPACE:target_status_code} %{NONNEGINT:received_bytes} '
+    r'%{NONNEGINT:sent_bytes} "%{DATA:request_method} %{DATA:request_url} '
+    r'%{DATA:request_protocol}" "%{DATA:user_agent}" %{NOTSPACE:ssl_cipher} '
+    r'%{NOTSPACE:ssl_protocol} %{NOTSPACE:target_group_arn} '
+    r'"%{DATA:trace_id}"%{GREEDYDATA:rest}'
+)
+
+
+def parse_aws_alb_log(col: Column) -> Column:
+    """AWS ALB access log line -> struct of string captures."""
+    return parse_regex_onepass(col, AWS_ALB, anchored=True)

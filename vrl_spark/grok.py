@@ -71,6 +71,7 @@ GROK_PATTERNS: dict[str, str] = {
     # logging
     "LOGLEVEL": r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?",
     "GLOG_LEVEL": r"[IWEF]",
+    "CEF_FIELD": r"(?:[^|\\]|\\.)*",
     "MONTHNUM2": r"0[1-9]|1[0-2]",
     "MONTHDAY2": r"[0-3]\d",
     "SYSLOGPROG": r"%{WORD}(?:\[%{POSINT}\])?",
