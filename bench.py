@@ -61,6 +61,9 @@ def main() -> None:
         except Exception as e:  # a broken query shouldn't kill the bench
             results[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        # some operators persist intermediates (LSH shingle tables);
+        # drop them so later measurements aren't paying their GC bill
+        spark.catalog.clearCache()
 
     flagship = results.get("pipeline_aggregate", max(results.values()))
 

@@ -18,7 +18,7 @@ def _prep_pages(spark, sf_dir, tmp_path) -> str:
     from vrl_spark.plans.weblog import load_pages
 
     path = str(tmp_path / "pages_in")
-    load_pages(spark, sf_dir).repartition(8).write.parquet(path)
+    load_pages(spark, sf_dir).repartition(4).write.parquet(path)
     return path
 
 
