@@ -136,3 +136,59 @@ def test_parse_aws_alb_log(spark):
     assert d["request_method"] == "GET"
     assert d["user_agent"] == "curl/7.46.0"
     assert d["trace_id"] == "Root=1-58337262-36d228ad5d99923122bbe354"
+
+
+def test_parse_aws_vpc_flow_log(spark):
+    line = ("2 123456789010 eni-1235b8ca123456789 172.31.16.139 172.31.16.21 "
+            "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK")
+    d = one(spark, P.parse_aws_vpc_flow_log(F.lit(line))).asDict()
+    assert d["srcaddr"] == "172.31.16.139"
+    assert d["dstport"] == "22"
+    assert d["action"] == "ACCEPT"
+    # NODATA variant with '-' fields
+    nodata = "2 123456789010 eni-1235b8ca123456789 - - - - - - - 1431280876 1431280934 - NODATA"
+    d2 = one(spark, P.parse_aws_vpc_flow_log(F.lit(nodata))).asDict()
+    assert d2["srcaddr"] == "-" and d2["log_status"] == "NODATA"
+
+
+def test_parse_cloudwatch_subscription(spark):
+    import json
+
+    msg = json.dumps({
+        "messageType": "DATA_MESSAGE", "owner": "111111111111",
+        "logGroup": "test", "logStream": "stream",
+        "subscriptionFilters": ["f1"],
+        "logEvents": [{"id": "1", "timestamp": 1600000000000, "message": "hello"}],
+    })
+    d = one(spark, P.parse_aws_cloudwatch_log_subscription_message(F.lit(msg)))
+    assert d["owner"] == "111111111111"
+    assert d["logEvents"][0]["message"] == "hello"
+
+
+def test_grok_filters(spark):
+    from vrl_spark.functions import grok_filters as GF
+
+    r = spark.range(1).select(
+        GF.apply_filters(F.lit("1234"), ["integer"]).alias("i"),
+        GF.apply_filters(F.lit("1e3"), ["integerExt"]).alias("ie"),
+        GF.apply_filters(F.lit("12.5"), [("scale", 10)]).alias("sc"),
+        GF.apply_filters(F.lit("N/A"), [("nullIf", "N/A")]).alias("ni"),
+        GF.apply_filters(F.lit("MiXeD"), ["lowercase"]).alias("lc"),
+        GF.apply_filters(F.lit("yes"), ["boolean"]).alias("b"),
+        GF.apply_filters(F.lit("a%20b"), ["decodeuricomponent"]).alias("uri"),
+        GF.apply_filters(F.lit("[a, b, c]"), [("array", ",")]).alias("arr"),
+        GF.apply_filters(F.lit("k=v x=y"), ["keyvalue"]).alias("kv"),
+        GF.apply_filters(
+            F.lit("2020-10-02 13:05:00"), [("date", "%Y-%m-%d %H:%M:%S")]
+        ).alias("dt"),
+    ).collect()[0]
+    assert r["i"] == 1234
+    assert r["ie"] == 1000
+    assert r["sc"] == 125.0
+    assert r["ni"] is None
+    assert r["lc"] == "mixed"
+    assert r["b"] is True
+    assert r["uri"] == "a b"
+    assert r["arr"] == ["a", "b", "c"]
+    assert r["kv"] == {"k": "v", "x": "y"}
+    assert str(r["dt"]) == "2020-10-02 13:05:00"

@@ -247,3 +247,31 @@ AWS_ALB = compile_grok(
 def parse_aws_alb_log(col: Column) -> Column:
     """AWS ALB access log line -> struct of string captures."""
     return parse_regex_onepass(col, AWS_ALB, anchored=True)
+
+
+# --- AWS VPC flow logs (src/stdlib/parse_aws_vpc_flow_log.rs) ---------
+
+AWS_VPC_FLOW = compile_grok(
+    r"%{NONNEGINT:version} %{NOTSPACE:account_id} %{NOTSPACE:interface_id} "
+    r"%{NOTSPACE:srcaddr} %{NOTSPACE:dstaddr} %{NOTSPACE:srcport} "
+    r"%{NOTSPACE:dstport} %{NOTSPACE:protocol} %{NOTSPACE:packets} "
+    r"%{NOTSPACE:bytes} %{NONNEGINT:start} %{NONNEGINT:end} "
+    r"%{NOTSPACE:action} %{NOTSPACE:log_status}"
+)
+
+
+def parse_aws_vpc_flow_log(col: Column) -> Column:
+    """Default-format VPC flow log line -> struct ('-' fields stay
+    strings; coercion is a separate stage)."""
+    return parse_regex_onepass(col, AWS_VPC_FLOW, anchored=True)
+
+
+def parse_aws_cloudwatch_log_subscription_message(col: Column) -> Column:
+    """CloudWatch Logs subscription payload (JSON) -> typed struct
+    (src/stdlib/parse_aws_cloudwatch_log_subscription_message.rs)."""
+    schema = (
+        "owner string, logGroup string, logStream string, "
+        "subscriptionFilters array<string>, messageType string, "
+        "logEvents array<struct<id:string, timestamp:long, message:string>>"
+    )
+    return F.from_json(col, schema)
