@@ -82,7 +82,7 @@ def f_date(fmt: str):
 def f_array(separator: str = ","):
     def fn(c: Column) -> Column:
         trimmed = F.regexp_replace(c, r"^\[|\]$", "")
-        return F.transform(F.split(trimmed, separator), F.trim)
+        return F.transform(F.split(trimmed, separator), lambda x: F.trim(x))
 
     return fn
 
