@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vrl_spark.plans import weblog
+from vrl_spark.sources.pages import derive_pages_sql
 from vrl_spark.registry import register
 
 
@@ -58,3 +59,54 @@ def pipeline_host_rollup_salted(spark, sf_dir):
         buckets=16,
     )
     return out
+
+
+# ---------------------------------------------------------------------
+# the same pipeline built through the Pipeline builder API — proves the
+# user-facing "VRL program" surface produces oracle-correct plans
+# ---------------------------------------------------------------------
+
+_BUILDER_ORACLE = f"""
+WITH pages AS ({derive_pages_sql()}),
+parsed AS (
+  SELECT doc_id,
+    regexp_matches(text, '^(?:{weblog.ACCESS.regex.replace("'", "''")})$') AS ok,
+    TRY_CAST(CASE WHEN regexp_matches(text, '^(?:{weblog.ACCESS.regex.replace("'", "''")})$')
+      THEN regexp_extract(text, '{weblog.ACCESS.regex.replace("'", "''")}', {weblog.ACCESS.group_index('status')})
+      END AS BIGINT) AS status_int,
+    CASE WHEN regexp_matches(text, '^(?:{weblog.ACCESS.regex.replace("'", "''")})$')
+      THEN regexp_extract(text, '{weblog.ACCESS.regex.replace("'", "''")}', {weblog.ACCESS.group_index('method')})
+      END AS method
+  FROM pages
+)
+SELECT route, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN NOT ok THEN 'dead_letter'
+    WHEN status_int >= 500 THEN 'server_error'
+    WHEN status_int >= 400 THEN 'client_error'
+    WHEN method IN ('POST','PUT','DELETE') THEN 'writes'
+    ELSE 'ok' END AS route
+  FROM parsed
+) GROUP BY route
+"""
+
+
+@register("pipeline_via_builder", _BUILDER_ORACLE)
+def pipeline_via_builder(spark, sf_dir):
+    from vrl_spark.pipeline import Pipeline
+
+    p = (
+        Pipeline("weblog_builder")
+        .parse_grok("text", weblog.ACCESS_PATTERN, anchored=True)
+        .coerce("status", "int", dest="status_coerced")
+        .route(
+            [
+                ("server_error", F.col("status_coerced") >= 500),
+                ("client_error", F.col("status_coerced") >= 400),
+                ("writes", F.col("method").isin("POST", "PUT", "DELETE")),
+            ],
+            otherwise="ok",
+        )
+    )
+    out = p.apply(weblog.load_pages(spark, sf_dir))
+    return out.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
