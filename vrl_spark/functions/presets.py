@@ -62,24 +62,28 @@ SYSLOG_5424 = compile_grok(
 def parse_syslog(col: Column) -> Column:
     """src/stdlib/parse_syslog.rs — 5424 first, 3164 fallback (the
     reference's syslog_loose behavior). Adds derived facility/severity
-    from PRI (pri = facility*8 + severity)."""
-    s5 = parse_regex_onepass(col, SYSLOG_5424, anchored=True)
-    s3 = parse_regex_onepass(col, SYSLOG_3164, anchored=True)
-    base = F.when(s5.isNotNull(), s5)
-    pri5 = s5.getField("pri").try_cast("long")
-    pri3 = s3.getField("pri").try_cast("long")
-    pri = F.when(s5.isNotNull(), pri5).otherwise(pri3)
-    return F.when(
-        s5.isNotNull() | s3.isNotNull(),
-        F.struct(
-            F.coalesce(s5.getField("timestamp"), s3.getField("timestamp")).alias("timestamp"),
-            F.coalesce(s5.getField("hostname"), s3.getField("hostname")).alias("hostname"),
-            F.coalesce(s5.getField("appname"), s3.getField("appname")).alias("appname"),
-            F.coalesce(s5.getField("procid"), s3.getField("procid")).alias("procid"),
-            F.coalesce(s5.getField("message"), s3.getField("message")).alias("message"),
+    from PRI (pri = facility*8 + severity).
+
+    The fallback regex only runs on rows the 5424 pattern rejects
+    (CaseWhen branches evaluate lazily): regex work per row is
+    1 + miss_rate, like the weblog parse stage."""
+
+    def shape(s: Column) -> Column:
+        pri = s.getField("pri").try_cast("long")
+        return F.struct(
+            s.getField("timestamp").alias("timestamp"),
+            s.getField("hostname").alias("hostname"),
+            s.getField("appname").alias("appname"),
+            s.getField("procid").alias("procid"),
+            s.getField("message").alias("message"),
             (pri / 8).cast("long").alias("facility_code"),
             (pri % 8).alias("severity_code"),
-        ),
+        )
+
+    s5 = parse_regex_onepass(col, SYSLOG_5424, anchored=True)
+    s3 = parse_regex_onepass(col, SYSLOG_3164, anchored=True)
+    return F.when(s5.isNotNull(), shape(s5)).otherwise(
+        F.when(s3.isNotNull(), shape(s3))
     )
 
 
