@@ -192,3 +192,19 @@ def test_grok_filters(spark):
     assert r["arr"] == ["a", "b", "c"]
     assert r["kv"] == {"k": "v", "x": "y"}
     assert str(r["dt"]) == "2020-10-02 13:05:00"
+
+
+def test_parse_influxdb(spark):
+    line = 'cpu,host=serverA,region=us usage_idle=90.5,label="hi" 1556813561098000000'
+    d = one(spark, P.parse_influxdb(F.lit(line))).asDict()
+    assert d["measurement"] == "cpu"
+    assert d["tags"] == {"host": "serverA", "region": "us"}
+    assert d["fields"] == {"usage_idle": "90.5", "label": "hi"}
+    assert d["timestamp"] == 1556813561098000000
+    # no tags, no timestamp
+    d2 = one(spark, P.parse_influxdb(F.lit("mem used=12"))).asDict()
+    assert d2["measurement"] == "mem"
+    assert d2["tags"] is None
+    assert d2["fields"] == {"used": "12"}
+    assert d2["timestamp"] is None
+    assert one(spark, P.parse_influxdb(F.lit("justoneword"))) is None

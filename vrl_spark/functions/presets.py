@@ -279,3 +279,44 @@ def parse_aws_cloudwatch_log_subscription_message(col: Column) -> Column:
         "logEvents array<struct<id:string, timestamp:long, message:string>>"
     )
     return F.from_json(col, schema)
+
+
+# --- InfluxDB line protocol (src/stdlib/parse_influxdb.rs) ------------
+
+
+def parse_influxdb(col: Column) -> Column:
+    """'measurement,tag=v field=1i,other="x" 1556813561098000000'
+    -> struct{measurement, tags map, fields map, timestamp long}.
+
+    Unescaped-comma/space grammar (the overwhelmingly common case);
+    escaped separators need the vectorized lane."""
+    head = F.regexp_extract(col, r"^(\S+) ", 1)
+    measurement = F.substring_index(head, ",", 1)
+    # tags: everything after the first comma in the head token
+    tags_str = F.when(
+        head.contains(","),
+        F.regexp_replace(head, r"^[^,]*,", ""),
+    )
+    fields_str = F.regexp_extract(col, r"^\S+ (.*?)(?: \d+)?$", 1)
+    ts = F.regexp_extract(col, r" (\d+)$", 1).try_cast("long")
+    tags = F.when(
+        tags_str.isNotNull(), F.str_to_map(tags_str, F.lit(","), F.lit("="))
+    )
+    fields_raw = F.str_to_map(fields_str, F.lit(","), F.lit("="))
+    # strip quotes from string field values; keep numeric suffixes raw
+    fields = F.transform_values(
+        fields_raw,
+        lambda _, v: F.when(
+            v.rlike('^".*"$'), F.substring(v, 2, F.length(v) - 2)
+        ).otherwise(v),
+    )
+    ok = col.rlike(r"^\S+ \S")
+    return F.when(
+        ok,
+        F.struct(
+            measurement.alias("measurement"),
+            tags.alias("tags"),
+            fields.alias("fields"),
+            ts.alias("timestamp"),
+        ),
+    )
