@@ -82,3 +82,34 @@ def test_vocab_extraction(pat, text, expect):
     m = re.search(c.regex, text)
     assert m is not None, (pat, text)
     assert m.group(1) == expect
+
+
+def test_annotated_composite_group_order():
+    """Outer annotated field must take the group slot where its group
+    OPENS — before any nested annotated fields (the round-1 bug: nested
+    fields were numbered first, silently shifting every mapping)."""
+    c = compile_grok("%{COMMONAPACHELOG:whole}")
+    assert c.fields[0] == "whole"
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'
+    m = re.match(c.regex, line)
+    assert m is not None
+    got = {f: m.group(i + 1) for i, f in enumerate(c.fields)}
+    assert got["whole"] == line
+    assert got["client_ip"] == "127.0.0.1"
+    assert got["user"] == "frank"
+    assert got["method"] == "GET"
+    assert got["status"] == "200"
+    assert got["bytes"] == "2326"
+
+
+def test_annotated_composite_with_suffix_fields():
+    c = compile_grok("%{COMBINEDAPACHELOG:all}")
+    line = ('10.0.0.5 - - [10/Oct/2000:13:55:36 -0700] "POST /p HTTP/1.1" 404 12 '
+            '"http://ref" "agent/1.0"')
+    m = re.match(c.regex, line)
+    assert m is not None
+    got = {f: m.group(i + 1) for i, f in enumerate(c.fields)}
+    assert got["all"] == line
+    assert got["client_ip"] == "10.0.0.5"
+    assert got["referrer"] == "http://ref"
+    assert got["agent"] == "agent/1.0"

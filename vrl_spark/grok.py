@@ -134,15 +134,19 @@ def compile_grok(
             name, fld, hint = m.group(1), m.group(2), m.group(3)
             if name not in vocab:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
-            inner = expand(vocab[name], depth + 1)
             if fld:
                 if fld in fields:
                     raise ValueError(f"duplicate grok field {fld!r}")
+                # Reserve the outer field's slot BEFORE expanding the
+                # inner pattern: the outer group opens first in the
+                # emitted regex, so list order must match group-number
+                # order even when the inner pattern itself contains
+                # annotated fields (e.g. %{COMMONAPACHELOG:whole}).
                 fields.append(fld)
                 if hint:
                     hints[fld] = hint
-                return f"({inner})"
-            return f"(?:{inner})"
+                return f"({expand(vocab[name], depth + 1)})"
+            return f"(?:{expand(vocab[name], depth + 1)})"
 
         return _GROK_REF.sub(repl, template)
 

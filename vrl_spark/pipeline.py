@@ -66,20 +66,21 @@ class Pipeline:
         patterns fail at build, like VRL compile). Fallible: no-match
         rows get ``error`` set."""
         compiled = compile_grok(pattern)  # compile-time, raises here
-        from vrl_spark.functions.parse import parse_regex_onepass
+        from vrl_spark.functions.parse import onepass_stage
 
         def fn(df: DataFrame) -> DataFrame:
-            struct = parse_regex_onepass(F.col(src), compiled, anchored=anchored)
             tmp = f"_g_{prefix or src}"
-            df = df.withColumn(tmp, struct)
+            # Generate-barrier extraction: one regex pass per row
+            # regardless of projected field count (parse.onepass_stage).
+            df = onepass_stage(df, tmp, F.col(src), compiled, anchored=anchored)
             out = df.select(
                 "*",
                 *[
                     F.col(tmp).getField(f).alias(prefix + f)
                     for f in compiled.fields
                 ],
-            ).drop(tmp)
-            return _merge_error(out, struct.isNull(), error)
+            )
+            return _merge_error(out, F.col(tmp).isNull(), error).drop(tmp)
 
         return self._add(f"parse_grok({src})", fn, fallible=True)
 

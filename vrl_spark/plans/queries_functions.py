@@ -413,10 +413,10 @@ def vrl_parse_syslog(spark, sf_dir):
         F.lit(" ID"), (e % 100).cast("string"),
         F.lit(" - event "), F.col("event_type"), F.lit(" fired"),
     )
-    # materialize the parsed struct ONCE (a bare multi-getField select
-    # would re-evaluate the regex subplan per projected field)
-    step = ev.select(e.alias("event_id"), line.alias("_line")).withColumn(
-        "_p", presets.parse_syslog(F.col("_line"))
+    # Generate-barrier parse: each syslog regex runs at most once per
+    # row no matter how many fields are projected below.
+    step = presets.parse_syslog_stage(
+        ev.select(e.alias("event_id"), line.alias("_line")), F.col("_line"), out="_p"
     )
     p = F.col("_p")
     return step.select(
@@ -548,8 +548,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,

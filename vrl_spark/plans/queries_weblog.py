@@ -39,7 +39,7 @@ def pipeline_route_counts(spark, sf_dir):
     "pipeline_host_rollup_salted",
     weblog.parsed_cte_sql()
     + """SELECT url_host AS host, COUNT(*) AS pages,
-         SUM(COALESCE(bytes_int, 0)) AS bytes
+         CAST(SUM(COALESCE(bytes_int, 0)) AS BIGINT) AS bytes
        FROM routed GROUP BY url_host""",
 )
 def pipeline_host_rollup_salted(spark, sf_dir):

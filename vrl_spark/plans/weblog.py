@@ -89,13 +89,17 @@ def parse_stage(pages: DataFrame) -> DataFrame:
     primary pattern; only rows it rejects pay a second pass for the
     fallback (regex work per row is 1 + miss_rate instead of
     fields + 2 — the parse stage is the pipeline's hot loop)."""
-    from vrl_spark.functions.parse import parse_regex_onepass
+    from vrl_spark.functions.parse import onepass_stage
 
     txt = F.col("text")
-    step1 = pages.withColumn("_ap", parse_regex_onepass(txt, ACCESS, anchored=True))
-    step2 = step1.withColumn(
-        "_lf",
-        F.when(F.col("_ap").isNull(), parse_regex_onepass(txt, LOGFMT, anchored=True)),
+    # onepass_stage = Generate-barrier extraction: each regex runs ONCE
+    # per row no matter how many fields are projected below (a bare
+    # Column one-pass embeds the regex once per field). The fallback's
+    # input is gated to NULL on primary-hit rows, so its regex
+    # short-circuits: total regex work = 1 + miss_rate per row.
+    step1 = onepass_stage(pages, "_ap", txt, ACCESS, anchored=True)
+    step2 = onepass_stage(
+        step1, "_lf", F.when(F.col("_ap").isNull(), txt), LOGFMT, anchored=True
     )
     ap, lf = F.col("_ap"), F.col("_lf")
     matched, logfmt_hit = ap.isNotNull(), lf.isNotNull()
@@ -267,7 +271,7 @@ def aggregate_oracle_sql() -> str:
     return parsed_cte_sql() + """
     SELECT route, date_trunc('hour', warc_ts) AS hour,
       COUNT(*) AS page_count,
-      SUM(COALESCE(bytes_int, 0)) AS total_bytes,
+      CAST(SUM(COALESCE(bytes_int, 0)) AS BIGINT) AS total_bytes,
       COUNT(DISTINCT url_host) AS distinct_hosts,
       COUNT(DISTINCT lang_family) AS distinct_families
     FROM routed
