@@ -199,3 +199,45 @@ def test_find_table_row_semantics(spark):
         facts.where(F.col("fid") == 1), dim, on=[("key", "k")],
         case_insensitive=True).count()
     assert n == 2
+
+
+def test_simhash_fast_equals_string_path(spark):
+    from vrl_spark.operators.dedup import simhash64, simhash64_fast
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one", "", "  padded   whitespace  text ",
+        "repeated repeated repeated tokens tokens",
+        "Unicode tøkens ünd émojis 🚀 here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = df.select(
+        simhash64(F.col("t")).alias("slow"), simhash64_fast(F.col("t")).alias("fast")
+    ).collect()
+    for r in rows:
+        assert r["slow"] == r["fast"], (r["slow"], r["fast"])
+
+
+def test_minhash_engines_find_planted_dups(spark):
+    """Both signature families (md5 oracle path, xxh engine path) must
+    recover planted near-duplicates after the true-jaccard verify."""
+    from vrl_spark.operators.dedup import minhash_dedup_pairs
+
+    base = ("large scale web corpus deduplication requires stable shingle "
+            "sets and banded locality sensitive hashing to avoid quadratic "
+            "pair comparison across the entire document collection")
+    rows = [(1, base), (2, base + " trailing tweak"), (3, base)]
+    # unrelated filler so the join has non-dup mass
+    for i in range(4, 40):
+        rows.append((i, f"document number {i} about topic {i*7} with words "
+                        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for eng in ("md5", "xxh"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(
+                df, threshold=0.7, num_hashes=16, bands=4, engine=eng
+            ).collect()
+        }
+        assert (1, 3) in pairs, (eng, pairs)   # exact dup always recovered
+        assert (1, 2) in pairs or (2, 3) in pairs, (eng, pairs)

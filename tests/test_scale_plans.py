@@ -102,3 +102,20 @@ def test_onepass_parse_runs_regex_once(spark, sf_dir):
     sys_plan = plan_of(vrl_parse_syslog(spark, sf_dir))
     # RFC5424 + RFC3164 = 2 compiled patterns
     assert sys_plan.count("regexp_replace") == 2, sys_plan
+
+
+def test_find_table_row_no_fact_shuffle(spark, sf_dir):
+    """Round-1 regression: first-match-wins used a window over fact_id,
+    shuffling the entire fact stream. Now first-match resolves inside
+    the broadcast dim: the plan must contain NO hash-partitioning
+    exchange and NO sort on the fact side."""
+    from vrl_spark.plans.queries_functions import vrl_enrichment_range
+
+    plan = plan_of(vrl_enrichment_range(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    # The dim-side groupBy (a few rows, under the BroadcastExchange) is
+    # the ONLY allowed shuffle; everything above the broadcast — the
+    # fact stream — must be exchange-free.
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_side, plan

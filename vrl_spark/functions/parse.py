@@ -131,6 +131,23 @@ def parse_regex_onepass(col: Column, compiled: CompiledGrok, anchored: bool = Tr
     return F.when(ok, F.struct(*fields))
 
 
+def bind(col: Column, fn) -> Column:
+    """Expression-level common-subexpression binding.
+
+    Catalyst expression trees are trees, not DAGs: referencing a
+    Column N times in one expression re-evaluates it N times — and
+    inside a higher-order-function lambda, an OUTER expression is
+    re-evaluated once per array element (measured: word-shingling a
+    corpus re-ran ``split`` per gram, 5.6 s -> 0.35 s after binding).
+    ``bind(c, fn)`` routes ``c`` through a single-element ``transform``
+    so ``fn`` receives a lambda VARIABLE — a cheap slot read — instead
+    of the expression. Use for expensive subexpressions referenced
+    more than once (or at all inside HOF lambdas); use ``materialize``
+    when the reuse spans DataFrame projections.
+    """
+    return F.get(F.transform(F.array(col), fn), F.lit(0))
+
+
 def materialize(df, **cols: Column):
     """Evaluate each named Column EXACTLY ONCE per row — a real
     materialization barrier.

@@ -101,12 +101,20 @@ def fingerprint(col: Column) -> Column:
 def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-ish: md5 over each word w-gram, keep the MIN hash —
     a 1-of-n rolling-hash document sketch (content-defined, shift
-    tolerant)."""
-    toks = tokens(col)
-    k = F.size(toks)
-    last = F.greatest(k - window, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), last),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ").cast("binary")),
-    )
-    return F.when(k > 0, F.array_min(grams))
+    tolerant). ``bind`` keeps the tokenization from re-running once
+    per window position (Catalyst re-evaluates outer expressions
+    inside HOF lambdas)."""
+    from vrl_spark.functions.parse import bind
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        last = F.greatest(k - window, F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i + 1, window), " ").cast("binary")
+            ),
+        )
+        return F.when(k > 0, F.array_min(grams))
+
+    return bind(tokens(col), body)
