@@ -38,7 +38,7 @@ def test_to_int(spark):
     # reference src/stdlib/to_int.rs:4-19 + test vectors
     run_cases(spark, [
         ("123", S, 123),
-        ("  42 ", S, 42),          # trimmed int-string parses
+        ("  42 ", S, None),        # Rust str::parse rejects padding
         ("-7", S, -7),
         ("1.5", S, None),          # float-string errors in VRL
         ("abc", S, None),          # error
@@ -122,3 +122,20 @@ def test_is_ipv4(spark):
         coerce.is_ipv4(F.lit("not an ip")).alias("c"),
     ).collect()[0]
     assert (row["a"], row["b"], row["c"]) == (True, False, False)
+
+
+def test_is_nullish_unicode_whitespace_and_strict_parse(spark):
+    """ADVICE round-2: '\n  \n' is nullish (Unicode White_Space), and
+    to_bool(' true') errors like Rust parse_bool (no trimming)."""
+    row = spark.range(1).select(
+        coerce.is_nullish(F.lit("\n  \n")).alias("nl"),
+        coerce.is_nullish(F.lit("\t")).alias("tab"),
+        coerce.is_nullish(F.lit(" ")).alias("thin_space"),
+        coerce.to_bool(F.lit(" true"), T.StringType()).alias("padded_bool"),
+        coerce.to_float(F.lit(" 1.5 "), T.StringType()).alias("padded_float"),
+    ).collect()[0]
+    assert row["nl"] is True
+    assert row["tab"] is True
+    assert row["thin_space"] is True
+    assert row["padded_bool"] is None
+    assert row["padded_float"] is None

@@ -262,3 +262,51 @@ def test_syslog(spark):
     assert r["fc"] == 16
     assert r["s"] == 3
     assert r["l"] == "err"
+
+
+def test_redact_hash_reference_vectors(spark):
+    """redact.rs sha2/sha3 redactor examples + kv grouped duplicates."""
+    from vrl_spark.functions.strings import redact_hash
+
+    df = spark.createDataFrame([("my id is 123456",)], ["t"])
+    row = df.select(
+        redact_hash(F.col("t"), [r"\d+"]).alias("sha2_default"),
+        redact_hash(F.col("t"), [r"\d+"], algorithm="sha3").alias("sha3_default"),
+        redact_hash(F.col("t"), [r"\d+"], variant="SHA-256",
+                    encoding="base16").alias("sha256_hex"),
+        redact_hash(F.col("t"), [r"\d+"], variant="SHA-256",
+                    encoding="base64").alias("sha256_b64"),
+        redact_hash(F.col("t"), [r"zzz"]).alias("no_match"),
+    ).collect()[0]
+    assert row["sha2_default"] == "my id is GEtTedW1p6tC094dDKH+3B8P+xSnZz69AmpjaXRd63I="
+    assert row["sha3_default"] == ("my id is ZNCdmTDI7PeeUTFnpYjLdUObdizo+bIupZdl8"
+                                   "yqnTKGdLx6X3JIqPUlUWUoFBikX+yTR+OcvLtAqWO11NPlNJw==")
+    import hashlib
+    assert row["sha256_hex"] == "my id is " + hashlib.sha256(b"123456").hexdigest()
+    import base64
+    assert row["sha256_b64"] == "my id is " + base64.b64encode(
+        hashlib.sha256(b"123456").digest()).decode()
+    assert row["no_match"] == "my id is 123456"
+
+
+def test_parse_key_value_grouped_duplicates(spark):
+    """parse_key_value.rs:71-96 duplicate-key array semantics."""
+    from vrl_spark.functions.parse import parse_key_value_grouped
+
+    line = 'at=info,method=GET,path="/index",status=200,tags=dev,tags=dummy'
+    df = spark.createDataFrame([(line,), ("flag standalone=1 flag",),
+                                ("k v=2 k=real k",)], ["t"])
+    rows = df.select(
+        parse_key_value_grouped(F.col("t"), "=", ",").alias("m1"),
+        parse_key_value_grouped(F.col("t"), "=", " ").alias("m2"),
+    ).collect()
+    m = rows[0]["m1"]
+    assert m["tags"] == ["dev", "dummy"]
+    assert m["path"] == ["/index"]
+    assert m["status"] == ["200"]
+    m = rows[1]["m2"]
+    assert m["flag"] == ["true"]       # bare key; repeat ignored
+    assert m["standalone"] == ["1"]
+    m = rows[2]["m2"]
+    assert m["k"] == ["real"]          # value replaces bare-key true; later bare ignored
+    assert m["v"] == ["2"]

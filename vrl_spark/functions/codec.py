@@ -199,3 +199,95 @@ def decode_gzip(col: Column) -> Column:
         return s.map(one)
 
     return _g(col)
+
+
+# --- RFC 2047 encoded-words + charset transcoding ---------------------
+
+
+def decode_mime_q(col: Column) -> Column:
+    """src/stdlib/decode_mime_q.rs — replace every ``=?charset?b|q?..?=``
+    encoded-word with its decoded text, preserving the literal text
+    between words. A bare internal form without the ``=?``/``?=``
+    delimiters (and optionally without a charset, defaulting utf-8) is
+    accepted when the whole string is one word, matching the
+    reference's parse_internal_q fallback. Undecodable input -> NULL
+    (the error branch)."""
+
+    @pandas_udf(T.StringType())
+    def _dq(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+        import quopri as _qp
+        import re as _re
+
+        delimited = _re.compile(r"=\?([^?]*)\?([bBqQ])\?([^?]*)\?=")
+        internal = _re.compile(r"^(?:=\?)?([^?]*)\?([bBqQ])\?([^?]*?)(?:\?=)?$")
+
+        def decode_word(charset, enc, text):
+            cs = charset.strip() or "utf-8"
+            if enc in ("b", "B"):
+                raw = _b64.b64decode(text, validate=True)
+            else:
+                raw = _qp.decodestring(text.replace("_", " ").encode("ascii"))
+            return raw.decode(cs)
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                out, pos, hit = [], 0, False
+                for m in delimited.finditer(v):
+                    hit = True
+                    out.append(v[pos : m.start()])
+                    out.append(decode_word(*m.groups()))
+                    pos = m.end()
+                if hit:
+                    out.append(v[pos:])
+                    return "".join(out)
+                m = internal.match(v)
+                if m:
+                    return decode_word(*m.groups())
+                return v
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return _dq(col)
+
+
+def decode_charset(col: Column, from_charset: str) -> Column:
+    """src/stdlib/decode_charset.rs — decode legacy-charset bytes to
+    UTF-8 text. Unknown charset fails at plan build (the reference's
+    compile-time label lookup); malformed sequences become U+FFFD,
+    matching encoding_rs's replacement decode."""
+    import codecs as _codecs
+
+    _codecs.lookup(from_charset)  # unknown charset -> build-time error
+
+    @pandas_udf(T.StringType())
+    def _dc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: v.decode(from_charset, errors="replace") if v is not None else None
+        )
+
+    return _dc(col.cast("binary"))
+
+
+def encode_charset(col: Column, to_charset: str) -> Column:
+    """src/stdlib/encode_charset.rs — encode UTF-8 text into a legacy
+    charset. Unmappable characters become XML numeric references
+    (&#NNNN;), the encoding_rs lossy-encode behavior the reference
+    inherits."""
+    import codecs as _codecs
+
+    _codecs.lookup(to_charset)
+
+    @pandas_udf(T.BinaryType())
+    def _ec(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: v.encode(to_charset, errors="xmlcharrefreplace")
+            if v is not None
+            else None
+        )
+
+    return _ec(col)

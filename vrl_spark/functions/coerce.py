@@ -31,12 +31,11 @@ from pyspark.sql import types as T
 _TRUE_STRINGS = ["true", "t", "yes", "y"]
 _FALSE_STRINGS = ["false", "f", "no", "n", "0"]
 
-_INT_RE = r"^\s*[+-]?\d+\s*$"
-_FLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
-
-
-def _dtype(col_or_df, col: Column):
-    raise NotImplementedError
+# No whitespace tolerance: the reference parses with Rust
+# `str::parse` / `parse_bool`, which reject padded strings like
+# " 42 " (compiler/conversion/mod.rs:204-222).
+_INT_RE = r"^[+-]?\d+$"
+_FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
 
 
 def to_int(col: Column, dtype: T.DataType) -> Column:
@@ -59,7 +58,7 @@ def to_int(col: Column, dtype: T.DataType) -> Column:
         out = F.unix_timestamp(col)
     elif isinstance(dtype, T.StringType):
         # whole-string int parse; float-looking strings error in VRL
-        out = F.when(col.rlike(_INT_RE), F.trim(col).cast("long"))
+        out = F.when(col.rlike(_INT_RE), col.cast("long"))
     elif isinstance(dtype, T.NullType):
         out = F.lit(0).cast("long")
     else:
@@ -80,7 +79,7 @@ def to_float(col: Column, dtype: T.DataType) -> Column:
         # epoch seconds with sub-second fraction (to_float.rs:19-24)
         out = col.cast("double")
     elif isinstance(dtype, T.StringType):
-        out = F.when(col.rlike(_FLOAT_RE), F.trim(col).cast("double"))
+        out = F.when(col.rlike(_FLOAT_RE), col.cast("double"))
     elif isinstance(dtype, T.NullType):
         out = F.lit(0.0)
     else:
@@ -97,12 +96,14 @@ def to_bool(col: Column, dtype: T.DataType) -> Column:
     elif isinstance(dtype, (T.DoubleType, T.FloatType)):
         out = F.when(F.isnan(col), F.lit(None)).otherwise(col != 0.0)
     elif isinstance(dtype, T.StringType):
-        lowered = F.lower(F.trim(col))
+        # parse_bool (conversion/mod.rs:204-222): exact words (any
+        # case), else integer parse — no whitespace trimming
+        lowered = F.lower(col)
         out = (
             F.when(lowered.isin(_TRUE_STRINGS), F.lit(True))
             .when(lowered.isin(_FALSE_STRINGS), F.lit(False))
             # int-string: nonzero -> true, zero -> false (conversion table)
-            .when(lowered.rlike(_INT_RE), F.trim(col).cast("long") != 0)
+            .when(col.rlike(_INT_RE), col.cast("long") != 0)
         )
     elif isinstance(dtype, T.NullType):
         out = F.lit(False)
@@ -143,8 +144,11 @@ def rfc3339(ts: Column) -> Column:
 # --- type predicates (reference src/stdlib/is_*.rs) ------------------
 
 def is_nullish(col: Column) -> Column:
-    """null, "", "-", or whitespace-only (src/stdlib/is_nullish.rs)."""
-    return col.isNull() | F.trim(col).isin("", "-")
+    """null, "", "-", or whitespace-only (src/stdlib/is_nullish.rs;
+    whitespace = the full Unicode White_Space property, hence the
+    Java (?U) regex flag — F.trim only strips ASCII spaces and would
+    miss tab/newline-only strings)."""
+    return col.isNull() | (col == "-") | col.rlike(r"^(?U)\s*$")
 
 
 _IPV4_RE = (

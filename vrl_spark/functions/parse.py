@@ -260,12 +260,13 @@ def parse_key_value_vectorized(
     field_delimiter: str = " ",
 ) -> Column:
     """Full logfmt semantics (quoted values w/ escapes, standalone key
-    -> "true", first-win ordering) as one Arrow-batched UDF -> MapType.
+    -> "true") as one Arrow-batched UDF -> MapType.
 
-    Reference: src/stdlib/parse_key_value.rs:52-98 (nom parser);
-    duplicate keys -> array there, map here keeps the LAST value and
-    is documented as the relational restriction (MapType is
-    single-valued).
+    Reference: src/stdlib/parse_key_value.rs:52-98 (nom parser).
+    Duplicate keys build an ARRAY there; this scalar-map lane keeps
+    the LAST value (MapType is single-valued) — use
+    ``parse_key_value_grouped`` for the exact array-building
+    duplicate-key semantics.
     """
     kvd, fd = key_value_delimiter, field_delimiter
 
@@ -299,6 +300,63 @@ def parse_key_value_vectorized(
                 elif len(v) >= 2 and v[0] == '"' and v[-1] == '"':
                     v = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
                 out[k] = v
+            return out
+
+        return s.map(one)
+
+    return kv(col)
+
+
+def parse_key_value_grouped(
+    col: Column,
+    key_value_delimiter: str = "=",
+    field_delimiter: str = " ",
+) -> Column:
+    """Exact reference duplicate-key semantics as
+    ``Map<String, Array<String>>`` (parse_key_value.rs:71-96):
+    duplicate keys accumulate into an array in encounter order; a
+    standalone key contributes "true" but is REPLACED (not appended)
+    by a later real value, and a later standalone occurrence of an
+    already-valued key is ignored."""
+    kvd, fd = key_value_delimiter, field_delimiter
+
+    @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.StringType())))
+    def kv(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        tok = _re.compile(
+            r'\s*([^'
+            + _re.escape(kvd)
+            + _re.escape(fd)
+            + r'"]+)\s*(?:'
+            + _re.escape(kvd)
+            + r'("(?:[^"\\]|\\.)*"|[^'
+            + _re.escape(fd)
+            + r']*))?'
+        )
+
+        def one(line):
+            if line is None:
+                return None
+            out: dict[str, list] = {}
+            standalone: set = set()
+            for m in tok.finditer(line):
+                k, v = m.group(1), m.group(2)
+                if v is None:
+                    if k not in out:
+                        out[k] = ["true"]
+                        standalone.add(k)
+                    # key already has a value: "we are done"
+                    continue
+                if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                    v = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+                if k not in out:
+                    out[k] = [v]
+                elif k in standalone:
+                    out[k] = [v]  # real value replaces bare-key "true"
+                    standalone.discard(k)
+                else:
+                    out[k].append(v)
             return out
 
         return s.map(one)

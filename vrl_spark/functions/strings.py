@@ -1,13 +1,18 @@
 """String functions (reference src/stdlib/, category Strings).
 
-All pure JVM Column expressions — whole-stage codegen, no Python.
+Pure JVM Column expressions — whole-stage codegen, no Python — except
+the SHA-512/256 / SHA3 redactor variants of ``redact_hash``, which
+Spark's expression library lacks (one Arrow-batched UDF there).
 Semantics notes per function cite the reference file.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # --- casing (reference src/stdlib/casing/*) --------------------------
 
@@ -167,11 +172,106 @@ def sieve(
 
 
 def redact(col: Column, patterns: list[str], redactor: str = "[REDACTED]") -> Column:
-    """src/stdlib/redact.rs — regex-based masking cascade (text mode)."""
+    """src/stdlib/redact.rs — full/text redactor modes (replace every
+    regex match with a fixed string). For the sha2/sha3 redactor modes
+    use ``redact_hash``."""
     out = col
     for p in patterns:
         out = F.regexp_replace(out, p, redactor.replace("$", "\\$"))
     return out
+
+
+def _interleave_hashed(col: Column, pattern: str, hash_fn) -> Column:
+    """Replace every match of ``pattern`` with hash_fn(match), pure
+    JVM: split on the pattern for the unmatched segments, extract the
+    matches, hash each, and re-interleave. No UDF, no second regex
+    engine — the redact hot path stays in codegen."""
+    from vrl_spark.functions.parse import bind
+
+    def with_segs(segs: Column) -> Column:
+        def with_matches(ms: Column) -> Column:
+            tail = F.zip_with(
+                F.transform(ms, hash_fn),
+                F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+                lambda h, nxt: F.concat(h, nxt),
+            )
+            return F.concat(F.element_at(segs, 1), F.array_join(tail, ""))
+
+        return bind(F.regexp_extract_all(col, F.lit(f"({pattern})"), 1), with_matches)
+
+    return bind(F.split(col, pattern, -1), with_segs)
+
+
+def redact_hash(
+    col: Column,
+    patterns: list[str],
+    algorithm: str = "sha2",
+    variant: str | None = None,
+    encoding: str = "base64",
+) -> Column:
+    """src/stdlib/redact.rs sha2/sha3 redactor modes: each match is
+    replaced by hash(match) encoded base16/base64. Defaults mirror the
+    reference: sha2 -> SHA-512/256, sha3 -> SHA3-512, base64.
+
+    Lowering: SHA-224/256/384/512 + base16/base64 run fully JVM-side
+    (F.sha2 + unhex/base64 over the match array); SHA-512/256 and the
+    SHA3 family aren't in Spark's expression library, so those
+    variants run as one Arrow-batched pandas UDF (hashlib)."""
+    if algorithm == "sha2":
+        variant = variant or "SHA-512/256"
+        jvm_bits = {"SHA-224": 224, "SHA-256": 256, "SHA-384": 384, "SHA-512": 512}
+        if variant in jvm_bits:
+            bits = jvm_bits[variant]
+
+            def hash_fn(m: Column) -> Column:
+                hx = F.sha2(m, bits)
+                return hx if encoding == "base16" else F.base64(F.unhex(hx))
+
+            out = col
+            for p in patterns:
+                out = _interleave_hashed(out, p, hash_fn)
+            return out
+        if variant != "SHA-512/256":
+            raise ValueError(f"invalid sha2 variant {variant!r}")
+        hashlib_name = "sha512_256"
+    elif algorithm == "sha3":
+        variant = variant or "SHA3-512"
+        table = {
+            "SHA3-224": "sha3_224", "SHA3-256": "sha3_256",
+            "SHA3-384": "sha3_384", "SHA3-512": "sha3_512",
+        }
+        if variant not in table:
+            raise ValueError(f"invalid sha3 variant {variant!r}")
+        hashlib_name = table[variant]
+    else:
+        raise ValueError(f"invalid hash redactor {algorithm!r}")
+    if encoding not in ("base16", "base64"):
+        raise ValueError(f"invalid encoding {encoding!r}")
+
+    pats, enc = list(patterns), encoding
+
+    @pandas_udf(T.StringType())
+    def _r(s: pd.Series) -> pd.Series:
+        import base64 as _b64
+        import hashlib as _hl
+        import re as _re
+
+        compiled = [_re.compile(p) for p in pats]
+
+        def hash_match(m):
+            d = _hl.new(hashlib_name, m.group(0).encode()).digest()
+            return d.hex() if enc == "base16" else _b64.b64encode(d).decode()
+
+        def one(v):
+            if v is None:
+                return None
+            for p in compiled:
+                v = p.sub(hash_match, v)
+            return v
+
+        return s.map(one)
+
+    return _r(col)
 
 
 # --- measures --------------------------------------------------------

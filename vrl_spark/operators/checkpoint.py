@@ -41,10 +41,17 @@ class CheckpointedRun:
         return os.path.join(self.out_dir, "_manifest")
 
     def committed_keys(self, spark: SparkSession) -> set:
-        try:
-            rows = spark.read.json(self.manifest_dir).select("part_key").collect()
-        except Exception:
-            return set()
+        """Committed = has a ``<key>.json`` manifest row. The glob
+        filter keeps a torn ``.<key>.json.tmp`` from a crash between
+        write and rename out of the read (a tmp is NOT a commit)."""
+        if not os.path.isdir(self.manifest_dir):
+            return set()  # no manifest yet — first run
+        rows = (
+            spark.read.option("pathGlobFilter", "*.json")
+            .json(self.manifest_dir)
+            .select("part_key")
+            .collect()
+        )
         return {r["part_key"] for r in rows}
 
     def pending(self, all_keys: list, spark: SparkSession) -> list:
@@ -70,7 +77,9 @@ class CheckpointedRun:
         # one json file per partition: commit is the atomic rename the
         # filesystem gives us; Iceberg swaps this for a snapshot commit
         path = os.path.join(self.manifest_dir, f"{key}.json")
-        tmp = path + ".tmp"
+        # dot-prefixed tmp: Spark's file index ignores hidden files, so
+        # a crash between write and rename can never read as committed
+        tmp = os.path.join(self.manifest_dir, f".{key}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(metrics, f)
         os.replace(tmp, path)

@@ -29,15 +29,16 @@ WITH derived AS (
   FROM events
 )
 SELECT event_id,
-  -- VRL to_int: null->0, int-string parses, else error(NULL)
+  -- VRL to_int: null->0, int-string parses (NO whitespace tolerance,
+  -- Rust str::parse), else error(NULL) — ' 42 ' is an error
   CASE WHEN s IS NULL THEN 0
-       WHEN regexp_matches(s, '^\\s*[+-]?\\d+\\s*$') THEN TRY_CAST(trim(s) AS BIGINT)
+       WHEN regexp_matches(s, '^[+-]?\\d+$') THEN TRY_CAST(s AS BIGINT)
        END AS int_val,
-  -- VRL to_bool: table lookup, null->false, else error(NULL)
+  -- VRL to_bool: parse_bool table (no trim), null->false, else error(NULL)
   CASE WHEN b IS NULL THEN false
-       WHEN lower(trim(b)) IN ('true','t','yes','y') THEN true
-       WHEN lower(trim(b)) IN ('false','f','no','n','0') THEN false
-       WHEN regexp_matches(b, '^\\s*[+-]?\\d+\\s*$') THEN TRY_CAST(trim(b) AS BIGINT) != 0
+       WHEN lower(b) IN ('true','t','yes','y') THEN true
+       WHEN lower(b) IN ('false','f','no','n','0') THEN false
+       WHEN regexp_matches(b, '^[+-]?\\d+$') THEN TRY_CAST(b AS BIGINT) != 0
        END AS bool_val,
   -- VRL to_float on double passthrough (NaN absent in events.value)
   f AS float_val,
@@ -652,3 +653,86 @@ def vrl_enrichment_range(spark, sf_dir):
         date_range=("ts", "vf", "vt"), fact_id="event_id", order_col="ord",
     )
     return out.select("event_id", "label")
+
+
+# ---------------------------------------------------------------------
+# crypto / mime / charset round-trips (encrypt, decrypt, encrypt_ip,
+# decode_mime_q, encode/decode_charset). DuckDB has no AES, so the
+# oracle checks DETERMINISTIC consequences: round-trips must return the
+# plaintext, ciphertext length follows the PKCS7 formula, the
+# encrypted IP round-trips, and the mime/charset decodes hit fixed
+# expected strings. The Spark side really encrypts/decodes — a broken
+# kernel breaks the value match.
+# ---------------------------------------------------------------------
+
+_MIME_SET = [
+    ("=?utf-8?b?SGVsbG8sIFdvcmxkIQ==?=", "Hello, World!"),
+    ("=?utf-8?q?hello=5Fworld?=", "hello_world"),
+    ("Subject: =?utf-8?b?Zm9v?= bar", "Subject: foo bar"),
+    ("plain text", "plain text"),
+]
+_HANGUL = ["안녕하세요", "한국어", "테스트"]
+
+_CRYPTO_ORACLE = f"""
+WITH derived AS (
+  SELECT event_id,
+    'event ' || event_type || ' #' || CAST(event_id AS VARCHAR) AS line,
+    '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
+      CAST((event_id // 200) % 200 AS VARCHAR) || '.' ||
+      CAST(event_id % 250 AS VARCHAR) AS ip
+  FROM events
+)
+SELECT event_id,
+  line AS aes_roundtrip,
+  (length(line) // 16 + 1) * 16 AS ct_len,
+  line AS chacha_roundtrip,
+  ip AS ip_roundtrip,
+  CASE event_id % 4 {' '.join(f"WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(_MIME_SET))} END AS mime_decoded,
+  CASE event_id % 3 {' '.join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_HANGUL))} END AS charset_roundtrip
+FROM derived
+"""
+
+
+@register("vrl_crypto_codecs", _CRYPTO_ORACLE)
+def vrl_crypto_codecs(spark, sf_dir):
+    from vrl_spark.functions import crypto
+
+    key32 = b"32_bytes_" + b"x" * 23
+    key16 = b"16_bytes_" + b"x" * 7
+    iv16 = b"16_bytes_" + b"x" * 7
+    iv12 = b"12_bytes_" + b"x" * 3
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    line = F.concat(
+        F.lit("event "), F.col("event_type"), F.lit(" #"), e.cast("string")
+    )
+    ip = F.concat(
+        F.lit("10."), (e % 200).cast("string"), F.lit("."),
+        ((e / 200).cast("long") % 200).cast("string"), F.lit("."),
+        (e % 250).cast("string"),
+    )
+    mime_src = F.element_at(
+        F.array(*[F.lit(s) for s, _ in _MIME_SET]), (e % 4).cast("int") + 1
+    )
+    hangul = F.element_at(
+        F.array(*[F.lit(t) for t in _HANGUL]), (e % 3).cast("int") + 1
+    )
+    aes_ct = crypto.encrypt(line, "AES-256-CBC-PKCS7", key32, iv16)
+    return ev.select(
+        "event_id",
+        crypto.decrypt(aes_ct, "AES-256-CBC-PKCS7", key32, iv16)
+        .cast("string").alias("aes_roundtrip"),
+        F.length(aes_ct).cast("long").alias("ct_len"),
+        crypto.decrypt(
+            crypto.encrypt(line, "CHACHA20-POLY1305", key32, iv12),
+            "CHACHA20-POLY1305", key32, iv12,
+        ).cast("string").alias("chacha_roundtrip"),
+        crypto.decrypt_ip(
+            crypto.encrypt_ip(ip, key16, "aes128"), key16, "aes128"
+        ).alias("ip_roundtrip"),
+        codec.decode_mime_q(mime_src).alias("mime_decoded"),
+        codec.decode_charset(
+            codec.encode_charset(hangul, "euc-kr"), "euc-kr"
+        ).alias("charset_roundtrip"),
+    )

@@ -64,14 +64,22 @@ def windowed_counts(
 
 
 def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
-    """Multi-sink fan-out with exactly-once file sink semantics:
-    foreachBatch writes each micro-batch partitioned by route in one
-    job (same single-pass property as the batch sink)."""
+    """Multi-sink fan-out, idempotent under micro-batch REPLAY.
+
+    foreachBatch is at-least-once: after a failure the same batch_id
+    is re-delivered, and a bare ``mode("append")`` would duplicate its
+    rows. Writes are made idempotent by partitioning the sink by
+    (batch_id, route) with DYNAMIC partition overwrite: a replayed
+    batch overwrites exactly its own batch_id partitions and leaves
+    every other batch untouched — the classic exactly-once-effect
+    recipe for foreachBatch file sinks."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.write.mode("append")
-            .partitionBy("route")
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "route")
             .parquet(out_dir)
         )
 
