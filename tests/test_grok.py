@@ -113,3 +113,60 @@ def test_annotated_composite_with_suffix_fields():
     assert got["client_ip"] == "10.0.0.5"
     assert got["referrer"] == "http://ref"
     assert got["agent"] == "agent/1.0"
+
+
+@pytest.mark.parametrize(
+    "pat,text,expect",
+    [
+        ("%{EMAILADDRESS:e}", "mail from john.doe+tag@sub.example.com now",
+         "john.doe+tag@sub.example.com"),
+        ("%{MAC:m}", "if0 at 00:1b:44:11:3a:b7 up", "00:1b:44:11:3a:b7"),
+        ("%{CISCOMAC:m}", "sw 0123.4567.89ab port", "0123.4567.89ab"),
+        ("%{DATE_US:d}", "on 04/21/2024 at", "04/21/2024"),
+        ("%{DATESTAMP:d}", "at 21.04.2024 13:55:36 end", "21.04.2024 13:55:36"),
+        ("%{DATESTAMP_RFC2822:d}", "sent Tue, 10 Oct 2000 13:55:36 +0200 ok",
+         "Tue, 10 Oct 2000 13:55:36 +0200"),
+        ("%{JAVACLASS:c}", "com.example.Foo$Bar threw", "com.example.Foo$Bar"),
+        ("%{UNIXPATH:p}", "read /var/log/app.log end", "/var/log/app.log"),
+        ("%{URIPATHPARAM:u}", "GET /a/b?x=1&y=2 HTTP", "/a/b?x=1&y=2"),
+        ("%{QS:q}", 'said "hello there" ok', '"hello there"'),
+    ],
+)
+def test_extended_vocab_extraction(pat, text, expect):
+    c = compile_grok(pat)
+    m = re.search(c.regex, text)
+    assert m is not None, (pat, text)
+    assert m.group(1) == expect
+
+
+def test_syslogbase_and_elb_composites():
+    c = compile_grok("%{SYSLOGBASE} %{GREEDYDATA:message}")
+    line = "Jun  4 07:12:01 host1.example.com sshd[123]: Accepted publickey for root"
+    m = re.match(c.regex, line)
+    assert m is not None
+    got = {f: m.group(i + 1) for i, f in enumerate(c.fields)}
+    assert got["syslog_timestamp"] == "Jun  4 07:12:01"
+    assert got["logsource"] == "host1.example.com"
+    assert got["message"] == "Accepted publickey for root"
+
+    c = compile_grok("%{ELB_ACCESS_LOG}")
+    line = ('2024-01-02T03:04:05.123456Z my-elb 10.0.0.1:54321 10.0.1.5:80 '
+            '0.000073 0.001048 0.000057 200 200 0 29 "GET /index.html HTTP/1.1"')
+    m = re.match(c.regex, line)
+    assert m is not None
+    got = {f: m.group(i + 1) for i, f in enumerate(c.fields)}
+    assert got["elb"] == "my-elb"
+    assert got["clientip"] == "10.0.0.1"
+    assert got["response"] == "200"
+    assert got["request"] == "/index.html"
+
+    c = compile_grok("%{S3_ACCESS_LOG}")
+    line = ('79a5 my-bucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a5 '
+            '3E57427F3EXAMPLE REST.GET.VERSIONING - "GET /my-bucket?versioning HTTP/1.1" '
+            '200 - 113 - 7 - "-" "S3Console/0.4" -')
+    m = re.match(c.regex, line)
+    assert m is not None
+    got = {f: m.group(i + 1) for i, f in enumerate(c.fields)}
+    assert got["bucket"] == "my-bucket"
+    assert got["operation"] == "REST.GET.VERSIONING"
+    assert got["s3_response"] == "200"

@@ -208,3 +208,90 @@ def test_parse_influxdb(spark):
     assert d2["fields"] == {"used": "12"}
     assert d2["timestamp"] is None
     assert one(spark, P.parse_influxdb(F.lit("justoneword"))) is None
+
+
+def test_parse_etld_struct_reference_examples(spark, tmp_path):
+    """parse_etld.rs examples: known suffix, +1 parts, unknown suffix,
+    custom PSL file; plus wildcard/exception PSL rules."""
+    from vrl_spark.functions.presets import parse_etld_struct
+
+    df = spark.createDataFrame(
+        [("sub.sussex.ac.uk",), ("vector.acmecorp",), ("foo.bar.bd",),
+         ("www.ck",), ("shop.example.github.io",)],
+        ["host"],
+    )
+    rows = {r["host"]: r for r in df.select(
+        "host", parse_etld_struct(F.col("host")).alias("p0"),
+        parse_etld_struct(F.col("host"), plus_parts=1).alias("p1"),
+    ).collect()}
+    r = rows["sub.sussex.ac.uk"]
+    assert (r["p0"]["etld"], r["p0"]["etld_plus"], r["p0"]["known_suffix"]) == (
+        "ac.uk", "ac.uk", True)
+    assert r["p1"]["etld_plus"] == "sussex.ac.uk"
+    r = rows["vector.acmecorp"]
+    assert (r["p0"]["etld"], r["p0"]["known_suffix"]) == ("acmecorp", False)
+    r = rows["foo.bar.bd"]       # *.bd wildcard
+    assert (r["p0"]["etld"], r["p0"]["known_suffix"]) == ("bar.bd", True)
+    r = rows["www.ck"]           # !www.ck exception under *.ck
+    assert (r["p0"]["etld"], r["p0"]["known_suffix"]) == ("ck", True)
+    r = rows["shop.example.github.io"]   # private suffix
+    assert r["p1"]["etld_plus"] == "example.github.io"
+
+    # custom PSL file (reference custom_public_suffix_list.dat analogue)
+    psl_file = tmp_path / "custom.dat"
+    psl_file.write_text("// ===BEGIN ICANN DOMAINS===\n\ncustomdev\n")
+    got = spark.createDataFrame([("vector.customdev",), ("vector.acmecorp",)], ["h"]).select(
+        "h", parse_etld_struct(F.col("h"), psl=str(psl_file)).alias("p")
+    ).collect()
+    by = {r["h"]: r["p"] for r in got}
+    assert (by["vector.customdev"]["etld"], by["vector.customdev"]["known_suffix"]) == (
+        "customdev", True)
+    assert (by["vector.acmecorp"]["etld"], by["vector.acmecorp"]["known_suffix"]) == (
+        "acmecorp", False)
+
+
+def test_parse_user_agent_full_reference_examples(spark):
+    """parse_user_agent.rs reliable + enriched example outputs."""
+    from vrl_spark.functions.presets import parse_user_agent_full
+
+    ie = "Mozilla/4.0 (compatible; MSIE 7.66; Windows NT 5.1; SV1; .NET CLR 1.1.4322)"
+    opera = ("Opera/9.80 (J2ME/MIDP; Opera Mini/4.3.24214; iPhone; CPU iPhone OS "
+             "4_2_1 like Mac OS X; AppleWebKit/24.783; U; en) Presto/2.5.25 Version/10.54")
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+    bot = "Googlebot/2.1 (+http://www.google.com/bot.html)"
+    df = spark.createDataFrame([(ie,), (opera,), (chrome,), (bot,)], ["ua"])
+    rows = {r["ua"]: r for r in df.select(
+        "ua",
+        parse_user_agent_full(F.col("ua"), "reliable").alias("r"),
+        parse_user_agent_full(F.col("ua"), "enriched").alias("e"),
+    ).collect()}
+
+    r = rows[ie]["r"]
+    assert r["browser"]["family"] == "Internet Explorer"
+    assert r["browser"]["version"] == "7.66"
+    assert r["device"]["category"] == "pc"
+    assert r["os"]["family"] == "Windows XP"
+    assert r["os"]["version"] == "NT 5.1"
+
+    e = rows[opera]["e"]
+    assert e["browser"]["family"] == "Opera Mini"
+    assert (e["browser"]["major"], e["browser"]["minor"], e["browser"]["patch"]) == (
+        "4", "3", "24214")
+    assert e["browser"]["version"] == "10.54"
+    assert e["device"]["brand"] == "Apple"
+    assert e["device"]["category"] == "smartphone"
+    assert e["device"]["family"] == "iPhone"
+    assert e["device"]["model"] == "iPhone"
+    assert e["os"]["family"] == "iOS"
+    assert (e["os"]["major"], e["os"]["minor"], e["os"]["patch"]) == ("4", "2", "1")
+    assert e["os"]["patch_minor"] is None
+    assert e["os"]["version"] == "4.2.1"
+
+    r = rows[chrome]["r"]
+    assert r["browser"]["family"] == "Chrome"
+    assert r["os"]["family"] == "Windows 10"
+    assert r["device"]["category"] == "pc"
+
+    r = rows[bot]["r"]
+    assert r["device"]["category"] == "crawler"

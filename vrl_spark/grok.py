@@ -75,6 +75,64 @@ GROK_PATTERNS: dict[str, str] = {
     "MONTHNUM2": r"0[1-9]|1[0-2]",
     "MONTHDAY2": r"[0-3]\d",
     "SYSLOGPROG": r"%{WORD}(?:\[%{POSINT}\])?",
+    # email / java / paths (standard public grok names)
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,64}(?:\.[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,62})*",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z0-9_. -]+)",
+    "JAVAMETHOD": r"(?:(<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?(?:/\w+)?",
+    # MAC addresses
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # URI additions
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "QS": r"%{QUOTEDSTRING}",
+    # date/time additions
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"[A-Z]{1,5}|[+-]\d{4}",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"\d{14}",
+    # syslog composites
+    "SYSLOGFACILITY": r"<%{NONNEGINT}.%{NONNEGINT}>",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGBASE": (
+        r"%{SYSLOGTIMESTAMP:syslog_timestamp} (?:%{SYSLOGFACILITY} )?"
+        r"%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"
+    ),
+    # AWS access-log shapes (public formats)
+    "ELB_URIPATHQUERY": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "ELB_REQUEST_LINE": r'%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}',
+    "ELB_ACCESS_LOG": (
+        r"%{TIMESTAMP_ISO8601:elb_timestamp} %{NOTSPACE:elb} %{IP:clientip}:"
+        r"%{POSINT:clientport} (?:%{IP:backendip}:%{POSINT:backendport}|-) "
+        r"%{NUMBER:request_processing_time} %{NUMBER:backend_processing_time} "
+        r"%{NUMBER:response_processing_time} %{NONNEGINT:response} "
+        r"%{NONNEGINT:backend_response} %{NONNEGINT:received_bytes} "
+        r'%{NONNEGINT:sent_bytes} "%{ELB_REQUEST_LINE}"'
+    ),
+    "S3_REQUEST_LINE": r"%{WORD:s3_verb} %{NOTSPACE:s3_request} HTTP/%{NUMBER:s3_httpversion}",
+    "S3_ACCESS_LOG": (
+        r"%{WORD:owner} %{NOTSPACE:bucket} \[%{HTTPDATE:s3_timestamp}\] "
+        r"%{IP:s3_clientip} %{NOTSPACE:requester} %{NOTSPACE:request_id} "
+        r'%{NOTSPACE:operation} %{NOTSPACE:key} (?:"%{S3_REQUEST_LINE}"|-) '
+        r"%{NONNEGINT:s3_response} (?:-|%{NOTSPACE:error_code}) "
+        r"(?:%{NONNEGINT:bytes_sent}|-) (?:%{NONNEGINT:object_size}|-) "
+        r"(?:%{NONNEGINT:request_time_ms}|-) (?:%{NONNEGINT:turnaround_time_ms}|-) "
+        r'(?:"%{DATA:referrer}"|-) (?:"%{DATA:s3_agent}"|-) (?:-|%{NOTSPACE:version_id})'
+    ),
     # composite web-log patterns
     "COMMONAPACHELOG": (
         r'%{IPORHOST:client_ip} %{NOTSPACE:ident} %{NOTSPACE:user} '
