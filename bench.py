@@ -86,19 +86,31 @@ def main() -> None:
         print(f"# bench amplified error: {e}", file=sys.stderr)
 
 
-    # headline queries measured FIRST (fresh JVM state, best-of-2) —
-    # the heavy dedup queries grow/fragment the heap and add noise to
-    # anything measured after them
+    # Ordering discipline: headline first (fresh JVM state, best-of-2),
+    # then the light pure-JVM queries, then the heavy/pandas-UDF
+    # queries LAST — heavy dedup runs fragment the heap and the first
+    # pandas UDF spawns Python workers; both add 2-10x noise to any
+    # pure-JVM query measured after them (observed: vrl_math_ip 2.1 s
+    # alone vs 13-30 s measured right after vrl_crypto_codecs).
     headline = ["pipeline_aggregate", "pipeline_routed_rows", "pipeline_route_counts"]
-    ordered = [n for n in headline if n in qs] + sorted(
-        n for n in qs if n not in headline
+    heavy = [
+        "vrl_crypto_codecs", "similarity_lsh_ann", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_minhash_engine", "dedup_simhash",
+    ]
+    ordered = (
+        [n for n in headline if n in qs]
+        + sorted(n for n in qs if n not in headline and n not in heavy)
+        + [n for n in heavy if n in qs]
     )
     for name in ordered:
         fn = qs[name]
         try:
-            reps = 2 if name in headline else 1
+            # best-of-2 for EVERYTHING: the sandbox host has multi-
+            # second CPU-steal windows that inflate a single rep 10-30x
+            # (observed text_lang_id: 36.8 s in-bench vs 0.4 s alone);
+            # min-of-2 reps ~always dodges one bad window
             results[name] = round(
-                min(force(fn(spark, sf_dir)) for _ in range(reps)), 3
+                min(force(fn(spark, sf_dir)) for _ in range(2)), 3
             )
         except Exception as e:  # a broken query shouldn't kill the bench
             results[name] = -1.0

@@ -39,7 +39,11 @@ def materialize_pages(spark, sf_dir: str, amp: int) -> str:
     path = os.path.join(cache, f"pages_amp{amp}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        amplified_pages(spark, sf_dir, amp).repartition(64).write.mode(
+        # partition count scales with volume: at high amplification 64
+        # files = only 2 waves on 32 cores, so one straggler (or one
+        # host steal burst) dominates; ~8 waves rides them out
+        n_parts = max(64, amp // 16)
+        amplified_pages(spark, sf_dir, amp).repartition(n_parts).write.mode(
             "overwrite"
         ).parquet(path)
     return path

