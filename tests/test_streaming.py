@@ -83,3 +83,44 @@ def test_stream_fanout_exactly_once(spark, sf_dir, tmp_path):
     q2 = write_fanout(routed, out, ckpt).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    across micro-batches match the batch gap-sessionization on the
+    same rows."""
+    from datetime import datetime as dt
+
+    from vrl_spark.streaming.pipeline import sessionize_stream
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 0)), (1, dt(2024, 1, 1, 0, 10)),   # session A (2)
+        (1, dt(2024, 1, 1, 2, 0)),                                # closes A, opens B
+        (1, dt(2024, 1, 1, 5, 0)),                                # closes B, opens C
+        (2, dt(2024, 1, 1, 1, 0)), (2, dt(2024, 1, 1, 1, 5)),    # session (2)
+        (2, dt(2024, 1, 1, 9, 0)),                                # closes it
+    ]
+    src = str(tmp_path / "events_in")
+    # one file: the operator assumes per-key time-ordered ARRIVAL
+    # across micro-batches (watermark-ordered upstream in production);
+    # multi-file parquet would replay rows in arbitrary file order
+    spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.format("parquet").schema(schema).load(src)
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_sec"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # closed sessions only (the final open session per user stays in state)
+    assert (1, dt(2024, 1, 1, 0, 0), 2, 600) in got
+    assert (1, dt(2024, 1, 1, 2, 0), 1, 0) in got
+    assert (2, dt(2024, 1, 1, 1, 0), 2, 300) in got
+    assert len(got) == 3

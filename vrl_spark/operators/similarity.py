@@ -138,3 +138,52 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Deterministic coarse quantization: the sign pattern of the
+    first ``bits`` dimensions as an int. Oracle-replicable (plain
+    CASE arithmetic), unlike hashed random hyperplanes."""
+    b = None
+    for i in range(bits):
+        t = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        b = t if b is None else b + t
+    return b
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    block_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked-exact.
+
+    Blocking = sign pattern of the first ``block_bits`` dimensions
+    (same join-not-crossjoin shape as the text dedup family; near-
+    identical vectors agree on sign bits unless a blocked dimension
+    sits within eps of zero). ``block_bits`` is the scale knob: 2^bits
+    buckets bound the per-bucket pair count — raise it with corpus
+    size exactly like LSH band count. Exact cosine verifies inside
+    blocks; the self-join is shuffle_hash-hinted so Spark never tries
+    to broadcast the (expensive) bucketed subplan."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
+    )
+    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._vec"), F.col("b._vec")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -371,3 +371,77 @@ def text_rolling_fingerprint(spark, sf_dir):
         "doc_id",
         textstats.rolling_hash_fingerprint(F.col("text"), window=8).alias("sketch"),
     )
+
+
+# ---------------------------------------------------------------------
+# embedding-cosine near-dup (blocked-exact, planted duplicates)
+# ---------------------------------------------------------------------
+
+_COS_SQL = """
+    list_sum(list_transform(list_zip(a.v, c.v),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / NULLIF(
+        sqrt(list_sum(list_transform(a.v, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+      * sqrt(list_sum(list_transform(c.v, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 0)
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  -- planted near-dups: every 10th vector re-enters with dim 1 scaled
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(list_zip(v, range(1, len(v) + 1)),
+                        p -> CASE WHEN p[2] = 1 THEN p[1] * 1.05 ELSE p[1] END) AS v
+  FROM base WHERE vec_id % 10 = 0
+),
+b AS (
+  SELECT vec_id, v,
+    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+    + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM corpus
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_x1m
+FROM pairs WHERE cos >= 0.99
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over a corpus with PLANTED duplicates
+    (every 10th vector re-enters with one dimension scaled 1.05 —
+    cosine ~0.999 to its source). Blocked-exact: sign-bit buckets +
+    exact cosine, the oracle replicating bucket and score byte-for-
+    byte in DuckDB doubles."""
+    from vrl_spark.operators.similarity import cosine_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = cosine_dedup_pairs(
+        corpus, id_col="vec_id", vec_col="v", threshold=0.99, block_bits=4
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("cos") * 1000000).cast("long").alias("cos_x1m"),
+    )

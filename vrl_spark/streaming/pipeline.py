@@ -88,3 +88,73 @@ def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800):
+    """Custom STATEFUL streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the escape hatch for semantics that
+    windowed aggregates can't express (open-ended sessions keyed by
+    inactivity, not by fixed windows). Mirrors the batch
+    ``operators.sessions.session_stats`` contract.
+
+    State per user: (start_us, last_us, n). A micro-batch's rows are
+    sorted and folded into the open session; every gap > ``gap_sec``
+    CLOSES a session, which is emitted downstream. The still-open
+    session stays in state across micro-batches (at-least-once safe:
+    emission happens only on close, and replaying a batch rebuilds the
+    same state from the same inputs). State size is O(distinct users),
+    bounded regardless of stream length.
+
+    Ordering contract: rows are sorted WITHIN a micro-batch, but
+    arrival across batches must be per-key time-ordered (enforce
+    upstream with a watermark + ordered source, e.g. Kafka per-key
+    partitions). A row older than the open session's last event would
+    otherwise split sessions — the same contract Spark's own
+    session_window has before the watermark closes a window."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, duration_sec bigint"
+    )
+    state_schema = "start bigint, last bigint, n bigint"
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        closed = []
+        for pdf in pdf_iter:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+            for t in ts_us:
+                t = int(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["session_start", "session_end", "n_events"]
+            )
+            out["user_id"] = user_id
+            out["duration_sec"] = (out["session_end"] - out["session_start"]) // 1_000_000
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out[["user_id", "session_start", "session_end", "n_events", "duration_sec"]]
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
