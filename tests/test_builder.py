@@ -109,3 +109,81 @@ def test_multimodal_plumbing(spark):
     }
     frames = multimodal.frame_sample(df, every_n=1).collect()
     assert len(frames) == sum(max(1, (100 + i) // 64) for i in range(20))
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Minimal uncompressed 24-bit BMP from [[(r,g,b)...]...] rows
+    (top-down input; stored bottom-up per the format default)."""
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rgb_rows):
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        pix += line + b"\x00" * (row_bytes - len(line))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def test_multimodal_real_image_kernels(spark):
+    import struct
+
+    from vrl_spark.operators import multimodal
+
+    bmp = _make_bmp(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0) + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(png)), (3, bytearray(gif))],
+        ["doc_id", "media"],
+    )
+    by = {r["doc_id"]: r for r in multimodal.decode_images(df).collect()}
+    assert (by[1]["meta"]["format"], by[1]["meta"]["width"], by[1]["meta"]["height"]) == ("bmp", 2, 2)
+    assert (by[2]["meta"]["format"], by[2]["meta"]["width"], by[2]["meta"]["height"]) == ("png", 640, 480)
+    assert (by[3]["meta"]["format"], by[3]["meta"]["width"]) == ("gif", 320)
+    # BMP raster really decoded: 2x2 resize == original pixels, so
+    # cell luminances are the known values for pure R/G/B/white
+    emb = by[1]["embedding"]
+    assert abs(emb[0] - 0.299) < 1e-4      # red cell luminance
+    assert abs(emb[1] - 0.587) < 1e-4      # green
+    assert abs(emb[2] - 0.114) < 1e-4      # blue
+    assert abs(emb[3] - 1.0) < 1e-4        # white
+    # raster decode direct
+    px = multimodal.decode_bmp_pixels(bmp)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[1, 0]) == (0, 0, 255)
+
+
+def test_multimodal_real_audio_kernel(spark):
+    import io
+    import math
+    import struct
+    import wave
+
+    from vrl_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        # 1 kHz sine, 0.5 amplitude, 800 samples (100 ms)
+        frames = b"".join(
+            struct.pack("<h", int(0.5 * 32767 * math.sin(2 * math.pi * 1000 * i / 8000)))
+            for i in range(800)
+        )
+        w.writeframes(frames)
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        ["doc_id", "media"],
+    )
+    by = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+    m, f = by[1]["meta"], by[1]["features"]
+    assert (m["channels"], m["sample_rate"], m["n_frames"], m["duration_ms"]) == (1, 8000, 800, 100)
+    assert abs(f["rms"] - 0.5 / math.sqrt(2)) < 0.01       # sine RMS = A/sqrt(2)
+    assert abs(f["peak"] - 0.5) < 0.01
+    assert 0.2 < f["zero_cross_rate"] < 0.3                # 1kHz at 8kHz ~ 0.25
+    assert by[2]["meta"] is None and by[2]["features"] is None

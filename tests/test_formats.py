@@ -76,3 +76,19 @@ def test_absent_codecs_raise_at_build(spark):
         FM.encode_zstd(F.lit("x"))
     with pytest.raises(NotImplementedError, match="cbor2"):
         FM.parse_cbor(F.lit("x"))
+
+
+def test_seahash_reference_vectors(spark):
+    from vrl_spark.functions.codec import seahash
+
+    df = spark.createDataFrame([("foo",), ("bar",), ("",)], ["t"])
+    got = {r["t"]: r["h"] for r in df.select(
+        "t", seahash(F.col("t")).alias("h")).collect()}
+    # reference seahash.rs test vectors
+    assert got["foo"] == 4413582353838009230
+    assert got["bar"] == -2796170501982571315
+    # 33-byte input exercises the 32-byte block + tail path
+    long = "x" * 33
+    df2 = spark.createDataFrame([(long,)], ["t"])
+    h = df2.select(seahash(F.col("t")).alias("h")).collect()[0]["h"]
+    assert isinstance(h, int)

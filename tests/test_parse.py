@@ -157,3 +157,42 @@ def test_parse_int(spark):
 def test_parse_json(spark):
     got = one(spark, P.parse_json(F.lit('{"k": 87}'), "k INT"))
     assert got.asDict() == {"k": 87}
+
+
+def test_parse_groks_rule_list(spark, tmp_path):
+    """parse_groks.rs: ordered pattern list, aliases, alias_sources
+    file, union-of-fields output, first-match-wins."""
+    import json
+
+    from vrl_spark.functions.parse import parse_groks_stage
+
+    alias_file = tmp_path / "aliases.json"
+    alias_file.write_text(json.dumps({"KVPAIR": r"%{WORD:k}=%{NOTSPACE:v}"}))
+
+    rows = [
+        (1, '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 23'),
+        (2, "level=error bytes=12"),
+        (3, "sev=9 custom THING"),
+        (4, "nothing matches this"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "line"])
+    out = parse_groks_stage(
+        df, "g", F.col("line"),
+        patterns=[
+            "%{COMMONAPACHELOG}",
+            "%{KVPAIR} %{KVPAIR2}",
+            "%{NONNEGINT:sev2}",
+        ],
+        aliases={"KVPAIR2": r"%{WORD:k2}=%{NOTSPACE:v2}"},
+        alias_sources=[str(alias_file)],
+        anchored=False,
+    )
+    got = {r["i"]: r["g"] for r in out.collect()}
+    assert got[1]["client_ip"] == "127.0.0.1"
+    assert got[1]["status"] == "200"
+    assert got[1]["k"] is None                      # union field, other pattern
+    assert got[2]["k"] == "level" and got[2]["v"] == "error"
+    assert got[2]["k2"] == "bytes" and got[2]["v2"] == "12"
+    assert got[2]["client_ip"] is None
+    assert got[3]["sev2"] == "9"                    # third pattern fallback
+    assert got[4] is None                           # no match -> error branch

@@ -229,6 +229,68 @@ def parse_grok(col: Column, pattern: str, mode: str = "onepass") -> Column:
     return parse_regex_vectorized(col, compiled)
 
 
+def parse_groks_stage(
+    df,
+    out: str,
+    col: Column,
+    patterns: list[str],
+    aliases: dict[str, str] | None = None,
+    alias_sources: list[str] | None = None,
+    anchored: bool = True,
+):
+    """src/stdlib/parse_groks.rs — the rule-LIST API: try each grok
+    pattern in order, first match wins; ``aliases`` (and
+    ``alias_sources`` JSON files, loaded at plan build like the
+    reference's compile-time file read) extend the pattern vocabulary.
+
+    Output: struct over the UNION of all patterns' fields; fields a
+    non-matching pattern doesn't define are NULL; no pattern matching
+    at all -> NULL struct (the error branch). Each pattern's regex is
+    gated on "no earlier pattern matched", so regex work per row is
+    1 + sum(miss_rates) — the lazy-fallback property of the
+    single-pattern stage, generalized."""
+    import json as _json
+
+    vocab: dict[str, str] = {}
+    for src in alias_sources or []:
+        with open(src) as f:
+            vocab.update(_json.load(f))
+    vocab.update(aliases or {})
+    compiled = [compile_grok(p, extra_patterns=vocab) for p in patterns]
+
+    all_fields: list[str] = []
+    for c in compiled:
+        for fld in c.fields:
+            if fld not in all_fields:
+                all_fields.append(fld)
+
+    prev_hit = None
+    for i, c in enumerate(compiled):
+        gate = col if prev_hit is None else F.when(~prev_hit, col)
+        df = onepass_stage(df, f"_gk{i}", gate, c, anchored=anchored)
+        hit = F.col(f"_gk{i}").isNotNull()
+        prev_hit = hit if prev_hit is None else (prev_hit | hit)
+
+    def field_val(fld: str) -> Column:
+        expr = None
+        for i, c in enumerate(compiled):
+            v = (
+                F.col(f"_gk{i}").getField(fld)
+                if fld in c.fields
+                else F.lit(None).cast("string")
+            )
+            cond = F.col(f"_gk{i}").isNotNull()
+            expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+        return expr
+
+    struct = F.when(
+        prev_hit, F.struct(*[field_val(f).alias(f) for f in all_fields])
+    )
+    return df.withColumn(out, struct).drop(
+        *[f"_gk{i}" for i in range(len(compiled))]
+    )
+
+
 # ---------------------------------------------------------------------
 # parse_key_value / parse_logfmt
 # ---------------------------------------------------------------------

@@ -2,12 +2,14 @@
 typed metadata structs.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-partitioning — is real and tested. The codec kernels (JPEG decode,
-resampling, frame extraction) are STUBBED deterministically because
-the image/audio libraries are not in this container: each stub is a
-pure function of the input bytes, so pipelines built on this module
-are fully testable and swap in real codecs (PIL/ffmpeg) by replacing
-ONE function body, not the Spark plumbing.
+partitioning — is real and tested. Kernels are real wherever the
+stdlib suffices: image metadata (PNG/GIF/BMP/JPEG header parsing),
+full raster decode + nearest-neighbor resize + visual features for
+uncompressed 24-bit BMP (numpy), and complete PCM WAV audio decode +
+signal features (``wave`` + numpy). Only the compressed-raster
+codecs (JPEG/PNG pixel data) and video keyframing remain
+deterministic stubs — the libraries (PIL/ffmpeg) are absent here;
+swapping them in replaces ONE function body, not the Spark plumbing.
 
 Design points for 100 TB of media:
 - binary payloads never pass through JVM String (binary -> Arrow ->
@@ -45,12 +47,50 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
-def _stub_decode_image(data: bytes) -> dict:
-    """DETERMINISTIC STUB for image decode. Real impl: PIL.Image.open.
+def _sniff_image(data: bytes):
+    """REAL container-header parsing, stdlib-only: (format, w, h) for
+    PNG / GIF / BMP / JPEG, else None. No codec library needed —
+    dimensions live in the headers."""
+    import struct
 
-    Derives plausible metadata purely from the bytes so tests are
-    stable. Replace this function body (only) to go real."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h)
+    if data[:3] == b"\xff\xd8\xff":
+        # walk JPEG segments to the first SOF marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return None
+
+
+def _decode_image_meta(data: bytes) -> dict:
+    """Image metadata: REAL header decode for png/gif/bmp/jpeg;
+    unknown containers fall back to deterministic hash-derived values
+    (stable for tests; a full raster codec like PIL would slot in
+    here without touching the Spark plumbing)."""
     h = hashlib.sha256(data).digest()
+    sniffed = _sniff_image(data)
+    if sniffed is not None:
+        fmt, w, hh = sniffed
+        return {
+            "width": w, "height": hh, "format": fmt,
+            "byte_len": len(data), "content_sha": h.hex()[:16],
+        }
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,
@@ -60,10 +100,61 @@ def _stub_decode_image(data: bytes) -> dict:
     }
 
 
-def _stub_image_embedding(data: bytes, dim: int = 8) -> list[float]:
-    """DETERMINISTIC STUB for a vision-model embedding. Real impl: a
-    model server or ONNX session per executor (initialized once per
-    worker via the iterator pattern below)."""
+def decode_bmp_pixels(data: bytes):
+    """REAL raster decode for uncompressed 24-bit BMP (stdlib+numpy):
+    returns an HxWx3 uint8 RGB array, or None if not such a BMP.
+    Proves the decode->raster->feature path end-to-end without any
+    codec library."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = pix_off + row_bytes * h
+    if len(data) < need:
+        return None
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pix_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BMP stores BGR
+    return rgb[::-1] if flip else rgb  # bottom-up unless height < 0
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize on an HxWxC array (pure numpy index
+    math — the real resize kernel for the feature path)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def _image_embedding(data: bytes, dim: int = 8) -> list[float]:
+    """Image feature vector. For decodable rasters (24-bit BMP) this
+    is REAL: nearest-resize to 2x2 then per-cell mean luminance +
+    global RGB means/std — an honest tiny visual descriptor. Other
+    containers get the deterministic hash stub (a model embedding
+    would slot in here, initialized once per task)."""
+    px = decode_bmp_pixels(data)
+    if px is not None:
+        import numpy as np
+
+        small = resize_nearest(px, 2, 2).astype(np.float64)
+        lum = (small @ np.array([0.299, 0.587, 0.114])) / 255.0
+        rgb = px.reshape(-1, 3).astype(np.float64) / 255.0
+        feats = list(lum.flatten()) + list(rgb.mean(axis=0)) + [float(rgb.std())]
+        return [round(float(v), 6) for v in feats[:dim]] + [0.0] * max(0, dim - 8)
     h = hashlib.sha256(b"emb|" + data).digest()
     return [round(b / 255.0, 6) for b in h[:dim]]
 
@@ -87,8 +178,8 @@ def decode_images(
                     embs.append(None)
                 else:
                     b = bytes(data)
-                    metas.append(_stub_decode_image(b))
-                    embs.append(_stub_image_embedding(b, embed_dim))
+                    metas.append(_decode_image_meta(b))
+                    embs.append(_image_embedding(b, embed_dim))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "meta": metas, "embedding": embs}
             )
@@ -126,3 +217,81 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_width", T.IntegerType()),
+    ])),
+    T.StructField("features", T.StructType([
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ])),
+])
+
+
+def decode_audio(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """binary WAV column -> (id, meta, signal features) via
+    mapInPandas. FULLY REAL for PCM WAV (stdlib ``wave`` + numpy):
+    channels/rate/frames from the container, RMS / peak /
+    zero-crossing-rate from the decoded samples. Non-WAV (or
+    non-PCM) rows -> NULL meta+features, the error branch — exactly
+    the fallible-parse contract of the text functions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def one(data: bytes):
+            try:
+                with wave.open(io.BytesIO(data)) as w:
+                    ch, sw, rate, nf = (
+                        w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes(),
+                    )
+                    raw = w.readframes(nf)
+            except Exception:
+                return None, None
+            meta = {
+                "channels": ch, "sample_rate": rate, "n_frames": nf,
+                "duration_ms": (nf * 1000) // rate if rate else 0,
+                "sample_width": sw,
+            }
+            dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+            if dtype is None or nf == 0:
+                return meta, None
+            x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+            scale = float(2 ** (8 * sw - 1))
+            x = x / scale
+            feats = {
+                "rms": float(np.sqrt(np.mean(x * x))),
+                "peak": float(np.max(np.abs(x))),
+                "zero_cross_rate": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+            }
+            return meta, feats
+
+        for pdf in batches:
+            metas, featss = [], []
+            for data in pdf[binary_col]:
+                if data is None:
+                    metas.append(None)
+                    featss.append(None)
+                else:
+                    m, f = one(bytes(data))
+                    metas.append(m)
+                    featss.append(f)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "meta": metas, "features": featss}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
