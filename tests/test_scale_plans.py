@@ -119,3 +119,17 @@ def test_find_table_row_no_fact_shuffle(spark, sf_dir):
     # fact stream — must be exchange-free.
     fact_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in fact_side, plan
+
+
+def test_embedding_dedup_join_shape(spark, sf_dir):
+    """Embedding near-dup: candidate generation must be a shuffled
+    equi-join on the bucket key — never a broadcast of the expensive
+    bucketed subplan, never a cross join — and the cosine fold runs
+    once per pair (Generate barrier keeps the filter from re-running
+    it)."""
+    from vrl_spark.plans.queries_textops import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan

@@ -173,17 +173,21 @@ def cosine_dedup_pairs(
         F.col(vec_col).alias("_vec"),
         sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
     )
+    from vrl_spark.functions.parse import materialize
+
     a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine(F.col("a._vec"), F.col("b._vec")).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+    joined = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") < F.col("b._id")),
     )
+    # materialize: the filter would otherwise push through the
+    # projection and re-run the 3 cosine folds a second time per pair
+    scored = materialize(
+        joined, cos=cosine(F.col("a._vec"), F.col("b._vec"))
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("cos"),
+    )
+    return scored.where(F.col("cos") >= threshold)
