@@ -74,8 +74,8 @@ def test_validate_json_schema(spark):
 def test_absent_codecs_raise_at_build(spark):
     with pytest.raises(NotImplementedError, match="zstandard"):
         FM.encode_zstd(F.lit("x"))
-    with pytest.raises(NotImplementedError, match="cbor2"):
-        FM.parse_cbor(F.lit("x"))
+    with pytest.raises(NotImplementedError, match="lz4"):
+        FM.decode_lz4(F.lit("x"))
 
 
 def test_seahash_reference_vectors(spark):
@@ -92,3 +92,65 @@ def test_seahash_reference_vectors(spark):
     df2 = spark.createDataFrame([(long,)], ["t"])
     h = df2.select(seahash(F.col("t")).alias("h")).collect()[0]["h"]
     assert isinstance(h, int)
+
+
+def _cbor_enc(v):
+    """Tiny CBOR encoder for test vectors only."""
+    import struct
+
+    def head(mt, n):
+        if n < 24:
+            return bytes([(mt << 5) | n])
+        if n < 256:
+            return bytes([(mt << 5) | 24, n])
+        if n < 65536:
+            return bytes([(mt << 5) | 25]) + n.to_bytes(2, "big")
+        return bytes([(mt << 5) | 26]) + n.to_bytes(4, "big")
+
+    if isinstance(v, bool):
+        return bytes([0xF5 if v else 0xF4])
+    if v is None:
+        return bytes([0xF6])
+    if isinstance(v, int):
+        return head(0, v) if v >= 0 else head(1, -1 - v)
+    if isinstance(v, float):
+        return bytes([0xFB]) + struct.pack(">d", v)
+    if isinstance(v, str):
+        b = v.encode()
+        return head(3, len(b)) + b
+    if isinstance(v, bytes):
+        return head(2, len(v)) + v
+    if isinstance(v, list):
+        return head(4, len(v)) + b"".join(_cbor_enc(x) for x in v)
+    if isinstance(v, dict):
+        return head(5, len(v)) + b"".join(
+            _cbor_enc(k) + _cbor_enc(x) for k, x in v.items()
+        )
+    raise TypeError(v)
+
+
+def test_parse_cbor_reference_shapes(spark):
+    """parse_cbor.rs example shapes: simple {field: value} and the
+    complex nested object; plus indefinite-length and error branch."""
+    import json
+
+    from vrl_spark.functions.formats import parse_cbor
+
+    simple = _cbor_enc({"field": "value"})
+    complex_ = _cbor_enc({"object": {"string": "value", "number": 42,
+                                     "array": ["hello", "world"],
+                                     "boolean": False}})
+    indefinite = b"\x9f\x01\x02\xff"          # [_ 1, 2]
+    df = spark.createDataFrame(
+        [(1, bytearray(simple)), (2, bytearray(complex_)),
+         (3, bytearray(indefinite)), (4, bytearray(b"\xff\x00garbage"))],
+        ["i", "b"],
+    )
+    got = {r["i"]: r["j"] for r in df.select(
+        "i", parse_cbor(F.col("b")).alias("j")).collect()}
+    assert json.loads(got[1]) == {"field": "value"}
+    assert json.loads(got[2]) == {"object": {"string": "value", "number": 42,
+                                             "array": ["hello", "world"],
+                                             "boolean": False}}
+    assert json.loads(got[3]) == [1, 2]
+    assert got[4] is None

@@ -250,4 +250,138 @@ encode_lz4 = _absent("encode_lz4", "lz4")
 decode_lz4 = _absent("decode_lz4", "lz4")
 encode_snappy = _absent("encode_snappy", "python-snappy")
 decode_snappy = _absent("decode_snappy", "python-snappy")
-parse_cbor = _absent("parse_cbor", "cbor2")
+
+
+# --- CBOR (src/stdlib/parse_cbor.rs) ----------------------------------
+
+
+def _cbor_decode(buf: bytes, pos: int = 0):
+    """Minimal RFC 8949 decoder (pure stdlib — cbor2 is absent in this
+    environment, and the format is simple enough to not need it):
+    all major types, definite + indefinite lengths, half/single/double
+    floats, tags unwrapped. Returns (value, next_pos)."""
+    import struct
+
+    def head(p):
+        ib = buf[p]
+        mt, ai = ib >> 5, ib & 0x1F
+        p += 1
+        if ai < 24:
+            return mt, ai, p
+        if ai == 24:
+            return mt, buf[p], p + 1
+        if ai == 25:
+            return mt, int.from_bytes(buf[p:p + 2], "big"), p + 2
+        if ai == 26:
+            return mt, int.from_bytes(buf[p:p + 4], "big"), p + 4
+        if ai == 27:
+            return mt, int.from_bytes(buf[p:p + 8], "big"), p + 8
+        if ai == 31:
+            return mt, None, p  # indefinite
+        raise ValueError(f"invalid CBOR additional info {ai}")
+
+    mt, arg, p = head(pos)
+    if mt == 0:
+        return arg, p
+    if mt == 1:
+        return -1 - arg, p
+    if mt in (2, 3):  # bytes / text
+        if arg is None:  # indefinite: concatenate chunks
+            out = b""
+            while buf[p] != 0xFF:
+                chunk, p = _cbor_decode(buf, p)
+                out += chunk if isinstance(chunk, bytes) else chunk.encode()
+            p += 1
+        else:
+            out, p = buf[p:p + arg], p + arg
+        if mt == 3:
+            return out.decode("utf-8"), p
+        # VRL Value::Bytes renders lossy-utf8 (value.rs:199-215)
+        return out, p
+    if mt == 4:  # array
+        items = []
+        if arg is None:
+            while buf[p] != 0xFF:
+                v, p = _cbor_decode(buf, p)
+                items.append(v)
+            p += 1
+        else:
+            for _ in range(arg):
+                v, p = _cbor_decode(buf, p)
+                items.append(v)
+        return items, p
+    if mt == 5:  # map
+        obj = {}
+        if arg is None:
+            while buf[p] != 0xFF:
+                k, p = _cbor_decode(buf, p)
+                v, p = _cbor_decode(buf, p)
+                obj[k if isinstance(k, str) else str(k)] = v
+            p += 1
+        else:
+            for _ in range(arg):
+                k, p = _cbor_decode(buf, p)
+                v, p = _cbor_decode(buf, p)
+                obj[k if isinstance(k, str) else str(k)] = v
+        return obj, p
+    if mt == 6:  # tag: unwrap
+        return _cbor_decode(buf, p)
+    # mt == 7: simple / floats
+    ib_ai = buf[pos] & 0x1F
+    if ib_ai == 20:
+        return False, p
+    if ib_ai == 21:
+        return True, p
+    if ib_ai in (22, 23):
+        return None, p
+    if ib_ai == 25:  # half float
+        h = int.from_bytes(buf[pos + 1:pos + 3], "big")
+        sign = -1.0 if h >> 15 else 1.0
+        exp, frac = (h >> 10) & 0x1F, h & 0x3FF
+        if exp == 0:
+            return sign * frac * 2.0 ** -24, p
+        if exp == 31:
+            return sign * (float("inf") if frac == 0 else float("nan")), p
+        return sign * (1 + frac / 1024.0) * 2.0 ** (exp - 15), p
+    if ib_ai == 26:
+        return struct.unpack(">f", buf[pos + 1:pos + 5])[0], p
+    if ib_ai == 27:
+        return struct.unpack(">d", buf[pos + 1:pos + 9])[0], p
+    raise ValueError(f"unsupported CBOR simple value {ib_ai}")
+
+
+def parse_cbor(col: Column) -> Column:
+    """src/stdlib/parse_cbor.rs — decode CBOR bytes to the engine's
+    dynamic-value JSON string (same surface as the dynamic lane of
+    parse_json: pair with from_json + a schema for typed columns).
+    Bytes payloads decode lossy-UTF8 like VRL Value::Bytes; undecodable
+    input -> NULL (the error branch)."""
+
+    @pandas_udf(T.StringType())
+    def _cb(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                val, _ = _cbor_decode(bytes(v))
+
+                def conv(x):
+                    if isinstance(x, bytes):
+                        return x.decode("utf-8", errors="replace")
+                    if isinstance(x, list):
+                        return [conv(i) for i in x]
+                    if isinstance(x, dict):
+                        return {k: conv(i) for k, i in x.items()}
+                    return x
+
+                return _json.dumps(conv(val), sort_keys=True, separators=(",", ":"))
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return _cb(col.cast("binary"))
+parse_proto = _absent("parse_proto", "protobuf")
+encode_proto = _absent("encode_proto", "protobuf")
