@@ -123,3 +123,60 @@ def test_uuid_v7_and_friendly(spark):
 
 def test_split_path(spark):
     assert one(spark, M.split_path(F.lit("/a/b/c.txt"))) == ["a", "b", "c.txt"]
+
+
+def test_wrapping_arithmetic_reference_semantics(spark):
+    """arithmetic.rs:81-123 — i64 wrapping add/sub/mul, reference-exact
+    two's-complement overflow (the ANSI-error default stays for
+    pipelines that prefer loud failures)."""
+    from vrl_spark.functions import math_ip as M
+
+    MAX, MIN = 2**63 - 1, -(2**63)
+    cases = [(MAX, 1), (MIN, -1), (MAX, MAX), (123, 456), (MIN, 2),
+             (-7, 3), (2**40, 2**40), (0, 0)]
+    df = spark.createDataFrame(cases, ["a", "b"])
+    rows = df.select(
+        "a", "b",
+        M.vrl_add_wrapping(F.col("a"), F.col("b")).alias("add"),
+        M.vrl_sub_wrapping(F.col("a"), F.col("b")).alias("sub"),
+        M.vrl_mul_wrapping(F.col("a"), F.col("b")).alias("mul"),
+    ).collect()
+
+    def w(x):
+        return (x + 2**63) % 2**64 - 2**63
+
+    for r in rows:
+        assert r["add"] == w(r["a"] + r["b"]), ("add", r["a"], r["b"])
+        assert r["sub"] == w(r["a"] - r["b"]), ("sub", r["a"], r["b"])
+        assert r["mul"] == w(r["a"] * r["b"]), ("mul", r["a"], r["b"])
+
+
+def test_flatten_json_reference_examples(spark):
+    """flatten.rs examples: nested arrays inline, nested objects join
+    with the separator (custom separator supported), except keeps
+    subtrees."""
+    import json
+
+    from vrl_spark.functions.collections import flatten_json
+
+    rows = [
+        (1, json.dumps([1, [2, 3, 4], [5, [6, 7], 8], 9])),
+        (2, json.dumps({"parent1": {"child1": 1, "child2": 2},
+                        "parent2": {"child3": 3}})),
+        (3, json.dumps({"foo": {"bar": True}})),
+        (4, json.dumps({"parent": {"child": 1}, "keep": {"nested": 2}})),
+        (5, "not json {"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "j"])
+    got = {r["i"]: r for r in df.select(
+        "i",
+        flatten_json(F.col("j")).alias("dot"),
+        flatten_json(F.col("j"), separator="_").alias("us"),
+        flatten_json(F.col("j"), except_keys=["keep"]).alias("exc"),
+    ).collect()}
+    assert json.loads(got[1]["dot"]) == [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    assert json.loads(got[2]["dot"]) == {
+        "parent1.child1": 1, "parent1.child2": 2, "parent2.child3": 3}
+    assert json.loads(got[3]["us"]) == {"foo_bar": True}
+    assert json.loads(got[4]["exc"]) == {"keep": {"nested": 2}, "parent.child": 1}
+    assert got[5]["dot"] is None

@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 # --- objects (MapType) -----------------------------------------------
 
@@ -194,3 +197,57 @@ def flatten_map(col: Column, separator: str = ".") -> Column:
 def unnest(df, array_col: str, out_col: str | None = None):
     """df with array column -> one row per element (F.explode)."""
     return df.withColumn(out_col or array_col, F.explode(F.col(array_col)))
+
+
+def flatten_json(
+    col: Column, separator: str = ".", except_keys: list[str] | None = None
+) -> Column:
+    """src/stdlib/flatten.rs over the dynamic (JSON-string) lane —
+    the DEEP flatten the static-schema `flatten` can't express:
+    nested objects collapse to separator-joined keys recursively,
+    nested arrays inline recursively, ``except_keys`` subtrees are
+    kept verbatim (reference `except` parameter). Input and output
+    are JSON strings (sorted keys); undecodable input -> NULL."""
+    exc = set(except_keys or [])
+
+    @pandas_udf(T.StringType())
+    def _fl(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def flat_list(xs, out):
+            for x in xs:
+                if isinstance(x, list):
+                    flat_list(x, out)
+                else:
+                    out.append(x)
+            return out
+
+        def flat_map(obj, prefix, out):
+            for k, v in obj.items():
+                key = f"{prefix}{separator}{k}" if prefix else k
+                if not prefix and k in exc:
+                    out[k] = v
+                elif isinstance(v, dict):
+                    flat_map(v, key, out)
+                else:
+                    out[key] = v
+            return out
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                val = _json.loads(v)
+            except Exception:
+                return None
+            if isinstance(val, list):
+                return _json.dumps(flat_list(val, []), separators=(",", ":"))
+            if isinstance(val, dict):
+                return _json.dumps(
+                    flat_map(val, "", {}), sort_keys=True, separators=(",", ":")
+                )
+            return _json.dumps(val)
+
+        return s.map(one)
+
+    return _fl(col)

@@ -176,6 +176,43 @@ def vrl_float_guard(col: Column) -> Column:
     return F.when(~F.isnan(col), col)
 
 
+# Reference int arithmetic WRAPS on overflow (i64::wrapping_add/mul,
+# arithmetic.rs:81-115) where ANSI Spark errors. These lower the wrap
+# through DECIMAL space: the true sum/product fits decimal(38,0)
+# (|a*b| < 2^126 < 10^38), then pmod 2^64 re-centers into i64 range.
+from decimal import Decimal as _Dec  # noqa: E402
+
+_TWO64 = _Dec(1 << 64)
+_TWO63 = _Dec(1 << 63)
+
+
+def _wrap_to_i64(wide: Column) -> Column:
+    centered = F.pmod(
+        wide + F.lit(_TWO63).cast("decimal(38,0)"),
+        F.lit(_TWO64).cast("decimal(38,0)"),
+    )
+    return (centered - F.lit(_TWO63).cast("decimal(38,0)")).cast("long")
+
+
+def vrl_add_wrapping(a: Column, b: Column) -> Column:
+    """i64::wrapping_add (arithmetic.rs:115) — reference-exact
+    two's-complement overflow."""
+    return _wrap_to_i64(a.cast("decimal(20,0)") + b.cast("decimal(20,0)"))
+
+
+def vrl_sub_wrapping(a: Column, b: Column) -> Column:
+    """i64::wrapping_sub (arithmetic.rs:123)."""
+    return _wrap_to_i64(a.cast("decimal(20,0)") - b.cast("decimal(20,0)"))
+
+
+def vrl_mul_wrapping(a: Column, b: Column) -> Column:
+    """i64::wrapping_mul (arithmetic.rs:81)."""
+    return _wrap_to_i64(
+        a.cast("decimal(19,0)").cast("decimal(38,0)")
+        * b.cast("decimal(19,0)")
+    )
+
+
 def ip_pton(col: Column) -> Column:
     """v4 dotted quad -> 4-byte binary (src/stdlib/ip_pton.rs)."""
     return F.unhex(F.lpad(F.hex(ip_aton(col)), 8, "0"))
