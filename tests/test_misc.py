@@ -180,3 +180,49 @@ def test_flatten_json_reference_examples(spark):
     assert json.loads(got[3]["us"]) == {"foo_bar": True}
     assert json.loads(got[4]["exc"]) == {"keep": {"nested": 2}, "parent.child": 1}
     assert got[5]["dot"] is None
+
+
+def test_match_datadog_query_reference_examples(spark):
+    """match_datadog_query.rs examples + wildcard/range/boolean/negation
+    coverage of the public Datadog search syntax."""
+    from vrl_spark.functions.ddquery import match_datadog_query as mdq
+
+    df = spark.createDataFrame(
+        [(1, "contains this and that", ["a:x", "b:y", "c:z"], "foobar", 7),
+         (2, "contains only this", ["b:q"], "bazqux", 3)],
+        ["i", "message", "tags", "name", "n"],
+    )
+    msg, tags = F.col("message"), F.col("tags")
+    attrs = {"name": F.col("name"), "n": F.col("n")}
+    rows = {r["i"]: r for r in df.select(
+        "i",
+        mdq("this OR that", message=msg).alias("q1"),
+        mdq("this AND that", message=msg).alias("q2"),
+        mdq("@name:foo*", attrs=attrs).alias("q3"),
+        mdq('b:["x" TO "z"]', tags=tags).alias("q4"),
+        mdq("b:y", tags=tags).alias("q5"),
+        mdq("NOT that", message=msg).alias("q6"),
+        mdq("-that this", message=msg).alias("q7"),
+        mdq("(this AND that) OR @name:baz*", message=msg, attrs=attrs).alias("q8"),
+        mdq("@n:>5", attrs=attrs).alias("q9"),
+        mdq("@n:[1 TO 5]", attrs=attrs).alias("q10"),
+        mdq('"only this"', message=msg).alias("q11"),
+        mdq("@missing:x", attrs=attrs).alias("q12"),
+    ).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["q1"] is True and r2["q1"] is True
+    assert r1["q2"] is True and r2["q2"] is False       # reference ex. 1+2
+    assert r1["q3"] is True and r2["q3"] is False       # reference ex. 3
+    assert r1["q4"] is True and r2["q4"] is False       # reference ex. 4
+    assert r1["q5"] is True and r2["q5"] is False
+    assert r1["q6"] is False and r2["q6"] is True
+    assert r1["q7"] is False and r2["q7"] is True
+    assert r1["q8"] is True and r2["q8"] is True
+    assert r1["q9"] is True and r2["q9"] is False
+    assert r1["q10"] is False and r2["q10"] is True
+    assert r1["q11"] is False and r2["q11"] is True
+    assert r1["q12"] is False and r2["q12"] is False
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mdq("(unbalanced", message=msg)
