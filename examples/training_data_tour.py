@@ -1,0 +1,82 @@
+"""Runnable tour of the training-data operators: the dedup family,
+similarity search, crypto anonymization, and stateful streaming.
+Run: python examples/training_data_tour.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vrl_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("tour", master="local[4]")
+
+    base = ("large scale web corpora need deduplication before training "
+            "because repeated boilerplate skews model likelihoods badly")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " indeed"), (4, "something unrelated entirely"),
+         (5, "another unique document with its own words")],
+        ["doc_id", "text"],
+    )
+
+    # --- exact + near dedup -------------------------------------------
+    from vrl_spark.operators import dedup
+
+    print("== exact dedup (hash-groupBy) ==")
+    dedup.exact_dedup(docs).show(truncate=False)
+
+    print("== minhash-LSH near-dup pairs (engine xxhash64 path) ==")
+    dedup.minhash_dedup_pairs(docs, threshold=0.5, engine="xxh").show()
+
+    print("== simhash near-dup pairs (bit-arithmetic signatures) ==")
+    dedup.simhash_dedup_pairs(docs, max_distance=10).show()
+
+    # --- embedding near-dup ---------------------------------------------
+    from vrl_spark.operators.similarity import cosine_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5, 0.2]), (2, [1.0, 0.01, 0.5, 0.2]),
+         (3, [-1.0, 0.4, 0.0, 0.9])],
+        ["vec_id", "v"],
+    )
+    print("== embedding-cosine near-dup (sign-bucket blocked) ==")
+    cosine_dedup_pairs(emb, vec_col="v", threshold=0.99, block_bits=2).show()
+
+    # --- anonymization (IPCrypt) + redaction ---------------------------
+    from vrl_spark.functions import crypto
+    from vrl_spark.functions.strings import redact_hash
+
+    logs = spark.createDataFrame(
+        [("user 1234 from 192.168.1.1",), ("user 777 from 10.2.3.4",)], ["line"]
+    )
+    print("== redact ids (sha2) + prefix-preserving IP encryption ==")
+    logs.select(
+        redact_hash(F.col("line"), [r"user \d+"], variant="SHA-256",
+                    encoding="base16").alias("redacted"),
+        crypto.encrypt_ip(
+            F.regexp_extract("line", r"(\d+\.\d+\.\d+\.\d+)", 1),
+            b"thirty-two bytes key for pfx use", "pfx",
+        ).alias("ip_encrypted"),
+    ).show(truncate=False)
+
+    # --- datadog-style log search --------------------------------------
+    from vrl_spark.functions.ddquery import match_datadog_query
+
+    print("== match_datadog_query over messages ==")
+    logs.select(
+        "line",
+        match_datadog_query("user AND 192*", message=F.col("line")).alias("hit"),
+    ).show(truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
