@@ -56,26 +56,46 @@ _OCTET = r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})"
 
 
 def ip_aton(col: Column) -> Column:
-    """dotted quad -> u32 (src/stdlib/ip_aton.rs). Bad input -> NULL."""
-    o = [F.regexp_extract(col, _OCTET, i).try_cast("long") for i in range(1, 5)]
-    valid = col.rlike("^" + _OCTET + "$")
-    for x in o:
-        valid = valid & (x <= 255)
-    return F.when(valid, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3])
+    """dotted quad -> u32 (src/stdlib/ip_aton.rs). Bad input -> NULL.
+
+    bind keeps this to ONE regex (format check) + ONE split per call —
+    the old per-octet regexp_extract ran the pattern five times, and
+    every caller reference multiplied that again (Catalyst trees)."""
+    from vrl_spark.functions.parse import bind
+
+    def outer(c: Column) -> Column:
+        fmt_ok = c.rlike("^" + _OCTET + "$")
+
+        def inner(parts: Column) -> Column:
+            o = [F.element_at(parts, i).try_cast("long") for i in range(1, 5)]
+            ok = fmt_ok
+            for x in o:
+                ok = ok & (x <= 255)
+            return F.when(ok, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3])
+
+        return bind(F.split(c, r"\."), inner)
+
+    return bind(col, outer)
 
 
 def ip_ntoa(col: Column) -> Column:
-    """u32 -> dotted quad (src/stdlib/ip_ntoa.rs)."""
-    return F.when(
-        (col >= 0) & (col <= 4294967295),
-        F.concat_ws(
-            ".",
-            ((col / 16777216).cast("long") % 256).cast("string"),
-            ((col / 65536).cast("long") % 256).cast("string"),
-            ((col / 256).cast("long") % 256).cast("string"),
-            (col % 256).cast("string"),
-        ),
-    )
+    """u32 -> dotted quad (src/stdlib/ip_ntoa.rs). bind: the input
+    expression evaluates once, not once per octet."""
+    from vrl_spark.functions.parse import bind
+
+    def body(c: Column) -> Column:
+        return F.when(
+            (c >= 0) & (c <= 4294967295),
+            F.concat_ws(
+                ".",
+                ((c / 16777216).cast("long") % 256).cast("string"),
+                ((c / 65536).cast("long") % 256).cast("string"),
+                ((c / 256).cast("long") % 256).cast("string"),
+                (c % 256).cast("string"),
+            ),
+        )
+
+    return bind(col, body)
 
 
 def ip_cidr_contains(cidr: str, col: Column) -> Column:
