@@ -47,16 +47,22 @@ def screamingsnakecase(col: Column) -> Column:
 
 
 def camelcase(col: Column) -> Column:
-    w = _words(col)
-    first = F.lower(F.element_at(w, 1))
-    rest = F.transform(
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda s: F.concat(
-            F.upper(s.substr(F.lit(1), F.lit(1))),
-            F.lower(s.substr(F.lit(2), F.length(s))),
-        ),
-    )
-    return F.concat(first, F.array_join(rest, ""))
+    from vrl_spark.functions.parse import bind
+
+    def body(w: Column) -> Column:
+        # w bound once: 3 references would otherwise re-run the
+        # 3-regex word split 3x
+        first = F.lower(F.element_at(w, 1))
+        rest = F.transform(
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda s: F.concat(
+                F.upper(s.substr(F.lit(1), F.lit(1))),
+                F.lower(s.substr(F.lit(2), F.length(s))),
+            ),
+        )
+        return F.concat(first, F.array_join(rest, ""))
+
+    return bind(_words(col), body)
 
 
 def pascalcase(col: Column) -> Column:
@@ -329,16 +335,21 @@ def format_timestamp(col: Column, fmt: str) -> Column:
 
 def shannon_entropy(col: Column) -> Column:
     """src/stdlib/shannon_entropy.rs — bits/char over the char
-    distribution. JVM-only lowering: explode chars -> frequency map via
-    aggregate over the distinct chars."""
-    chars = F.split(col, "")
-    n = F.size(chars).cast("double")
-    distinct = F.array_distinct(chars)
-    # sum over distinct c of -p log2 p, p = count(c)/n
-    return F.aggregate(
-        distinct,
-        F.lit(0.0),
-        lambda acc, c: acc
-        - (F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n),
-    )
+    distribution. JVM-only lowering, linear work: bind the char split
+    once (an unbound reference would re-split per distinct char x2),
+    compute one count per distinct char, then fold -p*log2(p)."""
+    from vrl_spark.functions.parse import bind
+
+    def body(chars: Column) -> Column:
+        n = F.size(chars).cast("double")
+        counts = F.transform(
+            F.array_distinct(chars),
+            lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+        )
+        return F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, cnt: acc - (cnt / n) * F.log2(cnt / n),
+        )
+
+    return bind(F.split(col, ""), body)

@@ -48,17 +48,33 @@ def stopword_hits(col: Column, lang: str) -> Column:
 
 def lang_id(col: Column) -> Column:
     """Pick the language with the most stopword hits; ties and
-    zero-hit rows -> 'und'. First-listed wins ties (deterministic)."""
-    toks = tokens(col)
-    hits = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
-        for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*hits.values())
-    out = F.when(best <= 0, "und")
-    for lang in STOPWORDS:  # dict order = priority order
-        out = out.when(hits[lang] == best, lang)
-    return out
+    zero-hit rows -> 'und'. First-listed wins ties (deterministic).
+
+    Two binds keep the work linear: tokenization runs ONCE (not once
+    per language x2 references = 28x), and the per-language hit counts
+    land in ONE array that the argmax cascade reads as a variable."""
+    from vrl_spark.functions.parse import bind
+
+    langs = list(STOPWORDS)
+
+    def with_toks(toks: Column) -> Column:
+        hits_arr = F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+                for lang in langs
+            ]
+        )
+
+        def with_hits(hits: Column) -> Column:
+            best = F.array_max(hits)
+            out = F.when(best <= 0, "und")
+            for i, lang in enumerate(langs):  # order = tie priority
+                out = out.when(F.element_at(hits, i + 1) == best, lang)
+            return out
+
+        return bind(hits_arr, with_hits)
+
+    return bind(tokens(col), with_toks)
 
 
 def quality_score(col: Column) -> Column:
@@ -67,24 +83,31 @@ def quality_score(col: Column) -> Column:
 
     The shape (not the exact weights) is the standard web-text
     quality-filter recipe (C4/Gopher-style heuristics)."""
+    from vrl_spark.functions.parse import bind
+
     t = F.trim(col)
     n_chars = F.length(t).cast("double")
-    toks = tokens(t)
-    n_tok = F.size(toks).cast("double")
-    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(
-        F.when(n_chars > 0, 0.5).otherwise(0.0)
-    )
-    alpha_ratio = F.when(
-        n_chars > 0,
-        F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")).cast("double") / n_chars,
-    ).otherwise(0.0)
-    distinct_ratio = F.when(
-        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
-    ).otherwise(0.0)
-    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0)
-    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.3)
-    # raw double — callers round/scale at the output boundary
-    return 0.3 * len_ok + 0.3 * alpha_ratio + 0.2 * distinct_ratio + 0.2 * word_ok
+
+    def with_toks(toks: Column) -> Column:
+        # toks is a bound variable: ONE tokenization feeds the three
+        # token-derived ratios instead of one per reference
+        n_tok = F.size(toks).cast("double")
+        len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(
+            F.when(n_chars > 0, 0.5).otherwise(0.0)
+        )
+        alpha_ratio = F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(t, r"[^A-Za-z ]", "")).cast("double") / n_chars,
+        ).otherwise(0.0)
+        distinct_ratio = F.when(
+            n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+        ).otherwise(0.0)
+        mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0)
+        word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.3)
+        # raw double — callers round/scale at the output boundary
+        return 0.3 * len_ok + 0.3 * alpha_ratio + 0.2 * distinct_ratio + 0.2 * word_ok
+
+    return bind(tokens(t), with_toks)
 
 
 def fingerprint(col: Column) -> Column:
