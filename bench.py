@@ -76,7 +76,10 @@ def main() -> None:
             return weblog.aggregate_stage(df)
 
         force(amp_pipeline())  # warmup
-        amp_best = min(force(amp_pipeline()) for _ in range(3))
+        # best-of-5: the host's CPU-steal windows can blanket several
+        # consecutive reps; measured spread on an idle box is 1.4-7.4 s
+        # for the same plan
+        amp_best = min(force(amp_pipeline()) for _ in range(5))
         amp_stats = {
             "amplified_docs": amp_docs,
             "amplified_sec": round(amp_best, 3),
