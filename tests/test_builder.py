@@ -187,3 +187,30 @@ def test_multimodal_real_audio_kernel(spark):
     assert abs(f["peak"] - 0.5) < 0.01
     assert 0.2 < f["zero_cross_rate"] < 0.3                # 1kHz at 8kHz ~ 0.25
     assert by[2]["meta"] is None and by[2]["features"] is None
+
+
+def test_builder_parse_groks_rule_list(spark):
+    from vrl_spark.pipeline import Pipeline
+
+    logs = spark.createDataFrame(
+        [(1, "level=error bytes=99"), (2, "42 fallback"), (3, "???")],
+        ["id", "message"],
+    )
+    P2 = Pipeline
+    built = P2("multi", on_error="keep").parse_groks(
+        "message",
+        patterns=["%{KV} %{KV2}", "%{NONNEGINT:num} %{WORD:word}"],
+        aliases={"KV": r"%{WORD:k}=%{NOTSPACE:v}",
+                 "KV2": r"%{WORD:k2}=%{NOTSPACE:v2}"},
+    )
+    out = {r["id"]: r for r in built.apply(logs).collect()}
+    assert out[1]["k"] == "level" and out[1]["v"] == "error"
+    assert out[1]["num"] is None
+    assert out[2]["num"] == "42" and out[2]["word"] == "fallback"
+    assert out[2]["k"] is None
+    assert out[3]["error"] is not None          # no pattern matched
+    assert out[1]["error"] is None
+
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        P2("bad", on_error="keep").parse_groks("message", patterns=["%{NOPE:x}"])

@@ -84,6 +84,51 @@ class Pipeline:
 
         return self._add(f"parse_grok({src})", fn, fallible=True)
 
+    def parse_groks(
+        self, src: str, patterns: list[str], prefix: str = "",
+        aliases: dict[str, str] | None = None,
+        alias_sources: list[str] | None = None,
+        anchored: bool = True,
+        error: str = "unable to parse input with grok patterns",
+    ) -> "Pipeline":
+        """Ordered rule-LIST extraction (parse_groks.rs): patterns are
+        tried first-match-wins, output is the union of all patterns'
+        fields. Compile-time: bad patterns/aliases raise here."""
+        from vrl_spark.functions.parse import parse_groks_stage
+
+        # compile eagerly so bad patterns fail at BUILD, like parse_grok
+        from vrl_spark.grok import compile_grok
+
+        import json as _json
+
+        vocab: dict[str, str] = {}
+        for s_ in alias_sources or []:
+            with open(s_) as fh:
+                vocab.update(_json.load(fh))
+        vocab.update(aliases or {})
+        probe_fields: list[str] = []
+        for p in patterns:
+            for f_ in compile_grok(p, extra_patterns=vocab).fields:
+                if f_ not in probe_fields:
+                    probe_fields.append(f_)
+
+        def fn(df: DataFrame) -> DataFrame:
+            tmp = f"_gs_{prefix or src}"
+            df = parse_groks_stage(
+                df, tmp, F.col(src), patterns,
+                aliases=aliases, alias_sources=alias_sources, anchored=anchored,
+            )
+            out = df.select(
+                "*",
+                *[
+                    F.col(tmp).getField(f_).alias(prefix + f_)
+                    for f_ in probe_fields
+                ],
+            )
+            return _merge_error(out, F.col(tmp).isNull(), error).drop(tmp)
+
+        return self._add(f"parse_groks({src})", fn, fallible=True)
+
     def parse_key_value(self, src: str, dest: str = "kv") -> "Pipeline":
         from vrl_spark.functions.parse import parse_key_value_native
 
