@@ -189,6 +189,36 @@ def test_multimodal_real_audio_kernel(spark):
     assert by[2]["meta"] is None and by[2]["features"] is None
 
 
+def test_multimodal_audio_8bit_unsigned(spark):
+    """8-bit PCM WAV is UNSIGNED centered at 128: digital silence
+    (all-128 bytes) must read as rms≈0/peak≈0, and a full-scale
+    square wave as peak≈1."""
+    import io
+    import wave
+
+    from vrl_spark.operators import multimodal
+
+    def wav8(samples: bytes) -> bytearray:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(samples)
+        return bytearray(buf.getvalue())
+
+    silence = wav8(bytes([128] * 400))
+    square = wav8(bytes(([0] * 4 + [255] * 4) * 50))
+    df = spark.createDataFrame(
+        [(1, silence), (2, square)], ["doc_id", "media"]
+    )
+    by = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+    assert by[1]["meta"]["sample_width"] == 1
+    assert by[1]["features"]["rms"] < 1e-9          # silence, not full-scale
+    assert by[1]["features"]["peak"] < 1e-9
+    assert abs(by[2]["features"]["peak"] - 1.0) < 0.01
+
+
 def test_builder_parse_groks_rule_list(spark):
     from vrl_spark.pipeline import Pipeline
 

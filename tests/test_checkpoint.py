@@ -47,6 +47,21 @@ def test_crash_resume_reprocesses_only_missing(spark, tmp_path):
     assert out.select("id").distinct().count() == 100
 
 
+def test_empty_manifest_dir_resumes_cleanly(spark, tmp_path):
+    """Crash between makedirs and the first committed rename: manifest
+    dir exists but holds zero *.json files (possibly a torn .tmp) —
+    committed_keys must return empty, not raise AnalysisException."""
+    df = make_df(spark)
+    run = CheckpointedRun(str(tmp_path / "out"))
+    os.makedirs(run.manifest_dir, exist_ok=True)
+    with open(os.path.join(run.manifest_dir, ".0.json.tmp"), "w") as f:
+        f.write('{"part_key": "0"')  # torn write, not committed
+    assert run.committed_keys(spark) == set()
+    summary = run.run(spark, df, [0, 1, 2, 3])
+    assert summary["partitions_ran"] == 4
+    assert read_output(spark, run.out_dir).count() == 100
+
+
 def test_manifest_metrics(spark, tmp_path):
     df = make_df(spark)
     run = CheckpointedRun(str(tmp_path / "out"))

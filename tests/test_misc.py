@@ -182,6 +182,25 @@ def test_flatten_json_reference_examples(spark):
     assert got[5]["dot"] is None
 
 
+def test_flatten_json_except_keys_nested(spark):
+    """flatten.rs checks the except set at EVERY depth: an excepted
+    nested object is kept verbatim under its prefixed key."""
+    import json
+
+    from vrl_spark.functions.collections import flatten_json
+
+    doc = json.dumps({"parent": {"keep": {"n": 1}, "child": 2}, "keep": {"m": 3}})
+    df = spark.createDataFrame([(doc,)], ["j"])
+    out = df.select(
+        flatten_json(F.col("j"), except_keys=["keep"]).alias("f")
+    ).collect()[0]["f"]
+    assert json.loads(out) == {
+        "parent.keep": {"n": 1},  # nested except: subtree verbatim, prefixed
+        "parent.child": 2,
+        "keep": {"m": 3},
+    }
+
+
 def test_match_datadog_query_reference_examples(spark):
     """match_datadog_query.rs examples + wildcard/range/boolean/negation
     coverage of the public Datadog search syntax."""
@@ -226,3 +245,21 @@ def test_match_datadog_query_reference_examples(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mdq("(unbalanced", message=msg)
+
+
+def test_match_datadog_query_numeric_range_on_string_column(spark):
+    """Numeric range bounds compare numerically even on STRING-typed
+    attribute columns (Datadog semantics) — lexicographic comparison
+    would let '99' sneak into [100 TO 200] ('1' < '9' < '2' is false
+    but '150' < '99' lexicographically)."""
+    from vrl_spark.functions.ddquery import match_datadog_query as mdq
+
+    df = spark.createDataFrame(
+        [(1, "99"), (2, "150"), (3, "201"), (4, "100"), (5, "abc")],
+        ["i", "code"],
+    )
+    attrs = {"code": F.col("code")}
+    rows = {r["i"]: r["m"] for r in df.select(
+        "i", mdq("@code:[100 TO 200]", attrs=attrs).alias("m")
+    ).collect()}
+    assert rows == {1: False, 2: True, 3: False, 4: True, 5: False}

@@ -225,8 +225,11 @@ def flatten_json(
         def flat_map(obj, prefix, out):
             for k, v in obj.items():
                 key = f"{prefix}{separator}{k}" if prefix else k
-                if not prefix and k in exc:
-                    out[k] = v
+                # reference flatten.rs checks the except set at EVERY
+                # depth: an excepted nested object is kept verbatim
+                # under its prefixed key
+                if k in exc:
+                    out[key] = v
                 elif isinstance(v, dict):
                     flat_map(v, key, out)
                 else:

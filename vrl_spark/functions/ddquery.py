@@ -148,7 +148,16 @@ def _facet_pred(
         if v.startswith("[") and " TO " in v:
             lo, hi = v[1:-1].split(" TO ")
             lo, hi = lo.strip().strip('"'), hi.strip().strip('"')
-            return col.between(lo, hi)
+            # Datadog ranges are numeric when both bounds parse as
+            # numbers: compare as double (string-typed attr columns
+            # would otherwise compare lexicographically and misorder
+            # values of different digit lengths). try_cast keeps
+            # non-numeric rows NULL -> coalesced to non-match upstream.
+            try:
+                lo_n, hi_n = float(lo), float(hi)
+            except ValueError:
+                return col.between(lo, hi)
+            return col.try_cast("double").between(F.lit(lo_n), F.lit(hi_n))
         if v[:2] in (">=", "<="):
             num = F.lit(float(v[2:]))
             c = col.cast("double")

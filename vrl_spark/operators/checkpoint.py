@@ -22,6 +22,7 @@ At cluster scale the manifest is an Iceberg table and data writes are
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -46,6 +47,11 @@ class CheckpointedRun:
         write and rename out of the read (a tmp is NOT a commit)."""
         if not os.path.isdir(self.manifest_dir):
             return set()  # no manifest yet — first run
+        # a crash between makedirs and the first committed rename leaves
+        # the dir with zero *.json files; spark.read.json would raise
+        # "Unable to infer schema" — that state means "nothing committed"
+        if not glob.glob(os.path.join(self.manifest_dir, "*.json")):
+            return set()
         rows = (
             spark.read.option("pathGlobFilter", "*.json")
             .json(self.manifest_dir)

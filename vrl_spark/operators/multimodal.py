@@ -267,10 +267,14 @@ def decode_audio(
                 "duration_ms": (nf * 1000) // rate if rate else 0,
                 "sample_width": sw,
             }
-            dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
             if dtype is None or nf == 0:
                 return meta, None
             x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+            if sw == 1:
+                # 8-bit PCM WAV is UNSIGNED, centered at 128 (digital
+                # silence = 128, not 0) — recenter before scaling
+                x = x - 128.0
             scale = float(2 ** (8 * sw - 1))
             x = x / scale
             feats = {

@@ -129,17 +129,22 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800):
         else:
             start = last = n = None
         closed = []
-        for pdf in pdf_iter:
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
-            for t in ts_us:
-                t = int(t)
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_us:
-                    closed.append((start, last, n))
-                    start, last, n = t, t, 1
-                else:
-                    last, n = max(last, t), n + 1
+        # a group can span multiple Arrow chunks: collect ALL of them,
+        # sort ONCE across the whole micro-batch, then fold — sorting
+        # per-chunk would fold out-of-order rows and split sessions
+        chunks = [
+            pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdf_iter
+        ]
+        ts_us = pd.concat(chunks).sort_values() if chunks else []
+        for t in ts_us:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
         if closed:
