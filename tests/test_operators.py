@@ -241,3 +241,47 @@ def test_minhash_engines_find_planted_dups(spark):
         }
         assert (1, 3) in pairs, (eng, pairs)   # exact dup always recovered
         assert (1, 2) in pairs or (2, 3) in pairs, (eng, pairs)
+
+
+def test_dedup_clusters_multi_component(spark):
+    """Known graph: components {1,2,3}, {5,6}, and a 6-node CHAIN
+    10-11-12-13-14-15 (exercises multi-round propagation + pointer
+    jumping). Singletons from ids keep themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6),
+         (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (5, True), 6: (5, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        13: (10, False), 14: (10, False), 15: (10, False),
+    }
+    # with the full id universe: 7, 8 are singletons -> keep
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 8]],
+                                ["doc_id"])
+    small = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    got2 = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup.dedup_clusters(small, ids=ids).collect()}
+    assert got2[7] == (7, True) and got2[8] == (8, True)
+    assert got2[2] == (1, False) and got2[6] == (5, False)
+
+
+def test_dedup_clusters_empty_and_survivors(spark):
+    """Empty pair set -> every doc survives; survivor rows drop exactly
+    the non-min members of each cluster."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dedup.dedup_clusters(empty, ids=docs)
+    assert out.where(~F.col("keep")).count() == 0
+    assert out.count() == 7
+
+    pairs = spark.createDataFrame([(1, 4), (4, 6), (2, 3)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in
+            dedup.dedup_survivor_rows(docs, pairs).collect()}
+    assert kept == {1, 2, 5, 7}  # 4,6 fold into 1; 3 folds into 2

@@ -73,8 +73,7 @@ def dedup_exact(spark, sf_dir):
 # minhash LSH near-dup (full algorithm replicated in the oracle)
 # ---------------------------------------------------------------------
 
-_MINHASH_ORACLE = f"""
-WITH {_DUP_CORPUS_SQL},
+_MINHASH_CTES = f"""{_DUP_CORPUS_SQL},
 toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus
 ),
@@ -113,6 +112,10 @@ verified AS (
   JOIN sh sa ON sa.doc_id = cand.id_a
   JOIN sh sb ON sb.doc_id = cand.id_b
 )
+"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_x1m
 FROM verified WHERE jaccard >= 0.7
 """
@@ -145,6 +148,55 @@ def dedup_minhash_engine(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b",
         F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
+    )
+
+
+# ---------------------------------------------------------------------
+# cluster resolution: pairs -> connected components -> keep/drop
+# ---------------------------------------------------------------------
+
+# the oracle runs the FULL pipeline in DuckDB: planted corpus ->
+# banded minhash-LSH -> verified pairs -> RECURSIVE-CTE connected
+# components (reachability closure, min reachable id per node) ->
+# survivor pick + singleton keep
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+vpairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b, id_a FROM vpairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+labels AS (
+  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
+)
+SELECT c.doc_id,
+       COALESCE(l.cluster_id, c.doc_id) AS cluster_id,
+       CAST(COALESCE(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep_flag
+FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """The keep/drop capstone: minhash near-dup pairs resolved to
+    connected-component clusters (iterative min-label propagation +
+    pointer jumping, see operators/dedup.py) with one canonical
+    survivor (min id) per cluster; docs in no pair keep themselves."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, threshold=0.7, num_hashes=16, bands=4, shingle_n=3
+    )
+    cl = dedup.dedup_clusters(pairs.select("id_a", "id_b"), ids=corpus)
+    return cl.select(
+        "doc_id", "cluster_id", F.col("keep").cast("long").alias("keep_flag")
     )
 
 
