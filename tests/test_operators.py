@@ -285,3 +285,42 @@ def test_dedup_clusters_empty_and_survivors(spark):
     kept = {r["doc_id"] for r in
             dedup.dedup_survivor_rows(docs, pairs).collect()}
     assert kept == {1, 2, 5, 7}  # 4,6 fold into 1; 3 folds into 2
+
+
+def test_simhash_engines_find_planted_dups(spark):
+    """Both simhash signature families (xxh long fast path, md5
+    portable path) must pair exact copies at distance 0, and give
+    near-identical docs a far smaller hamming distance than unrelated
+    ones."""
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "additional words pad this document out to a usable token "
+            "count for stable simhash signatures across families")
+    rows = [(1, base), (2, base + " tweak"), (3, base)]
+    for i in range(4, 40):
+        rows.append((i, f"unrelated document {i} alpha{i*3} beta{i*5} "
+                        f"gamma{i*7} delta{i*11} epsilon{i*13} zeta{i*17}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for eng in ("xxh", "md5"):
+        got = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in dedup.simhash_dedup_pairs(
+                   df, max_distance=3, chunks=4, engine=eng).collect()}
+        assert got.get((1, 3)) == 0, (eng, got)  # exact copy: distance 0
+    # near-dup signal: hamming(doc1, doc2) well under the ~32 expected
+    # for unrelated docs, in BOTH signature families
+    sigs = df.where(F.col("doc_id").isin(1, 2, 4)).select(
+        "doc_id",
+        dedup.simhash64_fast(F.col("text")).alias("xxh"),
+        dedup.simhash_bits_md5(F.col("text")).alias("md5"),
+    ).collect()
+    by = {r["doc_id"]: r for r in sigs}
+
+    def ham_long(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    def ham_str(a, b):
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    assert ham_long(by[1]["xxh"], by[2]["xxh"]) < 16
+    assert ham_str(by[1]["md5"], by[2]["md5"]) < 16
+    assert ham_long(by[1]["xxh"], by[4]["xxh"]) > 16
+    assert ham_str(by[1]["md5"], by[4]["md5"]) > 16

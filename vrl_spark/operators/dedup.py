@@ -176,7 +176,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
-    engine: str = "md5",
+    engine: str = "xxh",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash-LSH.
 
@@ -188,8 +188,10 @@ def minhash_lsh_pairs(
     which would rebuild the whole expensive signature subplan
     single-threaded on the driver.
 
-    engine: 'md5' (DuckDB-portable values, the oracle path) or 'xxh'
-    (seeded-xxhash64 longs, ~18x faster signature; engine-internal).
+    engine: 'xxh' (DEFAULT — seeded-xxhash64 longs, ~18x faster
+    signature, the path a defaults-caller should get at 100 TB) or
+    'md5' (DuckDB-portable values, pinned explicitly by the oracle
+    queries).
     """
     from vrl_spark.functions.parse import materialize
 
@@ -318,14 +320,9 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------
 
 
-def simhash_bits(col: Column) -> Column:
-    """64-char '0'/'1' SimHash signature over whitespace tokens.
-
-    Each token hashes once (xxhash64 -> two's-complement bit string
-    via bin+lpad); bit j of the signature is the sign of the +/-1
-    vote sum across tokens. Pure JVM expressions."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
-    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+def _simhash_vote_fold(bitstrs: Column) -> Column:
+    """Fold 64-char bit strings into the sign-of-vote signature string
+    (shared by the xxhash64 and md5 signature families)."""
     # ONE pass over the tokens: fold a 64-wide vote counter
     counts = F.aggregate(
         bitstrs,
@@ -339,6 +336,30 @@ def simhash_bits(col: Column) -> Column:
     return F.array_join(
         F.transform(counts, lambda v: F.when(v > 0, "1").otherwise("0")), ""
     )
+
+
+def simhash_bits(col: Column) -> Column:
+    """64-char '0'/'1' SimHash signature over whitespace tokens.
+
+    Each token hashes once (xxhash64 -> two's-complement bit string
+    via bin+lpad); bit j of the signature is the sign of the +/-1
+    vote sum across tokens. Pure JVM expressions."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    bitstrs = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    return _simhash_vote_fold(bitstrs)
+
+
+def simhash_bits_md5(col: Column) -> Column:
+    """DuckDB-PORTABLE SimHash signature: the per-token 64-bit hash is
+    the first 16 hex chars of md5(token) (conv hex->binary, one conv
+    per token) — the same portability trick as minhash_signature, so
+    the full chunk-banded near-dup pipeline is oracle-checkable."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    bitstrs = F.transform(
+        toks,
+        lambda t: F.lpad(F.conv(F.substring(F.md5(t), 1, 16), 16, 2), 64, "0"),
+    )
+    return _simhash_vote_fold(bitstrs)
 
 
 def simhash64(col: Column) -> Column:
@@ -408,6 +429,7 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     chunks: int = 4,
+    engine: str = "xxh",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance.
 
@@ -416,12 +438,19 @@ def simhash_dedup_pairs(
     (pigeonhole), so candidates come from an equi-join on
     (chunk_id, chunk_value) — same join-not-crossjoin shape as LSH.
 
-    Signature is the long-arithmetic fast path (simhash64_fast);
+    engine='xxh' (default): long-arithmetic fast path (simhash64_fast);
     chunks are 16-bit ints via shift+mask; distance is a single
     XOR + bit_count — all whole-stage-codegen-friendly primitives.
+    engine='md5': DuckDB-portable signature (simhash_bits_md5, 64-char
+    bit string); chunks are 16-char substrings, distance is a char
+    diff count — the oracle-checkable path, same banded-join shape.
     """
     from vrl_spark.functions.parse import materialize
 
+    if engine == "md5":
+        return _simhash_dedup_pairs_md5(
+            df, text_col, id_col, max_distance, chunks
+        )
     # materialize: the per-token fold runs ONCE per row, not once per
     # chunk projection
     sig = materialize(
@@ -455,6 +484,49 @@ def simhash_dedup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sim"), F.col("b.sim")).alias("distance"),
+        )
+        .distinct()
+        .where(F.col("distance") <= max_distance)
+    )
+
+
+def _simhash_dedup_pairs_md5(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int, chunks: int
+) -> DataFrame:
+    """The oracle-portable simhash path: bit-STRING signatures, chunk
+    bands as substrings, hamming as differing-char count."""
+    from vrl_spark.functions.parse import materialize
+
+    sig = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        sim=simhash_bits_md5(F.col(text_col)),
+    ).select(id_col, "sim")
+    width = 64 // chunks
+    pieces = sig.select(
+        id_col, "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.substring(F.col("sim"), c * width + 1, width)
+                    .alias("chunk_val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("p"),
+    ).select(id_col, "sim", "p.chunk_id", "p.chunk_val")
+    a, b = pieces.alias("a"), pieces.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_bits(F.col("a.sim"), F.col("b.sim")).alias("distance"),
         )
         .distinct()
         .where(F.col("distance") <= max_distance)

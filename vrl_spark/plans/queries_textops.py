@@ -123,9 +123,11 @@ FROM verified WHERE jaccard >= 0.7
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
+    # engine='md5' pinned EXPLICITLY: the operator default is the 18x
+    # faster xxh path; the oracle needs DuckDB-portable hashes
     pairs = dedup.minhash_dedup_pairs(
         _dup_corpus(spark, sf_dir), threshold=0.7,
-        num_hashes=16, bands=4, shingle_n=3,
+        num_hashes=16, bands=4, shingle_n=3, engine="md5",
     )
     return pairs.select(
         "id_a", "id_b",
@@ -133,19 +135,35 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_engine")  # no oracle: seeded xxhash64 signatures
+# planted-recall oracle for the engine path: an exact copy has an
+# identical signature under ANY hash family, so every planted exact
+# pair (a, a+1000000) MUST band together and verify at jaccard = 1.0
+# exactly — the expected pair set is deterministic without computing
+# xxhash64 in DuckDB. (id_a < 1000000 excludes the copy-vs-near pairs
+# (a+1000000, a+2000000) that also differ by exactly 1000000.)
+_MINHASH_ENGINE_ORACLE = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+       CAST(1000000 AS BIGINT) AS jaccard_x1m
+FROM documents WHERE doc_id % 5 = 0 AND trim(text) != ''
+"""
+
+
+@register("dedup_minhash_engine", _MINHASH_ENGINE_ORACLE)
 def dedup_minhash_engine(spark, sf_dir):
     """The ENGINE-default LSH path: seeded-xxhash64 long signatures
     (~18x the md5 signature throughput) and long band keys. Same
-    banded-join shape as dedup_minhash_lsh; candidate sets differ only
-    by hash family, and the true-jaccard verify filter makes the final
-    pairs near-identical (pytest asserts planted dups are found by
-    both). Rows-only by design: xxhash64 isn't portable to DuckDB."""
+    banded-join shape as dedup_minhash_lsh. Oracle = planted-dup
+    recall: the output is restricted to the deterministic planted
+    exact-copy pairs, which the engine must recover at 100% with
+    jaccard exactly 1.0 (identical text -> identical signature ->
+    all bands collide) regardless of hash family."""
     pairs = dedup.minhash_dedup_pairs(
         _dup_corpus(spark, sf_dir), threshold=0.7,
         num_hashes=16, bands=4, shingle_n=3, engine="xxh",
     )
-    return pairs.select(
+    return pairs.where(
+        (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
+    ).select(
         "id_a", "id_b",
         F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
     )
@@ -192,7 +210,8 @@ def dedup_clusters(spark, sf_dir):
     survivor (min id) per cluster; docs in no pair keep themselves."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(
-        corpus, threshold=0.7, num_hashes=16, bands=4, shingle_n=3
+        corpus, threshold=0.7, num_hashes=16, bands=4, shingle_n=3,
+        engine="md5",  # oracle-portable hashes, pinned explicitly
     )
     cl = dedup.dedup_clusters(pairs.select("id_a", "id_b"), ids=corpus)
     return cl.select(
@@ -248,15 +267,60 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# simhash near-dup — engine-internal hashes (xxhash64): rows-only check
+# simhash near-dup — md5-portable signature, full algorithm in DuckDB
 # ---------------------------------------------------------------------
 
+# per-token 64-bit hash = first 16 hex chars of md5(token); bit j of
+# the signature = sign of the +/-1 vote sum across tokens. Bit j of a
+# hex hash: char j//4, bit (3 - j%4) of that char's value. Chunk bands
+# are 16-char substrings (pigeonhole: distance<=3 pairs share >=1 of 4
+# chunks); hamming = differing-char count.
+_SIMHASH_ORACLE = f"""
+WITH {_DUP_CORPUS_SQL},
+toks AS (
+  SELECT doc_id,
+    list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> md5(t)) AS hashes
+  FROM corpus
+),
+sig AS (
+  SELECT doc_id,
+    array_to_string(list_transform(generate_series(0, 63), j ->
+      CASE WHEN list_sum(list_transform(hashes, h ->
+        CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + j // 4, 1)) - 1)
+                   >> (3 - (j % 4))) & 1 = 1
+             THEN 1 ELSE -1 END)) > 0
+      THEN '1' ELSE '0' END), '') AS sim
+  FROM toks
+),
+banded AS (
+  SELECT doc_id, sim, c AS chunk_id, substr(sim, c * 16 + 1, 16) AS chunk_val
+  FROM sig, generate_series(0, 3) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(generate_series(1, 64),
+                         i -> substr(a.sim, i, 1) != substr(b.sim, i, 1)))
+           AS distance
+  FROM banded a JOIN banded b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(distance AS BIGINT) AS distance
+FROM cand WHERE distance <= 3
+"""
 
-@register("dedup_simhash")  # no oracle: xxhash64 isn't portable to DuckDB
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_dedup_pairs(
-        _dup_corpus(spark, sf_dir), max_distance=3, chunks=4
+    """Chunk-banded simhash near-dup, oracle-checked end-to-end via the
+    md5-portable signature family (engine='md5' pinned; the operator
+    default is the xxhash64 long-arithmetic fast path, equivalence-
+    tested in pytest)."""
+    pairs = dedup.simhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), max_distance=3, chunks=4, engine="md5"
     )
+    return pairs.select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
 
 
 # ---------------------------------------------------------------------
@@ -388,13 +452,77 @@ def similarity_topk(spark, sf_dir):
     )
 
 
-# LSH-bucketed ANN: approximate by construction; the deterministic
-# hyperplanes make it reproducible, checked rows-only + pytest recall.
-@register("similarity_lsh_ann")
+# LSH-bucketed ANN, oracle-checked end-to-end: the hyperplanes are
+# md5-derived CONSTANTS (similarity._hyperplane), so the exact plane
+# values are embedded in the oracle SQL as literals and DuckDB
+# replicates bucketing, multiprobe, cosine, and ranking bit-for-bit.
+def _lsh_ann_oracle(dim: int = 64, num_planes: int = 6, k: int = 5) -> str:
+    planes = [similarity._hyperplane(dim, p) for p in range(num_planes)]
+
+    def dot_expr(vals: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in vals) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(v, {arr}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    # bucket = fold p ascending: bucket*2 + sign_bit(dot(v, plane_p))
+    bucket = f"(CASE WHEN {dot_expr(planes[0])} >= 0 THEN 1 ELSE 0 END)"
+    for pl in planes[1:]:
+        bit = f"(CASE WHEN {dot_expr(pl)} >= 0 THEN 1 ELSE 0 END)"
+        bucket = f"(({bucket}) * 2 + {bit})"
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(num_planes)]
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qvec, bucket AS qb
+  FROM bucketed WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, qvec, p.bucket
+  FROM q, UNNEST([{probe_list}]) AS p(bucket)
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+    ROUND(
+      list_sum(list_transform(list_zip(qvec, c.v), x -> x[1] * x[2]))
+      / NULLIF(
+          sqrt(list_sum(list_transform(qvec, y -> y * y)))
+        * sqrt(list_sum(list_transform(c.v, y -> y * y))), 0), 6) AS cos_sim
+  FROM probes JOIN bucketed c
+    ON c.bucket = probes.bucket AND c.vec_id != probes.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS cos_x1m,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("similarity_lsh_ann", _lsh_ann_oracle())
 def similarity_lsh_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
+    topk = similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
+    return topk.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cos_sim") * 1000000).cast("long").alias("cos_x1m"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------
