@@ -324,3 +324,30 @@ def test_simhash_engines_find_planted_dups(spark):
     assert ham_str(by[1]["md5"], by[2]["md5"]) < 16
     assert ham_long(by[1]["xxh"], by[4]["xxh"]) > 16
     assert ham_str(by[1]["md5"], by[4]["md5"]) > 16
+
+
+def test_simhash_batched_equals_column_paths(spark):
+    """The numpy vote-fold UDF must be bit-exact vs both column-
+    expression signature paths: simhash64_fast (xxh family) and
+    simhash_bits_md5 (md5 family, via bin() round-trip)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g h i j k l m n o p",
+        "single",
+        "",
+        "   ",
+        "MiXeD Case TOKENS here\tand\nthere",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    rows = df.select(
+        dedup.simhash64_fast(F.col("t")).alias("fast"),
+        dedup.simhash64_batched(F.col("t"), engine="xxh").alias("bx"),
+        dedup.simhash_bits_md5(F.col("t")).alias("mbits"),
+        F.lpad(
+            F.bin(dedup.simhash64_batched(F.col("t"), engine="md5")), 64, "0"
+        ).alias("bbits"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["bx"], (r["fast"], r["bx"])
+        assert r["mbits"] == r["bbits"], (r["mbits"], r["bbits"])

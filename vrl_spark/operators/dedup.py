@@ -20,6 +20,7 @@ Determinism: every hash used for ORACLE-checked paths is md5-based
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -409,6 +410,86 @@ def simhash64_fast(col: Column) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def _token_hashes_xxh(col: Column) -> Column:
+    """Per-token 64-bit hashes (engine family): array<long> of
+    xxhash64 over whitespace tokens — JVM-side, one hash per token."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _token_hashes_md5(col: Column) -> Column:
+    """Per-token 64-bit hashes (portable family): the first 16 hex
+    chars of md5(token) as a two's-complement long. conv gives the
+    unsigned decimal string; the decimal(21,0) subtract maps values
+    >= 2^63 into negative long range without overflow."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+
+    def h(t: Column) -> Column:
+        from vrl_spark.functions.parse import bind
+
+        dec = F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast("decimal(20,0)")
+        # 2^63 / 2^64 exceed the JVM long literal range: lit as strings
+        two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+        two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+        return bind(
+            dec,
+            lambda d: (
+                d.cast("decimal(21,0)")
+                - F.when(d >= two63, two64)
+                .otherwise(F.lit(0).cast("decimal(21,0)"))
+            ).cast("long"),
+        )
+
+    return F.transform(toks, h)
+
+
+def _simhash_fold_udf():
+    """Arrow-batched numpy vote fold: array<long> token hashes -> the
+    64-bit simhash long. The per-bit vote is a segmented popcount
+    (np.add.reduceat over the flattened hash array) — 64 vectorized
+    passes instead of a per-token interpreted 64-wide zip_with, the
+    costliest constant in the round-2 plan audit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(hs)
+        out = np.zeros(n, dtype=np.uint64)
+        valid = hs.notna().to_numpy()
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs[valid]]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([a for a in arrs if len(a)])
+            ne_lens = lens[nonempty]
+            starts = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            sig = np.zeros(len(ne_lens), dtype=np.uint64)
+            for j in range(64):
+                ones = np.add.reduceat((flat >> j) & 1, starts)
+                sig |= (ones * 2 > ne_lens).astype(np.uint64) << np.uint64(j)
+            tmp = np.zeros(len(arrs), dtype=np.uint64)
+            tmp[nonempty] = sig
+            out[valid] = tmp
+        res = pd.array(out.view(np.int64), dtype="Int64")
+        res[~valid] = pd.NA
+        return pd.Series(res)
+
+    return fold
+
+
+def simhash64_batched(col: Column, engine: str = "xxh") -> Column:
+    """Vectorized SimHash: token hashes stay JVM-side (xxhash64 or
+    portable md5-derived longs), the vote fold runs as ONE numpy
+    pandas UDF per Arrow batch. Bit-exact vs simhash64_fast (xxh) /
+    simhash_bits_md5 (md5) — pytest equivalence on both."""
+    hashes = _token_hashes_xxh(col) if engine == "xxh" else _token_hashes_md5(col)
+    return _simhash_fold_udf()(hashes)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -438,24 +519,21 @@ def simhash_dedup_pairs(
     (pigeonhole), so candidates come from an equi-join on
     (chunk_id, chunk_value) — same join-not-crossjoin shape as LSH.
 
-    engine='xxh' (default): long-arithmetic fast path (simhash64_fast);
-    chunks are 16-bit ints via shift+mask; distance is a single
-    XOR + bit_count — all whole-stage-codegen-friendly primitives.
-    engine='md5': DuckDB-portable signature (simhash_bits_md5, 64-char
-    bit string); chunks are 16-char substrings, distance is a char
-    diff count — the oracle-checkable path, same banded-join shape.
+    engine='xxh' (default): xxhash64 token hashes. engine='md5':
+    DuckDB-portable md5-derived hashes (the oracle replicates the
+    signature from the SAME hex math; its substring chunk keys are a
+    bijection of these shift/mask chunk ints, so the candidate sets
+    are identical). Both families share one downstream: the numpy
+    vote-fold UDF (simhash64_batched), 16-bit chunk ints via
+    shift+mask, XOR + bit_count distance.
     """
     from vrl_spark.functions.parse import materialize
 
-    if engine == "md5":
-        return _simhash_dedup_pairs_md5(
-            df, text_col, id_col, max_distance, chunks
-        )
-    # materialize: the per-token fold runs ONCE per row, not once per
-    # chunk projection
+    # materialize: the signature must compute ONCE per row, not once
+    # per chunk projection
     sig = materialize(
         df.select(F.col(id_col), F.col(text_col)),
-        sim=simhash64_fast(F.col(text_col)),
+        sim=simhash64_batched(F.col(text_col), engine=engine),
     ).select(id_col, "sim")
     width = 64 // chunks
     pieces = sig.select(
@@ -484,49 +562,6 @@ def simhash_dedup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sim"), F.col("b.sim")).alias("distance"),
-        )
-        .distinct()
-        .where(F.col("distance") <= max_distance)
-    )
-
-
-def _simhash_dedup_pairs_md5(
-    df: DataFrame, text_col: str, id_col: str, max_distance: int, chunks: int
-) -> DataFrame:
-    """The oracle-portable simhash path: bit-STRING signatures, chunk
-    bands as substrings, hamming as differing-char count."""
-    from vrl_spark.functions.parse import materialize
-
-    sig = materialize(
-        df.select(F.col(id_col), F.col(text_col)),
-        sim=simhash_bits_md5(F.col(text_col)),
-    ).select(id_col, "sim")
-    width = 64 // chunks
-    pieces = sig.select(
-        id_col, "sim",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_id"),
-                    F.substring(F.col("sim"), c * width + 1, width)
-                    .alias("chunk_val"),
-                )
-                for c in range(chunks)
-            ])
-        ).alias("p"),
-    ).select(id_col, "sim", "p.chunk_id", "p.chunk_val")
-    a, b = pieces.alias("a"), pieces.hint("shuffle_hash").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming_bits(F.col("a.sim"), F.col("b.sim")).alias("distance"),
         )
         .distinct()
         .where(F.col("distance") <= max_distance)
