@@ -263,3 +263,68 @@ def test_match_datadog_query_numeric_range_on_string_column(spark):
         "i", mdq("@code:[100 TO 200]", attrs=attrs).alias("m")
     ).collect()}
     assert rows == {1: False, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_is_array_object_regex(spark):
+    """is_array.rs / is_object.rs / is_regex.rs: static-schema dispatch
+    plus the dynamic JSON-lane variants."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from vrl_spark.functions import misc
+
+    df = spark.createDataFrame(
+        [([1, 2], {"k": 1}, "x", '[1,2]', '{"a":1}'),
+         (None, None, None, 'not json [', '12')],
+        ["arr", "obj", "s", "ja", "jo"],
+    )
+    sch = {f.name: f.dataType for f in df.schema.fields}
+    rows = df.select(
+        misc.is_array(F.col("arr"), sch["arr"]).alias("a1"),
+        misc.is_array(F.col("s"), sch["s"]).alias("a2"),
+        misc.is_object(F.col("obj"), sch["obj"]).alias("o1"),
+        misc.is_object(F.col("s"), sch["s"]).alias("o2"),
+        misc.is_array_json(F.col("ja")).alias("ja"),
+        misc.is_object_json(F.col("jo")).alias("jo"),
+    ).collect()
+    r0, r1 = rows
+    assert r0["a1"] is True and r0["a2"] is False
+    assert r0["o1"] is True and r0["o2"] is False
+    assert r0["ja"] is True and r0["jo"] is True
+    assert r1["a1"] is False and r1["o1"] is False  # null -> not array
+    assert r1["ja"] is False and r1["jo"] is False
+
+    assert misc.is_regex(re.compile("a+")) is True
+    assert misc.is_regex("a+") is False
+    assert misc.is_regex(123) is False
+    # struct columns are objects too
+    sdf = spark.createDataFrame([((1, "x"),)], "st struct<a:int,b:string>")
+    st = sdf.schema["st"].dataType
+    assert sdf.select(misc.is_object(F.col("st"), st).alias("x")).collect()[0]["x"] is True
+
+
+def test_random_bytes(spark):
+    """random_bytes.rs: requested length, 64k cap, negative rejection;
+    seeded variant deterministic per seed."""
+    import pytest as _pt
+
+    from vrl_spark.functions import misc
+
+    row = spark.range(3).select(
+        F.length(misc.random_bytes(16)).alias("n16"),
+        F.length(misc.random_bytes(33)).alias("n33"),
+        misc.random_bytes(0).alias("z"),
+        misc.random_bytes_seeded(8, seed=7).alias("s7a"),
+        misc.random_bytes_seeded(8, seed=7).alias("s7b"),
+        misc.random_bytes_seeded(8, seed=9).alias("s9"),
+    ).collect()
+    for r in row:
+        assert r["n16"] == 16 and r["n33"] == 33
+        assert bytes(r["z"]) == b""
+        assert bytes(r["s7a"]) == bytes(r["s7b"])   # same seed: same bytes
+        assert bytes(r["s7a"]) != bytes(r["s9"])    # different seed
+    with _pt.raises(ValueError):
+        misc.random_bytes(-1)
+    with _pt.raises(ValueError):
+        misc.random_bytes(64 * 1024 + 1)

@@ -61,6 +61,44 @@ def is_null(col: Column) -> Column:
     return col.isNull()
 
 
+def is_array(col: Column, dtype: T.DataType) -> Column:
+    """src/stdlib/is_array.rs — static-schema dispatch like the other
+    type predicates: the column's Catalyst type IS the runtime kind."""
+    return F.lit(isinstance(dtype, T.ArrayType)) & col.isNotNull()
+
+
+def is_object(col: Column, dtype: T.DataType) -> Column:
+    """src/stdlib/is_object.rs — maps and structs are both VRL
+    objects."""
+    return F.lit(isinstance(dtype, (T.MapType, T.StructType))) & col.isNotNull()
+
+
+def is_array_json(col: Column) -> Column:
+    """Dynamic (JSON-string lane) is_array: valid JSON whose top-level
+    value is an array."""
+    from vrl_spark.functions.coerce import is_json
+
+    return is_json(col) & F.ltrim(col).startswith("[")
+
+
+def is_object_json(col: Column) -> Column:
+    """Dynamic (JSON-string lane) is_object."""
+    from vrl_spark.functions.coerce import is_json
+
+    return is_json(col) & F.ltrim(col).startswith("{")
+
+
+def is_regex(value) -> bool:
+    """src/stdlib/is_regex.rs — a TYPE predicate on regex values. VRL
+    regexes are first-class runtime values; in this engine regex
+    literals exist at PLAN time (Python ``re.Pattern`` objects / the
+    pattern strings handed to parse_regex), so the faithful analogue
+    is a plan-time predicate, not a Column."""
+    import re
+
+    return isinstance(value, re.Pattern)
+
+
 def is_ipv6(col: Column) -> Column:
     return col.rlike(r"^(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$")
 
@@ -97,6 +135,41 @@ def random_float_seeded(seed: int = 42) -> Column:
 
 def random_bool_seeded(seed: int = 42) -> Column:
     return F.rand(seed) >= 0.5
+
+
+_RANDOM_BYTES_MAX = 64 * 1024  # reference random_bytes.rs MAX_LENGTH
+
+
+def _random_bytes_from(r: Column, length: int) -> Column:
+    """Expand a per-row random double into ``length`` bytes via an
+    md5 counter chain (16 bytes per block), JVM-side."""
+    if length < 0:
+        raise ValueError("Length cannot be negative")
+    if length > _RANDOM_BYTES_MAX:
+        raise ValueError("Length is too large. Maximum is 64k")
+    if length == 0:
+        return F.lit(b"")
+    blocks = (length + 15) // 16
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), r.cast("string")))
+            for i in range(blocks)
+        ]
+    )
+    return F.unhex(F.substring(hexcat, 1, length * 2))
+
+
+def random_bytes(length: int) -> Column:
+    """src/stdlib/random_bytes.rs — NONDETERMINISTIC (unseeded rand
+    source; see module note on the determinism policy). Plan-time
+    length validation mirrors the reference's error cases."""
+    return _random_bytes_from(F.rand(), length)
+
+
+def random_bytes_seeded(length: int, seed: int = 42) -> Column:
+    """Deterministic variant: same seed + same partitioning -> same
+    bytes (the id to use where routed-row equality applies)."""
+    return _random_bytes_from(F.rand(seed), length)
 
 
 # --- environment (driver-side constants, src/stdlib/get_*.rs) --------

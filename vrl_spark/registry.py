@@ -46,5 +46,6 @@ def _load() -> None:
     from vrl_spark.plans import queries_weblog  # noqa: F401
     from vrl_spark.plans import queries_functions  # noqa: F401
     from vrl_spark.plans import queries_textops  # noqa: F401
+    from vrl_spark.plans import queries_breadth  # noqa: F401
 
     _LOADED = True
