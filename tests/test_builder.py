@@ -244,3 +244,104 @@ def test_builder_parse_groks_rule_list(spark):
     import pytest as _pt
     with _pt.raises(KeyError):
         P2("bad", on_error="keep").parse_groks("message", patterns=["%{NOPE:x}"])
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body)))
+
+
+def _make_png(pixels, color_type=2, filters=None):
+    """Hand-assemble a PNG: pixels HxWxC list, explicit per-row filter
+    types with the filtering applied HERE (independent of the
+    decoder)."""
+    import struct
+    import zlib as _z
+
+    h, w, ch = len(pixels), len(pixels[0]), len(pixels[0][0])
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    filters = filters or [0] * h
+    for y in range(h):
+        line = [c for px in pixels[y] for c in px]
+        ft = filters[y]
+        raw.append(ft)
+        if ft == 0:
+            out = line
+        elif ft == 1:    # Sub
+            out = [(line[x] - (line[x - ch] if x >= ch else 0)) & 0xFF
+                   for x in range(len(line))]
+        elif ft == 2:    # Up
+            out = [(line[x] - prev[x]) & 0xFF for x in range(len(line))]
+        elif ft == 3:    # Average
+            out = [(line[x] - (((line[x - ch] if x >= ch else 0) + prev[x]) >> 1)) & 0xFF
+                   for x in range(len(line))]
+        else:            # Paeth
+            out = []
+            for x in range(len(line)):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[x] - pred) & 0xFF)
+        raw.extend(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_raster_decode_golden():
+    """decode_png_pixels: exact pixels back through zlib inflate +
+    every filter type (None/Sub/Up/Average/Paeth), RGB and RGBA."""
+    import numpy as np
+
+    from vrl_spark.operators import multimodal
+
+    # 5 rows x 3 cols RGB, one row per filter type
+    pixels = [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[200, 100, 50], [25, 75, 125], [0, 255, 128]],
+        [[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+        [[128, 128, 128], [255, 255, 255], [0, 0, 0]],
+    ]
+    png = _make_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    got = multimodal.decode_png_pixels(png)
+    assert got is not None and got.shape == (5, 3, 3)
+    assert np.array_equal(got, np.array(pixels, dtype=np.uint8))
+
+    # RGBA path
+    rgba = [[[255, 0, 0, 255], [0, 255, 0, 128]],
+            [[0, 0, 255, 64], [255, 255, 255, 0]]]
+    png4 = _make_png(rgba, color_type=6, filters=[0, 4])
+    got4 = multimodal.decode_png_pixels(png4)
+    assert got4.shape == (2, 2, 4)
+    assert np.array_equal(got4, np.array(rgba, dtype=np.uint8))
+
+    # non-PNG and unsupported flavors return None
+    assert multimodal.decode_png_pixels(b"not a png") is None
+
+
+def test_png_embedding_real_pixels(spark):
+    """decode_images: a 2x2 R/G/B/white PNG must produce the same REAL
+    luminance embedding the BMP path does (pixels, not hash stub)."""
+    from vrl_spark.operators import multimodal
+
+    pixels = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]]
+    png = _make_png(pixels, color_type=2, filters=[0, 2])
+    df = spark.createDataFrame([(1, bytearray(png))], ["doc_id", "media"])
+    row = multimodal.decode_images(df).collect()[0]
+    assert row["meta"]["format"] == "png"
+    assert (row["meta"]["width"], row["meta"]["height"]) == (2, 2)
+    emb = row["embedding"]
+    assert abs(emb[0] - 0.299) < 1e-4      # red cell luminance
+    assert abs(emb[1] - 0.587) < 1e-4      # green
+    assert abs(emb[2] - 0.114) < 1e-4      # blue
+    assert abs(emb[3] - 1.0) < 1e-4        # white

@@ -124,3 +124,56 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert (1, dt(2024, 1, 1, 2, 0), 1, 0) in got
     assert (2, dt(2024, 1, 1, 1, 0), 2, 300) in got
     assert len(got) == 3
+
+
+def test_sessionize_stream_late_data_contract(spark, tmp_path):
+    """Late-data contract: a row arriving in a LATER micro-batch that
+    is older than the open session's last event MERGES into the open
+    session (counted), and never splits it, reopens history, or moves
+    session_start/session_end backwards — even when the late row is
+    further than the gap before the session start."""
+    from datetime import datetime as dt
+
+    from vrl_spark.streaming.pipeline import sessionize_stream
+
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def feed(rows):
+        spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        q = (
+            sessionize_stream(stream, gap_sec=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: open session A = [0:00, 0:10]
+    feed([(1, dt(2024, 1, 1, 0, 0)), (1, dt(2024, 1, 1, 0, 10))])
+    run_once()
+    # batch 2: two LATE rows — one inside the open session's span,
+    # one a full day earlier (beyond any gap)
+    feed([(1, dt(2024, 1, 1, 0, 5)), (1, dt(2023, 12, 31, 23, 0))])
+    run_once()
+    # batch 3: a fresh row beyond the gap closes session A
+    feed([(1, dt(2024, 1, 1, 2, 0))])
+    run_once()
+
+    got = [
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["duration_sec"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # exactly ONE closed session: the late rows merged (n_events=4),
+    # start/end unchanged by lateness (no retro session, no split)
+    assert got == [(1, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10), 4, 600)]

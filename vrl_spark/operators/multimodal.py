@@ -5,11 +5,12 @@ The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
 partitioning — is real and tested. Kernels are real wherever the
 stdlib suffices: image metadata (PNG/GIF/BMP/JPEG header parsing),
 full raster decode + nearest-neighbor resize + visual features for
-uncompressed 24-bit BMP (numpy), and complete PCM WAV audio decode +
-signal features (``wave`` + numpy). Only the compressed-raster
-codecs (JPEG/PNG pixel data) and video keyframing remain
-deterministic stubs — the libraries (PIL/ffmpeg) are absent here;
-swapping them in replaces ONE function body, not the Spark plumbing.
+uncompressed 24-bit BMP AND 8-bit RGB/RGBA PNG (IDAT is
+zlib-deflate: inflate + scanline unfilter, stdlib+numpy), and
+complete PCM WAV audio decode + signal features (``wave`` + numpy).
+Only the JPEG raster codec and video keyframing remain deterministic
+stubs — those libraries (PIL/ffmpeg) are absent here; swapping them
+in replaces ONE function body, not the Spark plumbing.
 
 Design points for 100 TB of media:
 - binary payloads never pass through JVM String (binary -> Arrow ->
@@ -129,6 +130,82 @@ def decode_bmp_pixels(data: bytes):
     return rgb[::-1] if flip else rgb  # bottom-up unless height < 0
 
 
+def decode_png_pixels(data: bytes):
+    """REAL raster decode for 8-bit RGB/RGBA non-interlaced PNG,
+    stdlib-only: IDAT is zlib-deflate, so ``zlib`` + per-scanline
+    unfiltering (PNG filters 0-4) recovers exact pixels. Returns an
+    HxWxC uint8 array (C = 3 or 4), or None for other PNG flavors
+    (palette/16-bit/interlaced) and non-PNGs.
+
+    Filters Up/None vectorize fully; Sub/Average/Paeth carry a
+    left-pixel dependency and scan bytes within the row — correct
+    first, and plenty for the feature path's thumbnails."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+        return None
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
+        p += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ft == 1:  # Sub
+                    v = line[x] + a
+                elif ft == 3:  # Average
+                    v = line[x] + ((a + b) >> 1)
+                elif ft == 4:  # Paeth
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    return None  # invalid filter byte
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
 def resize_nearest(arr, out_w: int, out_h: int):
     """Nearest-neighbor resize on an HxWxC array (pure numpy index
     math — the real resize kernel for the feature path)."""
@@ -141,12 +218,17 @@ def resize_nearest(arr, out_w: int, out_h: int):
 
 
 def _image_embedding(data: bytes, dim: int = 8) -> list[float]:
-    """Image feature vector. For decodable rasters (24-bit BMP) this
-    is REAL: nearest-resize to 2x2 then per-cell mean luminance +
-    global RGB means/std — an honest tiny visual descriptor. Other
-    containers get the deterministic hash stub (a model embedding
-    would slot in here, initialized once per task)."""
+    """Image feature vector. For decodable rasters — 24-bit BMP and
+    8-bit RGB/RGBA PNG (stdlib zlib decode) — this is REAL:
+    nearest-resize to 2x2 then per-cell mean luminance + global RGB
+    means/std, an honest tiny visual descriptor. Other containers get
+    the deterministic hash stub (a model embedding would slot in
+    here, initialized once per task)."""
     px = decode_bmp_pixels(data)
+    if px is None:
+        px = decode_png_pixels(data)
+        if px is not None:
+            px = px[:, :, :3]  # drop alpha for the visual descriptor
     if px is not None:
         import numpy as np
 

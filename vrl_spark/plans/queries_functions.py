@@ -673,6 +673,27 @@ _MIME_SET = [
 ]
 _HANGUL = ["안녕하세요", "한국어", "테스트"]
 
+# Frozen ciphertext vectors: one fixed (plaintext, key, iv) per
+# algorithm family, hex computed ONCE and embedded as constants — a
+# kernel that regresses the same way in encrypt AND decrypt still
+# round-trips, but cannot reproduce these literals. (The kernels
+# themselves are byte-exact vs the reference's encrypt.rs vectors in
+# tests/test_crypto.py; these constants freeze that state.)
+_CT_PLAINTEXT = "vrl-spark crypto oracle vector"
+_CT_VECTORS = {
+    "ct_cbc_hex": ("AES-256-CBC-PKCS7",
+        "D79438946044F21F653D613BC353CA023A9B67AD0F44C768B123344DB4095EDD"),
+    "ct_ctrle_hex": ("AES-256-CTR",
+        "CA2E8CC99D460E2166CAD3FA35214699DE97A1B6FD04B9BC2FE15F9EAE00"),
+    "ct_cfb_hex": ("AES-256-CFB",
+        "CA2E8CC99D460E2166CAD3FA352146997BC0EB1C43A702A072A101078034"),
+    "ct_chacha_hex": ("CHACHA20-POLY1305",
+        "0F70FD81BB39AF69B973B60A95805466747368F4C5FCBD90270623FF0026D2CEA58EB8C0DACA81BB07F4BB23AAEB"),
+    "ct_siv_hex": ("AES-256-SIV",
+        "41C6313568300E8DE19E53E0642A3AA851F80A69589DB96ECBB619B0CDB846FD0D6FFE4A099333F2679E7EF1713C"),
+}
+_CT_IP_ENC = "5f4:248:d921:d0d:ad4a:7f5:c5af:e994"  # ipcrypt-det of 192.168.10.32
+
 _CRYPTO_ORACLE = f"""
 WITH derived AS (
   SELECT event_id,
@@ -688,7 +709,9 @@ SELECT event_id,
   line AS chacha_roundtrip,
   ip AS ip_roundtrip,
   CASE event_id % 4 {' '.join(f"WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(_MIME_SET))} END AS mime_decoded,
-  CASE event_id % 3 {' '.join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_HANGUL))} END AS charset_roundtrip
+  CASE event_id % 3 {' '.join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_HANGUL))} END AS charset_roundtrip,
+  {','.join(f"'{hexv}' AS {name}" for name, (_, hexv) in _CT_VECTORS.items())},
+  '{_CT_IP_ENC}' AS ct_ip_enc
 FROM derived
 """
 
@@ -735,4 +758,16 @@ def vrl_crypto_codecs(spark, sf_dir):
         codec.decode_charset(
             codec.encode_charset(hangul, "euc-kr"), "euc-kr"
         ).alias("charset_roundtrip"),
+        *[
+            F.hex(
+                crypto.encrypt(
+                    F.lit(_CT_PLAINTEXT), alg,
+                    (key32 + key32) if alg.endswith("-SIV") else key32,
+                    iv12 if alg == "CHACHA20-POLY1305" else iv16,
+                )
+            ).alias(name)
+            for name, (alg, _) in _CT_VECTORS.items()
+        ],
+        crypto.encrypt_ip(F.lit("192.168.10.32"), key16, "aes128")
+        .alias("ct_ip_enc"),
     )

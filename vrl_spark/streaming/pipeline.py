@@ -105,12 +105,17 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800):
     same state from the same inputs). State size is O(distinct users),
     bounded regardless of stream length.
 
-    Ordering contract: rows are sorted WITHIN a micro-batch, but
-    arrival across batches must be per-key time-ordered (enforce
-    upstream with a watermark + ordered source, e.g. Kafka per-key
-    partitions). A row older than the open session's last event would
-    otherwise split sessions — the same contract Spark's own
-    session_window has before the watermark closes a window."""
+    Ordering contract: rows are sorted (once, across all Arrow chunks)
+    WITHIN a micro-batch. Across batches, LATE rows — older than the
+    open session's last event, even beyond the gap — MERGE into the
+    open session: they increment n_events but never split the session,
+    open a retroactive one, or move session_start/session_end backwards
+    (the fold's ``t - last > gap`` close test is never true for t <=
+    last, and ``last = max(last, t)`` never regresses). Sessions
+    already CLOSED are immutable — a row older than a closed session
+    folds into the currently-open one instead (enforce per-key ordered
+    arrival upstream, e.g. Kafka per-key partitions, where that
+    matters). Tested: test_sessionize_stream_late_data_contract."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
