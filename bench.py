@@ -166,8 +166,10 @@ def main() -> None:
     # alone vs 13-30 s measured right after vrl_crypto_codecs).
     headline = ["pipeline_aggregate", "pipeline_routed_rows", "pipeline_route_counts"]
     heavy = [
+        "vrl_formats", "vrl_presets_vendor",
         "vrl_crypto_codecs", "similarity_lsh_ann", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_minhash_engine", "dedup_simhash",
+        "dedup_clusters",
     ]
     ordered = (
         [n for n in headline if n in qs]
@@ -184,9 +186,19 @@ def main() -> None:
     attempts: dict[str, int] = {}
     for name in ordered:
         fn = qs[name]
+        def run_query(fn=fn):
+            # time CONSTRUCTION + execution: operators with eager
+            # phases (dedup_clusters' iterative fixpoint loop runs
+            # actions while building its result) must pay their real
+            # bill inside the timer
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            return time.time() - t0
+
         try:
             t, n_att, _, was_flagged = measure_gated(
-                lambda: force(fn(spark, sf_dir)),
+                run_query,
                 probe_clean_max,
                 PREV_ROUND_REF.get(name),
             )

@@ -1,0 +1,67 @@
+"""Dataset assembly: stable hash splits + token-budget packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrl_spark.operators import sampling
+
+
+def test_hash_split_stable_and_proportional(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.split_table(df, "doc_id", w)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # deterministic: same value -> same split, matches the md5 math
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    for d in (0, 7, 1999):
+        frac = int(hashlib.md5(f"split|{d}".encode()).hexdigest()[:8], 16) / 2**32
+        expect = "train" if frac < 0.8 else ("val" if frac < 0.9 else "test")
+        assert rows[d] == expect, (d, frac)
+    # re-run and growing the corpus never reassigns existing rows
+    bigger = sampling.split_table(
+        spark.range(4000).select(F.col("id").alias("doc_id")), "doc_id", w
+    )
+    rows2 = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(rows2[d] == s for d, s in rows.items())
+    with pytest.raises(ValueError):
+        sampling.hash_split(F.lit("x"), {"a": 0.5, "b": 0.4})
+
+
+def test_pack_documents_greedy_exact(spark):
+    rows = [(1, 400), (2, 500), (3, 200),   # pack0: 400+500 (=900); 200 overflows
+            (4, 900), (5, 50), (6, 60),     # pack1: 200+... wait, greedy in id order
+            (7, 2000)]                       # oversize: capped, own pack
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: r["pack_id"] for r in
+           sampling.pack_documents(df, budget=1000).collect()}
+    # greedy in id order, budget 1000:
+    # d1(400)+d2(500)=900 -> pack0; d3(200) would be 1100 -> pack1
+    # d3(200)+d4(900)? 1100 -> d4 opens pack2; d5(50) 950 fits pack2
+    # d6(60) 1010 -> pack3; d7 capped 1000 -> 60+1000>1000 -> pack4
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
+    # invariant: every pack's (capped) token sum <= budget
+    packed = sampling.pack_documents(df, budget=1000)
+    sums = packed.groupBy("pack_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(1000))).alias("s")
+    ).collect()
+    assert all(r["s"] <= 1000 for r in sums)
+
+
+def test_pack_documents_partitioned(spark):
+    rows = [(i, 600, i % 2) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "shard"])
+    got = sampling.pack_documents(
+        df, budget=1000, part_col=F.col("shard")
+    )
+    # 600-token docs: one per pack within each shard
+    by = {r["doc_id"]: r["pack_id"] for r in got.collect()}
+    # shard 0: docs 0,2,4 -> packs 0,1,2 ; shard 1: docs 1,3,5 -> 0,1,2
+    assert by[0] == 0 and by[2] == 1 and by[4] == 2
+    assert by[1] == 0 and by[3] == 1 and by[5] == 2

@@ -616,6 +616,25 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    # Size the loop's shuffles to the EDGE LIST, not the session's
+    # corpus-sized shuffle setting: the label frame is O(nodes) longs,
+    # and a 5k-node graph shuffled across 32 partitions pays ~10x more
+    # scheduler overhead per round than compute. ~2M edges/partition
+    # (~64 MB of long pairs); grows with the graph at 100 TB.
+    n_edges = edges.count()  # also materializes the persist
+    parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _cc_loop(edges, ids, id_col, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(
+    edges: DataFrame, ids: DataFrame | None, id_col: str, max_iterations: int
+) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -637,24 +656,28 @@ def dedup_clusters(
         jump = new.select(
             F.col("id").alias("j_id"), F.col("label").alias("j_label")
         )
+        new = new.join(jump, new["label"] == jump["j_id"], "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("j_label", "label")
+            ).alias("label"),
+        )
+        # 3) convergence flag rides ALONG in the same materialization
+        # (one localCheckpoint job per round; the sum that follows
+        # reads the checkpointed partitions, no extra shuffle)
+        old = labels.select("id", F.col("label").alias("_old"))
         new = (
-            new.join(jump, new["label"] == jump["j_id"], "left")
+            new.join(old, "id")
             .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("j_label", "label")
-                ).alias("label"),
+                "id", "label", (F.col("label") != F.col("_old")).alias("_chg")
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        changed = new.agg(
+            F.sum(F.col("_chg").cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = new.select("id", "label")
+        if not changed:
             break
     edges.unpersist()
     out = labels.select(

@@ -1,0 +1,134 @@
+"""Dataset assembly operators for training-data pipelines: stable
+hash-based splits and token-budget document packing.
+
+Both are pure JVM column arithmetic — no UDFs, no shuffles beyond
+what the caller already has — and both are deterministic, so a re-run
+or a resumed partition reproduces the identical assignment (the same
+routed-row-equality property the north rule demands of the pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_split(
+    col: Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Stable train/val/test assignment from a content/id hash.
+
+    Each row maps to a bucket in [0, 1) via the first 8 hex chars of
+    md5(salt|value); cumulative weight ranges pick the split. The
+    assignment is a pure function of (salt, value): adding rows,
+    repartitioning, re-running, or growing the corpus 100x never
+    reassigns an existing row — the property random() splits lack.
+
+    weights must sum to ~1.0 (validated at plan time).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    # 32-bit bucket in [0, 1): conv of 8 hex chars / 2^32
+    frac = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(2**32))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_table(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """df + a stable split column keyed on ``key_col``."""
+    return df.withColumn(out_col, hash_split(F.col(key_col), weights, salt))
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    part_col: Column | None = None,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    groups (LLM pretraining sequence assembly): documents ordered by
+    id within a partition key get a ``pack_id`` such that each pack's
+    token sum stays <= budget (single over-budget documents get a pack
+    of their own).
+
+    Exact greedy first-fit-in-order semantics: doc d starts a new pack
+    iff adding it would push the current pack's token sum over budget.
+    Greedy packing carries sequential state (the current pack's fill),
+    which no windowed cumsum closed form expresses exactly — so the
+    fold runs as a JVM ``F.aggregate`` over the per-group doc list:
+    one shuffle to group, one vectorized fold, no Python.
+
+    ``part_col`` (default: a single global group) bounds the per-group
+    list; at 100 TB pass a shard/date column so each group's doc list
+    fits comfortably in a task — packing is then per-shard, which is
+    what a sharded training-data layout wants anyway.
+    """
+    part = part_col if part_col is not None else F.lit(0)
+    tok = F.col(token_col).cast("long")
+    capped = F.least(tok, F.lit(budget))  # oversize docs: own pack
+    df2 = df.withColumn("_tok_c", capped)
+    grouped = (
+        df2.select(part.alias("_part"), F.col(id_col).alias("_id"), "_tok_c")
+        .groupBy("_part")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_tok_c")))
+            ).alias("docs")
+        )
+    )
+    # fold: carry (pack_id, used); emit (doc, pack_id) pairs
+    packed = grouped.select(
+        "_part",
+        F.explode(
+            F.aggregate(
+                F.col("docs"),
+                F.struct(
+                    F.lit(0).cast("long").alias("pid"),
+                    F.lit(0).cast("long").alias("used"),
+                    F.array().cast(
+                        "array<struct<_id:long,pid:long>>"
+                    ).alias("out"),
+                ),
+                lambda acc, d: F.struct(
+                    F.when(
+                        acc["used"] + d["_tok_c"] > budget, acc["pid"] + 1
+                    ).otherwise(acc["pid"]).alias("pid"),
+                    F.when(
+                        acc["used"] + d["_tok_c"] > budget, d["_tok_c"]
+                    ).otherwise(acc["used"] + d["_tok_c"]).alias("used"),
+                    F.array_append(
+                        acc["out"],
+                        F.struct(
+                            d["_id"].alias("_id"),
+                            F.when(
+                                acc["used"] + d["_tok_c"] > budget,
+                                acc["pid"] + 1,
+                            ).otherwise(acc["pid"]).alias("pid"),
+                        ),
+                    ).alias("out"),
+                ),
+                lambda acc: acc["out"],
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e._id").alias(id_col), F.col("e.pid").alias("pack_id")
+    )
+    return df.join(packed, id_col)

@@ -758,16 +758,25 @@ def vrl_crypto_codecs(spark, sf_dir):
         codec.decode_charset(
             codec.encode_charset(hangul, "euc-kr"), "euc-kr"
         ).alias("charset_roundtrip"),
-        *[
-            F.hex(
-                crypto.encrypt(
-                    F.lit(_CT_PLAINTEXT), alg,
-                    (key32 + key32) if alg.endswith("-SIV") else key32,
-                    iv12 if alg == "CHACHA20-POLY1305" else iv16,
-                )
-            ).alias(name)
-            for name, (alg, _) in _CT_VECTORS.items()
-        ],
-        crypto.encrypt_ip(F.lit("192.168.10.32"), key16, "aes128")
-        .alias("ct_ip_enc"),
+    ).crossJoin(
+        # the vector inputs are CONSTANTS: encrypt them ONCE on a
+        # one-row frame and broadcast, instead of 6 pandas-UDF passes
+        # over every row (per-row evaluation of a constant tripled the
+        # query's wall time for zero extra checking power)
+        F.broadcast(
+            spark.range(1).select(
+                *[
+                    F.hex(
+                        crypto.encrypt(
+                            F.lit(_CT_PLAINTEXT), alg,
+                            (key32 + key32) if alg.endswith("-SIV") else key32,
+                            iv12 if alg == "CHACHA20-POLY1305" else iv16,
+                        )
+                    ).alias(name)
+                    for name, (alg, _) in _CT_VECTORS.items()
+                ],
+                crypto.encrypt_ip(F.lit("192.168.10.32"), key16, "aes128")
+                .alias("ct_ip_enc"),
+            )
+        )
     )

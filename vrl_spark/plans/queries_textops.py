@@ -324,6 +324,81 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# dataset assembly: stable hash splits + token-budget packing
+# ---------------------------------------------------------------------
+
+# same md5-fraction math as operators/sampling.hash_split, replicated
+# hex-char by hex-char in DuckDB
+_SPLIT_ORACLE = """
+SELECT doc_id,
+  CASE WHEN frac < 0.8 THEN 'train'
+       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(1, 8),
+      k -> (strpos('0123456789abcdef',
+                   substr(md5('split|' || doc_id), k, 1)) - 1)
+           * power(16, 8 - k))) / 4294967296.0 AS frac
+  FROM documents)
+"""
+
+
+@register("dataset_split", _SPLIT_ORACLE)
+def dataset_split(spark, sf_dir):
+    """Stable train/val/test assignment: pure function of the id, so
+    re-runs and corpus growth never reassign an existing row."""
+    from vrl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return sampling.split_table(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# greedy first-fit packing is sequential state -> DuckDB recursive CTE
+# walks the same fold one doc at a time
+_PACK_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
+  FROM documents
+),
+t AS (
+  SELECT doc_id, LEAST(n_tokens, 256) AS tok,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM toks
+),
+walk(rn, doc_id, pid, used) AS (
+  SELECT rn, doc_id, CAST(0 AS BIGINT), CAST(tok AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.doc_id,
+         CASE WHEN walk.used + t.tok > 256 THEN walk.pid + 1
+              ELSE walk.pid END,
+         CASE WHEN walk.used + t.tok > 256 THEN CAST(t.tok AS BIGINT)
+              ELSE walk.used + t.tok END
+  FROM walk JOIN t ON t.rn = walk.rn + 1
+)
+SELECT doc_id, pid AS pack_id FROM walk
+"""
+
+
+@register("dataset_pack", _PACK_ORACLE)
+def dataset_pack(spark, sf_dir):
+    """Token-budget document packing (LLM pretraining sequence
+    assembly): greedy first-fit in id order, JVM aggregate fold."""
+    from vrl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_documents(docs, budget=256).select(
+        "doc_id", "pack_id"
+    )
+
+
+# ---------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------
 
