@@ -39,10 +39,13 @@ def materialize_pages(spark, sf_dir: str, amp: int) -> str:
     path = os.path.join(cache, f"pages_amp{amp}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        # partition count scales with volume: at high amplification 64
-        # files = only 2 waves on 32 cores, so one straggler (or one
-        # host steal burst) dominates; ~8 waves rides them out
-        n_parts = max(64, amp // 16)
+        # partition count scales with volume: 64 files = only 2 waves
+        # on 32 cores, so ONE steal-hit task dominates the tail (the
+        # probability that at least one of 32 concurrent tasks lands in
+        # a steal window is ~1 on this host). ~8 waves of finer tasks
+        # amortize hits — the same reason 100 TB jobs want
+        # maxPartitionBytes sized for many waves per executor.
+        n_parts = max(256, amp // 4)
         amplified_pages(spark, sf_dir, amp).repartition(n_parts).write.mode(
             "overwrite"
         ).parquet(path)

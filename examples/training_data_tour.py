@@ -35,8 +35,26 @@ def main() -> None:
     print("== minhash-LSH near-dup pairs (engine xxhash64 path) ==")
     dedup.minhash_dedup_pairs(docs, threshold=0.5, engine="xxh").show()
 
-    print("== simhash near-dup pairs (bit-arithmetic signatures) ==")
+    print("== simhash near-dup pairs (numpy vote-fold signatures) ==")
     dedup.simhash_dedup_pairs(docs, max_distance=10).show()
+
+    print("== pairs -> connected components -> keep/drop survivors ==")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5, engine="xxh")
+    dedup.dedup_clusters(pairs.select("id_a", "id_b"), ids=docs).show()
+    print("surviving rows:")
+    dedup.dedup_survivor_rows(docs, pairs.select("id_a", "id_b")).show(truncate=False)
+
+    # --- dataset assembly ----------------------------------------------
+    from vrl_spark.operators import sampling, textstats
+
+    print("== stable train/val/test split + token-budget packing ==")
+    with_tok = docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    split = sampling.split_table(
+        with_tok, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    sampling.pack_documents(split, budget=40).show()
 
     # --- embedding near-dup ---------------------------------------------
     from vrl_spark.operators.similarity import cosine_dedup_pairs

@@ -133,3 +133,43 @@ def test_embedding_dedup_join_shape(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    """Dataset splits add ZERO exchanges: the assignment is a scalar
+    expression over the scan (survives any 100x scale-up for free)."""
+    from vrl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = plan_of(sampling.split_table(docs, "doc_id",
+                                        {"train": 0.8, "val": 0.1, "test": 0.1}))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_documents_one_shuffle_no_python(spark, sf_dir):
+    """Packing = one shuffle (the group-by-shard collect) + a JVM
+    aggregate fold + the id join back; no Python eval anywhere."""
+    from vrl_spark.operators import sampling
+    from vrl_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    plan = plan_of(sampling.pack_documents(docs, budget=256))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    """The CC loop's joins are all equi-joins on id/label — a cross
+    join anywhere would be quadratic at scale."""
+    from vrl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = dedup.dedup_clusters(pairs)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
