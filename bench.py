@@ -60,25 +60,53 @@ def steal_probe() -> float:
     return time.time() - t0
 
 
-# Judge-clean round-2 reference times (VERDICT.md, idle-box best-of-2,
-# local[32], sf0.1). Used to (a) flag a suspicious measurement for
-# re-run and (b) emit the per-query delta table the record keeps.
+# Best-known clean reference times (judge-clean round-2 VERDICT values
+# where available, else round-3 clean-window best-of-N; local[32],
+# sf0.1). EVERY query has a ref: a measurement with no ref can be
+# storm-inflated 8x without tripping the re-measure gate (observed:
+# pipeline_aggregate 9.1 s recorded vs 1.17 s clean in the same hour).
+# Used to (a) flag a suspicious measurement for re-run and (b) emit
+# the per-query delta table the record keeps.
 PREV_ROUND_REF = {
+    "pipeline_aggregate": 1.17,
     "pipeline_routed_rows": 1.40,
+    "pipeline_route_counts": 0.51,
+    "pipeline_host_rollup_salted": 0.24,
+    "pipeline_via_builder": 0.16,
+    "dataset_split": 0.16,
+    "dataset_pack": 1.07,
+    "dedup_exact": 0.18,
+    "events_sessionize": 0.46,
+    "events_windowed": 0.36,
     "similarity_topk": 1.23,
-    "vrl_math_ip": 1.37,
-    "vrl_enrichment_range": 1.20,
-    "vrl_parse_json": 0.40,
-    "vrl_parse_syslog": 0.58,
-    "vrl_collections": 0.30,
-    "text_stats": 1.24,
+    "text_lang_id": 0.16,
     "text_rolling_fingerprint": 0.46,
+    "text_stats": 1.24,
+    "vrl_coercions": 0.12,
+    "vrl_collections": 0.30,
+    "vrl_ddquery": 0.10,
+    "vrl_encode_json": 0.08,
+    "vrl_enrichment_range": 1.20,
+    "vrl_formats": 1.92,
+    "vrl_hashes_codecs": 0.08,
+    "vrl_math_ip": 1.37,
+    "vrl_parse_etld": 0.44,
+    "vrl_parse_json": 0.40,
+    "vrl_parse_kv_timestamp": 0.29,
+    "vrl_parse_syslog": 0.58,
+    "vrl_parse_url": 1.31,
+    "vrl_parse_user_agent": 0.22,
+    "vrl_presets_vendor": 2.04,
+    "vrl_strings": 0.08,
+    "vrl_syslog": 0.07,
+    "vrl_crypto_codecs": 4.73,
+    "similarity_lsh_ann": 0.49,
     "dedup_ngram_jaccard": 1.36,
-    "dedup_minhash_lsh": 4.94,
-    "dedup_minhash_engine": 1.86,
-    "dedup_simhash": 5.16,
+    "dedup_minhash_lsh": 3.42,
+    "dedup_minhash_engine": 1.51,
+    "dedup_simhash": 1.65,
+    "dedup_clusters": 6.42,
     "dedup_embedding_cosine": 2.98,
-    "vrl_crypto_codecs": 4.24,
 }
 
 
@@ -95,7 +123,10 @@ def measure_gated(fn, probe_clean_max: float, ref: float | None,
         best = min(best, t)
         probe_after = steal_probe()
         dirty = probe_after > probe_clean_max
-        suspicious = ref is not None and best > 1.5 * ref
+        # +0.3 s absolute tolerance: sub-second queries carry ~0.1-0.4 s
+        # of scheduler jitter that trips a purely relative gate and
+        # burns re-measure attempts without measuring anything new
+        suspicious = ref is not None and best > 1.5 * ref + 0.3
         if not dirty and not suspicious:
             return best, attempt, probe_after, False
     return best, max_attempts, probe_after, True

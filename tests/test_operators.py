@@ -351,3 +351,17 @@ def test_simhash_batched_equals_column_paths(spark):
     for r in rows:
         assert r["fast"] == r["bx"], (r["fast"], r["bx"])
         assert r["mbits"] == r["bbits"], (r["mbits"], r["bbits"])
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """A 200-node path graph (worst-case diameter) must resolve within
+    max_iterations=12: pointer jumping gives O(log d) rounds, not
+    O(d) — plain neighbor propagation would need ~200."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1200)], ["id_a", "id_b"]
+    )
+    out = dedup.dedup_clusters(pairs, max_iterations=12).collect()
+    assert len(out) == 201
+    assert all(r["cluster_id"] == 1000 for r in out)
+    keeps = [r["doc_id"] for r in out if r["keep"]]
+    assert keeps == [1000]
