@@ -80,6 +80,7 @@ PREV_ROUND_REF = {
     "events_windowed": 0.36,
     "similarity_topk": 1.23,
     "text_lang_id": 0.16,
+    "text_repetition": 2.5,
     "text_rolling_fingerprint": 0.46,
     "text_stats": 1.24,
     "vrl_coercions": 0.12,

@@ -365,3 +365,33 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     assert all(r["cluster_id"] == 1000 for r in out)
     keeps = [r["doc_id"] for r in out if r["keep"]]
     assert keeps == [1000]
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher-style repetition metrics on constructed docs with known
+    line/ngram duplication."""
+    rows = [
+        # 4 lines, 'dup' twice: dup_line_frac=(4-3)/4=0.25;
+        # chars: dup(3)*2 + unique a(1) + b(1) = 8 total, 6 dup -> 0.75
+        (1, "dup\ndup\na\nb"),
+        # 'x y' 2-gram three times out of 5 2-grams: top2=3/5
+        # 5-grams: 'x y x y x'(0..4) 'y x y x y'(1..5): all distinct -> 0
+        (2, "x y x y x y"),
+        # every 5-gram repeats: 'a a a a a' x6 of 6 -> dup5=1.0
+        (3, "a a a a a a a a a a"),
+        (4, ""),
+        (5, "just one plain line of text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert abs(got[1]["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(got[1]["dup_line_char_frac"] - 0.75) < 1e-9
+    assert abs(got[2]["top2gram_frac"] - 3 / 5) < 1e-9
+    assert got[2]["dup5gram_frac"] == 0.0
+    assert got[3]["dup5gram_frac"] == 1.0
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top2gram_frac"] == 0.0
+    assert got[5]["dup_line_frac"] == 0.0
+
+    kept = {r["doc_id"] for r in textstats.repetition_filter(df).collect()}
+    # doc1 fails dup_line rules; doc2 fails top2gram; doc3 fails dup5gram
+    assert kept == {4, 5}

@@ -141,3 +141,136 @@ def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
         return F.when(k > 0, F.array_min(grams))
 
     return bind(tokens(col), body)
+
+
+# ---------------------------------------------------------------------
+# repetition metrics (Gopher/MassiveText-style quality heuristics)
+# ---------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition metrics need counts;
+    word_shingles in dedup.py dedups). < n tokens -> empty array."""
+    from vrl_spark.functions.parse import bind
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return F.when(
+            (F.trim(col) != "") & (k >= n), grams
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(col), body)
+
+
+def line_repetition(col: Column) -> tuple[Column, Column]:
+    """(dup_line_frac, dup_line_char_frac): fraction of lines that are
+    duplicates, and fraction of line characters living in duplicated
+    lines — the Gopher repetition-filter line rules (public heuristic
+    family). Lines per document are few, so the quadratic per-row
+    membership scan stays tiny; `bind` keeps the split from re-running
+    per element."""
+    from vrl_spark.functions.parse import bind
+
+    def body(lines: Column) -> Column:
+        nl = F.size(lines)
+        dl = F.size(F.array_distinct(lines))
+        dup_line = F.when(
+            nl > 0, (nl - dl).cast("double") / nl
+        ).otherwise(F.lit(0.0))
+        total_chars = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        )
+        dup_chars = F.aggregate(
+            lines,
+            F.lit(0).cast("long"),
+            lambda a, l: a
+            + F.when(
+                F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)
+            ).otherwise(F.lit(0)),
+        )
+        dup_char_frac = F.when(
+            total_chars > 0, dup_chars.cast("double") / total_chars
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            dup_line.alias("dup_line_frac"),
+            dup_char_frac.alias("dup_line_char_frac"),
+        )
+
+    s = body(F.split(col, "\n"))
+    return s.getField("dup_line_frac"), s.getField("dup_line_char_frac")
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition metrics (Gopher-style):
+
+    - dup_line_frac / dup_line_char_frac  (line duplication)
+    - top2gram_frac: occurrences of the most frequent word 2-gram over
+      all 2-gram occurrences
+    - dup5gram_frac: fraction of 5-gram occurrences that are repeats
+
+    The n-gram counts lower RELATIONALLY (explode -> groupBy(id, gram)
+    -> per-id aggregate): shuffle keys are (id, short gram) — the
+    shape that survives a 100x corpus, unlike a per-row quadratic
+    mode scan."""
+    text = F.col(text_col)
+    dup_line, dup_char = line_repetition(text)
+    base = df.select(F.col(id_col), dup_line.alias("dup_line_frac"),
+                     dup_char.alias("dup_line_char_frac"))
+
+    def gram_stats(n: int, out_max: str | None, out_dup: str | None):
+        g = df.select(
+            F.col(id_col), F.explode(word_ngrams(text, n)).alias("g")
+        )
+        counts = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        aggs = [F.sum("c").alias("_t")]
+        if out_max:
+            aggs.append(F.max("c").alias("_m"))
+        if out_dup:
+            aggs.append(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_d")
+            )
+        per_doc = counts.groupBy(id_col).agg(*aggs)
+        cols = [F.col(id_col)]
+        if out_max:
+            cols.append((F.col("_m").cast("double") / F.col("_t")).alias(out_max))
+        if out_dup:
+            cols.append((F.col("_d").cast("double") / F.col("_t")).alias(out_dup))
+        return per_doc.select(*cols)
+
+    s2 = gram_stats(2, "top2gram_frac", None)
+    s5 = gram_stats(5, None, "dup5gram_frac")
+    return (
+        base.join(s2, id_col, "left")
+        .join(s5, id_col, "left")
+        .select(
+            id_col, "dup_line_frac", "dup_line_char_frac",
+            F.coalesce("top2gram_frac", F.lit(0.0)).alias("top2gram_frac"),
+            F.coalesce("dup5gram_frac", F.lit(0.0)).alias("dup5gram_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_frac: float = 0.20,
+    max_dup5gram_frac: float = 0.15,
+):
+    """Keep rows passing every repetition threshold (defaults follow
+    the published Gopher rules' shape). Left-semi join on the metric
+    table: documents never shuffle, only (id, metric) rows do."""
+    stats = repetition_stats(df, text_col, id_col)
+    keep = stats.where(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top2gram_frac") <= max_top2gram_frac)
+        & (F.col("dup5gram_frac") <= max_dup5gram_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")

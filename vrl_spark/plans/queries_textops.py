@@ -468,6 +468,81 @@ def text_stats(spark, sf_dir):
     )
 
 
+# repetition metrics: line duplication is per-row list math; n-gram
+# stats replicate the relational explode->group->aggregate in SQL
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         string_split_regex(lower(trim(text)), '\\s+') AS w,
+         trim(text) AS tt
+  FROM documents
+),
+linem AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN
+      (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0 THEN
+      list_sum(list_transform(lines, l ->
+        CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+             THEN length(l) ELSE 0 END))
+      / CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_char_frac
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, u.g
+  FROM t, UNNEST(CASE WHEN tt != '' AND len(w) >= 2 THEN
+    list_transform(generate_series(0, len(w) - 2),
+                   i -> array_to_string(w[i+1:i+2], ' '))
+    ELSE [] END) AS u(g)
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top2gram_frac
+  FROM c2 GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, u.g
+  FROM t, UNNEST(CASE WHEN tt != '' AND len(w) >= 5 THEN
+    list_transform(generate_series(0, len(w) - 5),
+                   i -> array_to_string(w[i+1:i+5], ' '))
+    ELSE [] END) AS u(g)
+),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+s5 AS (
+  SELECT doc_id,
+    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE)
+      AS dup5gram_frac
+  FROM c5 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(ROUND(linem.dup_line_frac * 1000000) AS BIGINT) AS dup_line_x1m,
+  CAST(ROUND(linem.dup_line_char_frac * 1000000) AS BIGINT) AS dup_line_char_x1m,
+  CAST(ROUND(COALESCE(s2.top2gram_frac, 0.0) * 1000000) AS BIGINT) AS top2gram_x1m,
+  CAST(ROUND(COALESCE(s5.dup5gram_frac, 0.0) * 1000000) AS BIGINT) AS dup5gram_x1m
+FROM t
+JOIN linem ON linem.doc_id = t.doc_id
+LEFT JOIN s2 ON s2.doc_id = t.doc_id
+LEFT JOIN s5 ON s5.doc_id = t.doc_id
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics over documents (relational
+    n-gram counting; see operators/textstats.repetition_stats)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = textstats.repetition_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.round(F.col("dup_line_frac") * 1000000).cast("long").alias("dup_line_x1m"),
+        F.round(F.col("dup_line_char_frac") * 1000000).cast("long").alias("dup_line_char_x1m"),
+        F.round(F.col("top2gram_frac") * 1000000).cast("long").alias("top2gram_x1m"),
+        F.round(F.col("dup5gram_frac") * 1000000).cast("long").alias("dup5gram_x1m"),
+    )
+
+
 @register("text_lang_id", _lang_id_oracle_expr())
 def text_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
