@@ -107,6 +107,7 @@ PREV_ROUND_REF = {
     "dedup_minhash_engine": 1.51,
     "dedup_simhash": 1.65,
     "dedup_clusters": 6.42,
+    "dataset_curation": 12.0,
     "dedup_embedding_cosine": 2.98,
 }
 
@@ -201,7 +202,7 @@ def main() -> None:
         "vrl_formats", "vrl_presets_vendor",
         "vrl_crypto_codecs", "similarity_lsh_ann", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_minhash_engine", "dedup_simhash",
-        "dedup_clusters",
+        "dedup_clusters", "dataset_curation",
     ]
     ordered = (
         [n for n in headline if n in qs]

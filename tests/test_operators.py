@@ -395,3 +395,28 @@ def test_repetition_stats_planted(spark):
     kept = {r["doc_id"] for r in textstats.repetition_filter(df).collect()}
     # doc1 fails dup_line rules; doc2 fails top2gram; doc3 fails dup5gram
     assert kept == {4, 5}
+
+
+def test_curate_corpus_composition(spark):
+    """curate_corpus: token bounds + repetition filter + near-dup
+    survivor pick + stable split + packing in one call."""
+    from vrl_spark.operators.curation import curate_corpus
+
+    base = ("diverse training documents need enough distinct words to "
+            "pass repetition thresholds while remaining realistic text")
+    rows = [
+        (1, base),
+        (2, base),                               # exact dup of 1 -> dropped
+        (3, "tiny"),                              # < min_tokens -> dropped
+        (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (5, "an entirely different document about graph algorithms and "
+            "distributed label propagation at scale"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curate_corpus(
+        df, min_tokens=3, max_tokens=100, max_top2gram_frac=0.2,
+        dedup_threshold=0.7, pack_budget=30,
+    ).collect()}
+    assert set(out) == {1, 5}          # 2 deduped, 3 too short, 4 repetitive
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    assert all(r["pack_id"] >= 0 for r in out.values())

@@ -364,7 +364,9 @@ WITH RECURSIVE toks AS (
          ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
   FROM documents
 ),
-t AS (
+t AS MATERIALIZED (
+  -- the walk recurses once per row; inlined, the tokenization would
+  -- re-run on every recursion step
   SELECT doc_id, LEAST(n_tokens, 256) AS tok,
          row_number() OVER (ORDER BY doc_id) AS rn
   FROM toks
@@ -395,6 +397,191 @@ def dataset_pack(spark, sf_dir):
     )
     return sampling.pack_documents(docs, budget=256).select(
         "doc_id", "pack_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# capstone: one-call corpus curation, oracle-checked end-to-end
+# ---------------------------------------------------------------------
+
+# the full quality -> dedup-clusters -> split -> pack composition in
+# one DuckDB statement, assembled from the same verified pieces as the
+# per-stage oracles (md5 minhash chain over the QUALITY set, reach
+# closure for clusters, md5-fraction splits, recursive packing walk
+# partitioned by split)
+_CURATION_ORACLE = f"""
+WITH RECURSIVE {_DUP_CORPUS_SQL},
+ctok AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
+  FROM corpus
+),
+bounded AS (SELECT * FROM ctok WHERE n_tokens BETWEEN 5 AND 5000),
+rt AS (
+  SELECT doc_id, text, n_tokens, string_split(text, chr(10)) AS lines,
+         string_split_regex(lower(trim(text)), '\\s+') AS w, trim(text) AS tt
+  FROM bounded
+),
+clinem AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN
+      (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0 THEN
+      list_sum(list_transform(lines, l ->
+        CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+             THEN length(l) ELSE 0 END))
+      / CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+    ELSE 0.0 END AS dup_line_char_frac
+  FROM rt
+),
+cg2 AS (
+  SELECT doc_id, u.g
+  FROM rt, UNNEST(CASE WHEN tt != '' AND len(w) >= 2 THEN
+    list_transform(generate_series(0, len(w) - 2),
+                   i -> array_to_string(w[i+1:i+2], ' '))
+    ELSE [] END) AS u(g)
+),
+cc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM cg2 GROUP BY doc_id, g),
+cs2 AS (
+  SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top2gram_frac
+  FROM cc2 GROUP BY doc_id
+),
+cg5 AS (
+  SELECT doc_id, u.g
+  FROM rt, UNNEST(CASE WHEN tt != '' AND len(w) >= 5 THEN
+    list_transform(generate_series(0, len(w) - 5),
+                   i -> array_to_string(w[i+1:i+5], ' '))
+    ELSE [] END) AS u(g)
+),
+cc5 AS (SELECT doc_id, g, COUNT(*) AS c FROM cg5 GROUP BY doc_id, g),
+cs5 AS (
+  SELECT doc_id,
+    SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE)
+      AS dup5gram_frac
+  FROM cc5 GROUP BY doc_id
+),
+quality AS (
+  SELECT rt.doc_id, rt.text, rt.n_tokens
+  FROM rt
+  JOIN clinem ON clinem.doc_id = rt.doc_id
+  LEFT JOIN cs2 ON cs2.doc_id = rt.doc_id
+  LEFT JOIN cs5 ON cs5.doc_id = rt.doc_id
+  WHERE clinem.dup_line_frac <= 0.30
+    AND clinem.dup_line_char_frac <= 0.20
+    AND COALESCE(cs2.top2gram_frac, 0.0) <= 0.12
+    AND COALESCE(cs5.dup5gram_frac, 0.0) <= 0.15
+),
+mtoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM quality
+),
+msh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN list_distinct(
+           list_transform(generate_series(0, len(w) - 3),
+                          i -> array_to_string(w[i+1:i+3], ' ')))
+         WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+         ELSE [] END AS shingles
+  FROM mtoks
+),
+msig AS (
+  SELECT doc_id, shingles,
+    list_transform(generate_series(0, 15),
+                   h -> list_min(list_transform(shingles,
+                        s -> substr(md5((h // 4) || '|' || s), 1 + (h % 4) * 8, 8)))) AS sig
+  FROM msh
+),
+mbanded AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(sig[b*4+1 : b*4+4], '|') AS band_sig
+  FROM msig, generate_series(0, 3) AS t(b)
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbanded a JOIN mbanded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM mcand
+    JOIN msh sa ON sa.doc_id = mcand.id_a
+    JOIN msh sb ON sb.doc_id = mcand.id_b
+  ) WHERE jaccard >= 0.7
+),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b, id_a FROM vpairs
+),
+creach(id, r) AS (
+  SELECT src, dst FROM cedges
+  UNION
+  SELECT creach.id, e.dst FROM creach JOIN cedges e ON e.src = creach.r
+),
+clabels AS (
+  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM creach GROUP BY id
+),
+survivors AS (
+  SELECT q.doc_id, q.n_tokens
+  FROM quality q LEFT JOIN clabels l ON l.id = q.doc_id
+  WHERE COALESCE(l.cluster_id, q.doc_id) = q.doc_id
+),
+split_assigned AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN frac < 0.8 THEN 'train'
+         WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, n_tokens,
+      list_sum(list_transform(generate_series(1, 8),
+        k -> (strpos('0123456789abcdef',
+                     substr(md5('split|' || doc_id), k, 1)) - 1)
+             * power(16, 8 - k))) / 4294967296.0 AS frac
+    FROM survivors)
+),
+pt AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the packing walk recurses once per
+  -- row, and an inlined pt would re-evaluate the whole minhash+CC
+  -- chain on every recursion step
+  SELECT doc_id, n_tokens, split, LEAST(n_tokens, 512) AS tokc,
+         row_number() OVER (PARTITION BY split ORDER BY doc_id) AS rn
+  FROM split_assigned
+),
+walk(split, rn, doc_id, n_tokens, pid, used) AS (
+  SELECT split, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(tokc AS BIGINT)
+  FROM pt WHERE rn = 1
+  UNION ALL
+  SELECT pt.split, pt.rn, pt.doc_id, pt.n_tokens,
+         CASE WHEN walk.used + pt.tokc > 512 THEN walk.pid + 1
+              ELSE walk.pid END,
+         CASE WHEN walk.used + pt.tokc > 512 THEN CAST(pt.tokc AS BIGINT)
+              ELSE walk.used + pt.tokc END
+  FROM walk JOIN pt ON pt.split = walk.split AND pt.rn = walk.rn + 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, split, pid AS pack_id
+FROM walk
+"""
+
+
+@register("dataset_curation", _CURATION_ORACLE)
+def dataset_curation(spark, sf_dir):
+    """The capstone composition: quality -> near-dup clusters ->
+    survivors -> stable splits -> per-split token packing, one call
+    (operators/curation.curate_corpus), oracle-checked end-to-end."""
+    from vrl_spark.operators.curation import curate_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    out = curate_corpus(
+        corpus, min_tokens=5, max_tokens=5000, max_top2gram_frac=0.12,
+        dedup_threshold=0.7, engine="md5", pack_budget=512,
+    )
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "split", F.col("pack_id").cast("long").alias("pack_id"),
     )
 
 
