@@ -81,6 +81,7 @@ PREV_ROUND_REF = {
     "similarity_topk": 1.23,
     "text_lang_id": 0.16,
     "text_repetition": 2.5,
+    "text_decontaminate": 2.0,
     "text_rolling_fingerprint": 0.46,
     "text_stats": 1.24,
     "vrl_coercions": 0.12,

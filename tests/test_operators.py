@@ -420,3 +420,27 @@ def test_curate_corpus_composition(spark):
     assert set(out) == {1, 5}          # 2 deduped, 3 too short, 4 repetitive
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
     assert all(r["pack_id"] >= 0 for r in out.values())
+
+
+def test_decontamination_flags_and_filter(spark):
+    """13-gram-style collision flagging: docs containing a benchmark
+    n-gram are flagged; decontaminate drops exactly those."""
+    bench = spark.createDataFrame(
+        [("what is the capital of france and when was it founded",)],
+        ["text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "quiz answers what is the capital of france and when was it "
+             "founded according to records"),           # contains bench 8-gram
+         (2, "completely unrelated text about streaming joins and shuffle "
+             "partitions in distributed engines today"),
+         (3, "what is the capital of spain and when was it founded"),  # no shared 8-gram run
+         ],
+        ["doc_id", "text"],
+    )
+    flags = {r["doc_id"]: r["contaminated"] for r in
+             textstats.contamination_flags(docs, bench, n=8).collect()}
+    assert flags == {1: True, 2: False, 3: False}
+    kept = {r["doc_id"] for r in
+            textstats.decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2, 3}

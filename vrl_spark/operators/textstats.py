@@ -274,3 +274,61 @@ def repetition_filter(
         & (F.col("dup5gram_frac") <= max_dup5gram_frac)
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------
+# benchmark decontamination (n-gram collision against an eval set)
+# ---------------------------------------------------------------------
+
+
+def contamination_flags(
+    df,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+):
+    """Flag training documents sharing any word n-gram with a
+    benchmark/eval set (the published decontamination recipe family:
+    13-gram collision). Returns (id, contaminated: boolean).
+
+    Shape at 100 TB: the benchmark side is small by definition — its
+    distinct grams BROADCAST; the corpus side explodes to (id, gram)
+    and left-semi-joins, so no corpus shuffle and no benchmark text
+    ever leaves the driver-side build. One distinct on flagged ids."""
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
+    ).distinct()
+    flagged = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+def decontaminate(
+    df,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+):
+    """df minus every document flagged by contamination_flags."""
+    flags = contamination_flags(
+        df, benchmark, text_col, id_col, bench_text_col, n
+    )
+    keep = flags.where(~F.col("contaminated")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

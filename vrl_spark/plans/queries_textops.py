@@ -730,6 +730,63 @@ def text_repetition(spark, sf_dir):
     )
 
 
+# decontamination: a synthetic "benchmark" is carved out of every
+# 25th document (tokens 11..30), so contamination is planted and
+# deterministic; flags must mark exactly the docs whose text contains
+# any benchmark 8-gram (the carved docs themselves + true substring
+# collisions)
+_DECONTAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w,
+         trim(text) AS tt
+  FROM documents
+),
+bench AS (
+  SELECT array_to_string(w[11:30], ' ') AS btext
+  FROM t WHERE doc_id % 25 = 0 AND len(w) >= 30
+),
+bgrams AS (
+  SELECT DISTINCT u.g
+  FROM (SELECT string_split_regex(lower(trim(btext)), '\\s+') AS bw
+        FROM bench WHERE trim(btext) != '') b,
+  UNNEST(CASE WHEN len(bw) >= 8 THEN
+    list_transform(generate_series(0, len(bw) - 8),
+                   i -> array_to_string(bw[i+1:i+8], ' '))
+    ELSE [] END) AS u(g)
+),
+dgrams AS (
+  SELECT doc_id, u.g
+  FROM t, UNNEST(CASE WHEN tt != '' AND len(w) >= 8 THEN
+    list_transform(generate_series(0, len(w) - 8),
+                   i -> array_to_string(w[i+1:i+8], ' '))
+    ELSE [] END) AS u(g)
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM dgrams WHERE g IN (SELECT g FROM bgrams)
+)
+SELECT t.doc_id,
+  CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated_flag
+FROM t LEFT JOIN flagged f ON f.doc_id = t.doc_id
+"""
+
+
+@register("text_decontaminate", _DECONTAM_ORACLE)
+def text_decontaminate(spark, sf_dir):
+    """n-gram benchmark decontamination with a planted benchmark set
+    (tokens 11..30 of every 25th doc) — the flagged set is exactly the
+    docs containing any benchmark 8-gram."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = docs.where(
+        (F.col("doc_id") % 25 == 0) & (F.size(toks) >= 30)
+    ).select(F.array_join(F.slice(toks, 11, 20), " ").alias("text"))
+    flags = textstats.contamination_flags(docs, bench, n=8)
+    return flags.select(
+        "doc_id", F.col("contaminated").cast("long").alias("contaminated_flag")
+    )
+
+
 @register("text_lang_id", _lang_id_oracle_expr())
 def text_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
