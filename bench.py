@@ -113,12 +113,20 @@ PREV_ROUND_REF = {
 }
 
 
+# storms last MINUTES: back-to-back retries land inside the same storm.
+# A bounded pool of cool-down sleeps lets stubborn queries wait one out
+# without letting a stormy night stretch the bench unboundedly.
+_COOLDOWN_BUDGET = {"n": 6}
+
+
 def measure_gated(fn, probe_clean_max: float, ref: float | None,
                   max_attempts: int = 3):
     """min-of-2 wall time, accepted only when the steal probe is clean
     immediately after AND the value isn't >1.5x the previous round's
-    clean time; otherwise re-measure (up to max_attempts), keeping the
-    overall min. Returns (seconds, n_attempts, last_probe, flagged)."""
+    clean time; otherwise re-measure (up to max_attempts, with a
+    budgeted 20 s cool-down when the probe says the storm is still
+    on), keeping the overall min. Returns (seconds, n_attempts,
+    last_probe, flagged)."""
     best = float("inf")
     probe_after = None
     for attempt in range(1, max_attempts + 1):
@@ -132,6 +140,9 @@ def measure_gated(fn, probe_clean_max: float, ref: float | None,
         suspicious = ref is not None and best > 1.5 * ref + 0.3
         if not dirty and not suspicious:
             return best, attempt, probe_after, False
+        if dirty and attempt < max_attempts and _COOLDOWN_BUDGET["n"] > 0:
+            _COOLDOWN_BUDGET["n"] -= 1
+            time.sleep(20)
     return best, max_attempts, probe_after, True
 
 
