@@ -110,6 +110,7 @@ PREV_ROUND_REF = {
     "dedup_clusters": 6.42,
     "dataset_curation": 12.0,
     "dedup_embedding_cosine": 2.98,
+    "text_pii_scrub": 0.51,
 }
 
 

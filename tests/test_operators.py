@@ -444,3 +444,55 @@ def test_decontamination_flags_and_filter(spark):
     kept = {r["doc_id"] for r in
             textstats.decontaminate(docs, bench, n=8).collect()}
     assert kept == {2, 3}
+
+
+def test_pii_scrub_categories(spark):
+    from vrl_spark.operators import pii
+
+    rows = [
+        (1, "mail me at alice.b+tag@sub.example.co.uk thanks"),
+        (2, "server at 192.168.1.254 and also 999.1.1.1 bad"),
+        (3, "ssn 219-09-9999 but not 666-01-1234 or 000-12-3456"),
+        (4, "card 4111-1111-1111-1111 or 4111 1111 1111 1111 or 4111111111111111"),
+        (5, "call 415-555-2671 or 415.555.2671 but not 41-555-2671"),
+        (6, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii.pii_scrub(df).collect()}
+
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert "alice" not in out[1]["scrubbed"]
+    # 999.1.1.1 must NOT match (octet range check) — but note the
+    # tail ".1.1.1" alone doesn't form a dotted quad either
+    assert out[2]["n_ipv4"] == 1
+    assert "192.168.1.254" not in out[2]["scrubbed"]
+    # reference-exact SSN: area 666 and group 00/serial shapes excluded
+    assert out[3]["n_us_ssn"] == 1
+    assert out[3]["scrubbed"].count("<SSN>") == 1
+    assert out[4]["n_credit_card"] == 3
+    assert out[5]["n_phone"] == 2
+    assert out[6]["pii_total"] == 0 and out[6]["scrubbed"] == out[6]["text"]
+    assert out[1]["pii_total"] == 1
+
+
+def test_pii_scrub_stays_jvm_side(spark):
+    from vrl_spark.operators import pii
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = pii.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-only: no exchange anywhere
+    assert "Exchange" not in plan
+
+
+def test_pii_filter_subset_and_unknown(spark):
+    from vrl_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co and 10.0.0.1")], ["doc_id", "text"]
+    )
+    row = pii.pii_scrub(df, filters=["email"]).collect()[0]
+    assert row["n_email"] == 1 and row["pii_total"] == 1
+    assert "10.0.0.1" in row["scrubbed"]  # ipv4 filter not selected
+    with pytest.raises(ValueError):
+        pii.pii_scrub(df, filters=["nope"])

@@ -1019,3 +1019,92 @@ def dedup_embedding_cosine(spark, sf_dir):
         "id_a", "id_b",
         F.round(F.col("cos") * 1000000).cast("long").alias("cos_x1m"),
     )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing (redact.rs applied at corpus scale)
+# ---------------------------------------------------------------------
+# PII snippets are PLANTED deterministically by doc_id residue (the
+# base corpus is digit-free word salad) so detection is non-trivial;
+# the identical planting + the identical regex text run in DuckDB.
+# Patterns live in operators/pii.py and are written in the common
+# Java-regex / RE2 subset, so the SAME pattern string is injected
+# into both plans.
+
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 7 = 0 THEN ' mail bob.smith+' || CAST(doc_id AS VARCHAR) || '@corp-mail.example.com' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' src 203.0.113.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' ssn 219-09-' || CAST(1111 * (1 + doc_id % 8) AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-' || CAST(1111 * (1 + doc_id % 8) AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 19 = 0 THEN ' tel 415-555-' || CAST(1000 + doc_id % 8999 AS VARCHAR) ELSE '' END
+    AS text
+  FROM documents
+"""
+
+_PII_ORACLE_TEMPLATE = """
+WITH planted AS ({plant})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '{email}', '<EMAIL>', 'g'), '{ipv4}', '<IP>', 'g'),
+    '{us_ssn}', '<SSN>', 'g'), '{credit_card}', '<CARD>', 'g'),
+    '{phone}', '<PHONE>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{us_ssn}')) AS BIGINT) AS n_us_ssn,
+  CAST(len(regexp_extract_all(text, '{credit_card}')) AS BIGINT) AS n_credit_card,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{email}'))
+     + len(regexp_extract_all(text, '{ipv4}'))
+     + len(regexp_extract_all(text, '{us_ssn}'))
+     + len(regexp_extract_all(text, '{credit_card}'))
+     + len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS pii_total
+FROM planted
+"""
+
+
+def _pii_planted(spark, sf_dir):
+    from vrl_spark.operators import pii as _  # noqa: F401  (import check)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    serial8 = (1111 * (1 + did % 8)).cast("string")
+
+    def maybe(mod: int, *parts):
+        return F.when(did % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            maybe(7, F.lit(" mail bob.smith+"), sid, F.lit("@corp-mail.example.com")),
+            maybe(11, F.lit(" src 203.0.113."), (did % 254 + 1).cast("string")),
+            maybe(13, F.lit(" ssn 219-09-"), serial8),
+            maybe(17, F.lit(" card 4111-1111-1111-"), serial8),
+            maybe(19, F.lit(" tel 415-555-"), (1000 + did % 8999).cast("string")),
+        ).alias("text"),
+    )
+
+
+from vrl_spark.operators import pii as _pii  # noqa: E402
+
+_PII_ORACLE = _PII_ORACLE_TEMPLATE.format(
+    plant=_PII_PLANT_SQL, **_pii.PII_PATTERNS
+)
+
+
+@register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrub over planted corpus: pure chained regexp_replace /
+    regexp_count, JVM codegen, map-only (reference src/stdlib/redact.rs
+    full-redactor semantics; us_ssn regex reference-exact)."""
+    planted = _pii_planted(spark, sf_dir)
+    return _pii.pii_scrub(planted, "text").select(
+        "doc_id", "scrubbed",
+        "n_email", "n_ipv4", "n_us_ssn", "n_credit_card", "n_phone",
+        "pii_total",
+    )
