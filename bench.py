@@ -96,7 +96,7 @@ PREV_ROUND_REF = {
     "vrl_parse_json": 0.40,
     "vrl_parse_kv_timestamp": 0.29,
     "vrl_parse_syslog": 0.58,
-    "vrl_parse_url": 1.31,
+    "vrl_parse_url": 1.05,
     "vrl_parse_user_agent": 0.22,
     "vrl_presets_vendor": 2.04,
     "vrl_strings": 0.08,
