@@ -111,6 +111,7 @@ PREV_ROUND_REF = {
     "dataset_curation": 12.0,
     "dedup_embedding_cosine": 2.98,
     "text_pii_scrub": 0.51,
+    "dedup_url": 0.58,
 }
 
 

@@ -496,3 +496,49 @@ def test_pii_filter_subset_and_unknown(spark):
     assert "10.0.0.1" in row["scrubbed"]  # ipv4 filter not selected
     with pytest.raises(ValueError):
         pii.pii_scrub(df, filters=["nope"])
+
+
+def test_url_normalize_contract(spark):
+    from vrl_spark.operators import urltools
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://User:Pw@Example.COM:80/A/b/?b=2&utm_source=x&a=1#frag",
+         "http://example.com/A/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x/", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?gclid=1&fbclid=2&ref=x&utm_campaign=c",
+         "http://example.com/"),
+        ("http://example.com/p?z=1&a=2&a=1", "http://example.com/p?a=1&a=2&z=1"),
+        ("not a url", "not a url"),  # no scheme:// -> passthrough
+        ("mailto:joe@example.com", "mailto:joe@example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    )
+    out = {r["i"]: r["c"] for r in df.select(
+        "i", urltools.url_normalize(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert out[i] == want, (u, out[i], want)
+
+
+def test_url_dedup_survivor(spark):
+    from vrl_spark.operators import urltools
+
+    rows = [
+        (1, "http://a.com/x?id=1"),
+        (2, "HTTP://A.com:80/x/?id=1#top"),
+        (3, "http://a.com/x?utm_medium=m&id=1"),
+        (4, "http://a.com/y?id=1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["canonical_url"]: r for r in
+           urltools.url_dedup(df).collect()}
+    assert out["http://a.com/x?id=1"]["keep_id"] == 1
+    assert out["http://a.com/x?id=1"]["dup_count"] == 3
+    assert out["http://a.com/y?id=1"]["dup_count"] == 1
+    # map-only until the single agg shuffle, no Python anywhere
+    plan = urltools.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1

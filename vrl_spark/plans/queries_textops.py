@@ -1108,3 +1108,54 @@ def text_pii_scrub(spark, sf_dir):
         "n_email", "n_ipv4", "n_us_ssn", "n_credit_card", "n_phone",
         "pii_total",
     )
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------
+# Spark normalizes MESSY planted variants (case, default port,
+# userinfo, fragment, trailing slash, tracking params, param order);
+# the oracle derives the expected canonical form ANALYTICALLY from the
+# planting residues — an independent derivation, so any normalizer bug
+# breaks the match.
+
+_URL_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS h, doc_id % 30 AS k, doc_id % 4 AS v
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    'http://host' || h || '.example.com/page/' || k || '?id=' || k
+      || CASE WHEN v = 3 THEN '&z=9' ELSE '' END AS canonical_url
+  FROM d
+)
+SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM c GROUP BY canonical_url
+"""
+
+
+@register("dedup_url", _URL_DEDUP_ORACLE)
+def dedup_url(spark, sf_dir):
+    from vrl_spark.operators import urltools
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    k = (d % 30).cast("string")
+    messy = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/page/"), k,
+            F.lit("?id="), k))
+        .when(d % 4 == 1, F.concat(
+            F.lit("HTTP://Host"), h, F.lit(".Example.COM:80/page/"), k,
+            F.lit("/?id="), k, F.lit("#sec2")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("http://u:p@host"), h, F.lit(".example.com/page/"), k,
+            F.lit("?utm_source=feed&id="), k, F.lit("&fbclid=xyz")))
+        .otherwise(F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/page/"), k,
+            F.lit("?id="), k, F.lit("&z=9")))
+    )
+    urls = docs.select("doc_id", messy.alias("url"))
+    return urltools.url_dedup(urls, "url", "doc_id")
