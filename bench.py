@@ -112,6 +112,7 @@ PREV_ROUND_REF = {
     "dedup_embedding_cosine": 2.98,
     "text_pii_scrub": 0.51,
     "dedup_url": 0.58,
+    "dataset_stratified": 0.32,
 }
 
 

@@ -65,3 +65,49 @@ def test_pack_documents_partitioned(spark):
     # shard 0: docs 0,2,4 -> packs 0,1,2 ; shard 1: docs 1,3,5 -> 0,1,2
     assert by[0] == 0 and by[2] == 1 and by[4] == 2
     assert by[1] == 0 and by[3] == 1 and by[5] == 2
+
+
+def test_sample_per_stratum_exact_and_deterministic(spark):
+    from vrl_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "de", f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    out = sampling.sample_per_stratum(df, ["lang", "source"], n=5)
+    got = out.collect()
+    # exactly 5 per stratum (every stratum here has >= 5 rows)
+    from collections import Counter
+    per = Counter((r["lang"], r["source"]) for r in got)
+    assert set(per.values()) == {5}
+    assert all(1 <= r["sample_rank"] <= 5 for r in got)
+    # deterministic: same ids on re-run
+    again = {r["doc_id"] for r in
+             sampling.sample_per_stratum(df, ["lang", "source"], n=5).collect()}
+    assert again == {r["doc_id"] for r in got}
+
+
+def test_sample_per_stratum_small_stratum_keeps_all(spark):
+    from vrl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "g"]
+    )
+    got = sampling.sample_per_stratum(df, ["g"], n=10).collect()
+    assert len(got) == 3  # strata smaller than n keep everything
+
+
+def test_sample_per_stratum_prefilter_equivalence(spark):
+    from vrl_spark.operators import sampling
+
+    rows = [(i, f"g{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    exact = {(r["g"], r["doc_id"]) for r in
+             sampling.sample_per_stratum(df, ["g"], n=25).collect()}
+    fast = {(r["g"], r["doc_id"]) for r in
+            sampling.sample_per_stratum(df, ["g"], n=25, prefilter=3.0).collect()}
+    assert fast == exact
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.sample_per_stratum(df, ["g"], n=0)
+    with _pytest.raises(ValueError):
+        sampling.sample_per_stratum(df, ["g"], n=5, prefilter=0.5)

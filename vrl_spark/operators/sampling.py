@@ -132,3 +132,64 @@ def pack_documents(
         F.col("e._id").alias(id_col), F.col("e.pid").alias("pack_id")
     )
     return df.join(packed, id_col)
+
+
+def _hash_frac(col: Column, salt: str) -> Column:
+    """[0,1) bucket from md5(salt|value) — shared with hash_split."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(2**32))
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    prefilter: float | None = None,
+) -> DataFrame:
+    """Deterministic exact-n-per-stratum sample (eval-set construction:
+    "100 docs per (lang, source)"). Each stratum keeps its n rows with
+    the smallest md5(salt|id) — a pure function of (salt, id), so
+    re-runs, repartitioning, and corpus growth never reshuffle the
+    chosen set for unchanged ids.
+
+    Returns the sampled rows plus ``sample_rank`` (1..n within the
+    stratum, in hash order).
+
+    Scale path: the exact semantics need a per-stratum rank — one hash
+    shuffle on strata_cols plus a sort within each stratum. At 100 TB
+    with huge strata, pass ``prefilter`` (e.g. 3.0): stratum sizes are
+    counted first (map-side-combined agg, broadcast back) and only rows
+    with hash fraction < prefilter*n/count rank at all, shrinking the
+    sort input ~count/(prefilter*n)-fold. prefilter trades a second
+    scan for a bounded sort; the kept set is identical whenever the
+    nth-smallest hash lands under the cut (P(miss) ~ e^-n at 3x,
+    negligible for n >= 20 — and a stratum smaller than n always
+    keeps every row regardless, because the cut clamps to 1).
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    frac = _hash_frac(F.col(id_col), salt)
+    base = df
+    if prefilter is not None:
+        if prefilter <= 1.0:
+            raise ValueError(f"prefilter must be > 1.0, got {prefilter}")
+        counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+        cut = F.least(F.lit(1.0), F.lit(prefilter * n) / F.col("_cnt"))
+        base = (
+            df.join(F.broadcast(counts), strata_cols, "left")
+            .where(frac < cut)
+            .drop("_cnt")
+        )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        frac.asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

@@ -1159,3 +1159,41 @@ def dedup_url(spark, sf_dir):
     )
     urls = docs.select("doc_id", messy.alias("url"))
     return urltools.url_dedup(urls, "url", "doc_id")
+
+
+# ---------------------------------------------------------------------
+# deterministic exact-n-per-stratum sampling
+# ---------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+    list_sum(list_transform(generate_series(1, 8),
+      k -> (strpos('0123456789abcdef',
+                   substr(md5('sample|' || doc_id), k, 1)) - 1)
+           * power(16, 8 - k))) / 4294967296.0 AS frac
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source,
+    ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY frac ASC, doc_id ASC) AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 10
+"""
+
+
+@register("dataset_stratified", _STRATIFIED_ORACLE)
+def dataset_stratified(spark, sf_dir):
+    """Exact 10-per-(lang, source) deterministic sample: smallest
+    md5(salt|id) hashes win, so the chosen set is stable under re-runs
+    and corpus growth."""
+    from vrl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    return sampling.sample_per_stratum(
+        docs, ["lang", "source"], n=10, id_col="doc_id", salt="sample"
+    ).select("doc_id", "lang", "source", "sample_rank")
