@@ -113,6 +113,7 @@ PREV_ROUND_REF = {
     "text_pii_scrub": 0.51,
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
+    "events_asof": 0.76,
 }
 
 

@@ -542,3 +542,69 @@ def test_url_dedup_survivor(spark):
     plan = urltools.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 5)), (2, 10, dt(2024, 1, 1)),
+         (3, 10, dt(2024, 1, 10)), (4, 20, dt(2024, 1, 5))],
+        ["eid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 2), "v1"), (10, dt(2024, 1, 5), "v2"),
+         (10, dt(2024, 1, 8), "v3"), (30, dt(2024, 1, 1), "zz")],
+        ["k", "vts", "ver"],
+    )
+    out = {r["eid"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="vts").collect()}
+    assert out[1]["ver"] == "v2"            # tie: inclusive (vts == ts wins)
+    assert out[2]["ver"] is None            # before first version
+    assert out[2]["matched_ts"] is None
+    assert out[3]["ver"] == "v3"
+    assert out[4]["ver"] is None            # key with no right rows
+    assert out[1]["matched_ts"] == dt(2024, 1, 5)
+
+
+def test_asof_join_tolerance_and_collisions(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 5)), (2, 10, dt(2024, 1, 20))],
+        ["eid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 4), "v1")], ["k", "vts", "ver"]
+    )
+    out = {r["eid"]: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="vts",
+        tolerance_sec=3 * 86400).collect()}
+    assert out[1]["ver"] == "v1"            # 1 day old: within tolerance
+    assert out[2]["ver"] is None            # 16 days old: nulled
+    assert out[2]["matched_ts"] is None
+
+    import pytest as _pytest
+    bad = right.withColumnRenamed("ver", "eid")  # collides with left
+    with _pytest.raises(ValueError):
+        asof_join(left, bad, on=["k"], left_ts="ts", right_ts="vts")
+
+
+def test_asof_join_single_shuffle(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, dt(2024, 1, 5))], ["eid", "k", "ts"])
+    right = spark.createDataFrame([(10, dt(2024, 1, 4), "v")], ["k", "vts", "ver"])
+    plan = asof_join(left, right, on=["k"], left_ts="ts", right_ts="vts")\
+        ._jdf.queryExecution().executedPlan().toString()
+    # carry-forward union: exactly one Exchange (the window's key
+    # shuffle) and no join operator at all
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -110,3 +110,51 @@ def pipeline_via_builder(spark, sf_dir):
     )
     out = p.apply(weblog.load_pages(spark, sf_dir))
     return out.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------
+# as-of enrichment: latest config version at-or-before each event
+# ---------------------------------------------------------------------
+# dim = 10 config versions per user (deterministic: version k goes
+# live at 2024-01-01 + k*3d + (user_id%7)h). Verified against
+# DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
+# implementation of the semantics, not a replication of ours.
+
+_ASOF_ORACLE = """
+WITH dim AS (
+  SELECT u.user_id, g.k,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + INTERVAL 1 SECOND * (g.k * 259200 + (u.user_id % 7) * 3600) AS vts,
+    (u.user_id * 7 + g.k) % 5 AS tier
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 9)) AS k) g
+)
+SELECT e.event_id, e.user_id, e.ts, d.vts AS matched_ts, d.tier
+FROM events e
+ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.vts
+"""
+
+
+@register("events_asof", _ASOF_ORACLE)
+def events_asof(spark, sf_dir):
+    """Nearest-predecessor join via single-shuffle carry-forward union
+    (operators/asof.py) — O(L+R), no range-join row explosion."""
+    from vrl_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    users = ev.select("user_id").distinct()
+    u = F.col("user_id")
+    dim = users.select(
+        u, F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k")
+    ).select(
+        u,
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("k") * 259200 + (u % 7) * 3600
+        ).alias("vts"),
+        ((u * 7 + F.col("k")) % 5).alias("tier"),
+    )
+    return asof_join(
+        ev, dim, on=["user_id"], left_ts="ts", right_ts="vts"
+    ).select("event_id", "user_id", "ts", "matched_ts", "tier")
