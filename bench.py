@@ -114,6 +114,7 @@ PREV_ROUND_REF = {
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
     "events_asof": 0.76,
+    "text_line_dedup": 1.37,
 }
 
 

@@ -608,3 +608,22 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_boilerplate(spark):
+    nav = "SHARED NAVIGATION BAR LINE"
+    rows = [
+        (1, f"{nav}\nunique content one\nxx"),
+        (2, f"{nav}\nunique content two"),
+        (3, nav),                      # all lines are boilerplate
+        (4, "xx\nunique content four"),  # 'xx' dup but < min_chars
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.line_dedup(
+        df, min_docs=2, min_chars=10).collect()}
+    assert out[1]["cleaned"] == "unique content one\nxx"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["cleaned"] == "unique content two"
+    assert out[3]["cleaned"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["cleaned"] == "xx\nunique content four"  # short line kept
+    assert out[4]["n_removed"] == 0

@@ -332,3 +332,66 @@ def decontaminate(
     )
     keep = flags.where(~F.col("contaminated")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 10,
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """Corpus-wide duplicated-line removal (the CCNet/RefinedWeb
+    boilerplate pass): any line of >= ``min_chars`` characters that
+    appears in >= ``min_docs`` DISTINCT documents is dropped from
+    every document; surviving lines are rejoined in original order.
+
+    Returns (id, out_col, n_removed). Documents whose every line is
+    boilerplate come back with ``out_col = ''``.
+
+    Scale shape: posexplode lines -> count distinct docs per line
+    (hash shuffle with map-side partial agg) -> left-anti join the
+    line table against the flagged set (line-key shuffle; the flagged
+    set is the output of the count, so AQE reuses its partitioning)
+    -> one groupBy(id) to reassemble. All relational — no Python, no
+    collect; line keys are short strings, and the per-doc line list
+    is bounded by document size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+    )
+    eligible = (F.length(F.col("_line")) >= min_chars)
+    flagged = (
+        lines.where(eligible)
+        .groupBy("_line")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_line")
+    )
+    kept = lines.join(flagged, "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("_total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

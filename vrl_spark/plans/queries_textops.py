@@ -1197,3 +1197,65 @@ def dataset_stratified(spark, sf_dir):
     return sampling.sample_per_stratum(
         docs, ["lang", "source"], n=10, id_col="doc_id", salt="sample"
     ).select("doc_id", "lang", "source", "sample_rank")
+
+
+# ---------------------------------------------------------------------
+# corpus-wide duplicated-line removal (boilerplate stripping)
+# ---------------------------------------------------------------------
+# Boilerplate lines (nav / footer / promo) are planted across many
+# docs; a short dup line stays under min_chars to prove the length
+# guard. The oracle replicates the relational pipeline in DuckDB.
+
+_NAV = "NAVIGATION: home | products | about | contact us today"
+_FOOT = "COPYRIGHT 2024 example corp all rights reserved worldwide"
+_PROMO = "SUBSCRIBE to our newsletter for weekly updates and offers"
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN '{_NAV}' ELSE 'short' END || chr(10)
+    || text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FOOT}' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_PROMO}' ELSE '' END
+    AS text
+  FROM documents
+),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+l AS (
+  SELECT doc_id, g.i AS ord, ls[g.i] AS line
+  FROM s, UNNEST(generate_series(1, len(ls))) AS g(i)
+),
+flagged AS (
+  SELECT line FROM l WHERE length(line) >= 10
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT doc_id, line, ord FROM l ANTI JOIN flagged USING (line)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned,
+         COUNT(*) AS k
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(ls) AS n FROM s)
+SELECT tot.doc_id, COALESCE(reb.cleaned, '') AS cleaned,
+       CAST(tot.n - COALESCE(reb.k, 0) AS BIGINT) AS n_removed
+FROM tot LEFT JOIN reb USING (doc_id)
+"""
+
+
+@register("text_line_dedup", _LINE_DEDUP_ORACLE)
+def text_line_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, _NAV).otherwise("short"), F.lit("\n"),
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit("\n"), F.lit(_FOOT))).otherwise(""),
+            F.when(d % 5 == 0, F.concat(F.lit("\n"), F.lit(_PROMO))).otherwise(""),
+        ).alias("text"),
+    )
+    return textstats.line_dedup(planted, "text", "doc_id",
+                                min_docs=2, min_chars=10)
