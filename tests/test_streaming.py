@@ -177,3 +177,41 @@ def test_sessionize_stream_late_data_contract(spark, tmp_path):
     # exactly ONE closed session: the late rows merged (n_events=4),
     # start/end unchanged by lateness (no retro session, no split)
     assert got == [(1, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 0, 10), 4, 600)]
+
+
+def test_dedup_stream_drops_watermark_window_dupes(spark, tmp_path):
+    """Streaming exact-dedup: duplicates arriving across micro-batches
+    within the watermark horizon are dropped; the surviving key set
+    equals the batch distinct key set."""
+    from datetime import datetime as dt
+
+    from vrl_spark.streaming.pipeline import dedup_stream
+
+    rows = [
+        ("k1", dt(2024, 1, 1, 0, 0), 1),
+        ("k1", dt(2024, 1, 1, 0, 5), 2),    # dup of k1 (5 min later)
+        ("k2", dt(2024, 1, 1, 0, 1), 3),
+        ("k2", dt(2024, 1, 1, 0, 1), 4),    # dup, same ts
+        ("k3", dt(2024, 1, 1, 0, 2), 5),
+    ]
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(
+        rows, ["content_key", "warc_ts", "seq"]
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = (
+        dedup_stream(stream, ["content_key"], ts_col="warc_ts",
+                     watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    keys = [r["content_key"] for r in got]
+    assert sorted(keys) == ["k1", "k2", "k3"]  # one survivor per key

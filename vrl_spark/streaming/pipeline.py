@@ -168,3 +168,31 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800):
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: the first row per key wins; later
+    duplicates are dropped for as long as the key could still collide
+    (the watermark horizon), after which its state is evicted —
+    bounded state on an unbounded stream.
+
+    Batch equivalence contract: over any input whose duplicate pairs
+    all arrive within the watermark of each other, the output row SET
+    equals batch ``exact_dedup_rows`` keyed on the same columns (the
+    survivor may differ — streaming keeps the first ARRIVAL, batch the
+    min id — so compare by key set, which is what the routed-row
+    equality property needs).
+
+    Scale: state is a hash map keyed by ``key_cols`` sharded across
+    executors by the same hash shuffle as a groupBy; eviction is
+    watermark-driven, so state size ~ arrival rate x horizon, not
+    stream length.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
