@@ -173,3 +173,30 @@ def test_dedup_clusters_no_cartesian(spark):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_textops_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-3 additions: shuffle counts and
+    zero-Python stay locked as the code evolves."""
+    from vrl_spark import registry
+
+    qs = registry.queries()
+    # pii scrub: map-only — fuses with the scan at any scale
+    plan = plan_of(qs["text_pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    # url dedup: exactly the one aggregation shuffle
+    plan = plan_of(qs["dedup_url"](spark, sf_dir))
+    assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+    # stratified sample: one key shuffle; rank-filter pushdown keeps
+    # only ~n rows per stratum ahead of the final sort
+    plan = plan_of(qs["dataset_stratified"](spark, sf_dir))
+    assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    # as-of: dim-distinct + the carry-forward window, and NO join
+    # operator on the event path (union lowering, no range explosion)
+    plan = plan_of(qs["events_asof"](spark, sf_dir))
+    assert plan.count("Exchange") == 2 and "EvalPython" not in plan
+    assert "Join" not in plan
+    # line dedup: bounded relational pipeline, no Python
+    plan = plan_of(qs["text_line_dedup"](spark, sf_dir))
+    assert plan.count("Exchange") <= 5 and "EvalPython" not in plan
