@@ -627,3 +627,26 @@ def test_line_dedup_boilerplate(spark):
     assert out[3]["cleaned"] == "" and out[3]["n_removed"] == 1
     assert out[4]["cleaned"] == "xx\nunique content four"  # short line kept
     assert out[4]["n_removed"] == 0
+
+
+def test_curate_corpus_optional_scrub_stages(spark):
+    from vrl_spark.operators.curation import curate_corpus
+
+    nav = "SHARED NAVIGATION BOILERPLATE LINE FOR EVERY PAGE"
+    rows = [
+        (i, f"{nav}\n" + " ".join(f"w{i}x{j}" for j in range(30))
+         + " mail me at bob@example.com")
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(
+        df, min_tokens=5, max_tokens=5000,
+        strip_boilerplate_min_docs=2, scrub_pii=True,
+        minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
+    )
+    got = out.collect()
+    assert len(got) == 8  # unique bodies all survive dedup
+    # the boilerplate line is stripped BEFORE token counting: 30 body
+    # words + 'mail me at' + the scrubbed '<EMAIL>' = 34 (41 if the
+    # nav line had leaked through)
+    assert all(r["n_tokens"] == 34 for r in got)

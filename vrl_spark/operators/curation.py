@@ -3,6 +3,8 @@ dedup / quality / assembly operators into the pass a 100 TB pipeline
 actually runs —
 
     raw docs
+      -> [optional] corpus-wide duplicated-line removal (boilerplate)
+      -> [optional] PII scrubbing                  (redaction)
       -> token-count bounds + repetition filter   (quality)
       -> minhash-LSH pairs -> connected components
          -> one survivor per near-dup cluster      (dedup)
@@ -38,6 +40,8 @@ def curate_corpus(
     split_salt: str = "split",
     pack_budget: int = 512,
     minhash_kwargs: dict | None = None,
+    strip_boilerplate_min_docs: int | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Returns (id, n_tokens, split, pack_id) for every KEPT document.
 
@@ -47,6 +51,20 @@ def curate_corpus(
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     mh = dict(num_hashes=16, bands=4, shingle_n=3)
     mh.update(minhash_kwargs or {})
+
+    # 0) optional text-rewriting passes, BEFORE any scoring so token
+    # counts / repetition / dedup all see the cleaned text
+    if strip_boilerplate_min_docs is not None:
+        df = textstats.line_dedup(
+            df, text_col, id_col, min_docs=strip_boilerplate_min_docs,
+            out_col="_cleaned",
+        ).withColumnRenamed("_cleaned", text_col)
+    if scrub_pii:
+        from vrl_spark.operators import pii as _pii
+
+        df = _pii.pii_scrub(
+            df, text_col, out_col="_scrubbed", with_counts=False
+        ).drop(text_col).withColumnRenamed("_scrubbed", text_col)
 
     # 1) quality: token bounds, then repetition thresholds
     with_tok = df.select(
