@@ -5,12 +5,14 @@ The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
 partitioning — is real and tested. Kernels are real wherever the
 stdlib suffices: image metadata (PNG/GIF/BMP/JPEG header parsing),
 full raster decode + nearest-neighbor resize + visual features for
-uncompressed 24-bit BMP AND 8-bit RGB/RGBA PNG (IDAT is
-zlib-deflate: inflate + scanline unfilter, stdlib+numpy), and
+uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG (IDAT is zlib-deflate:
+inflate + scanline unfilter, stdlib+numpy), AND baseline JPEG (a
+from-scratch T.81 sequential decoder — Huffman, dequant, IDCT,
+4:2:0/4:2:2 upsampling, restart markers; operators/jpeg.py), plus
 complete PCM WAV audio decode + signal features (``wave`` + numpy).
-Only the JPEG raster codec and video keyframing remain deterministic
-stubs — those libraries (PIL/ffmpeg) are absent here; swapping them
-in replaces ONE function body, not the Spark plumbing.
+Only progressive JPEG and video keyframing remain deterministic
+stubs — swapping a library in replaces ONE function body, not the
+Spark plumbing.
 
 Design points for 100 TB of media:
 - binary payloads never pass through JVM String (binary -> Arrow ->
@@ -218,8 +220,9 @@ def resize_nearest(arr, out_w: int, out_h: int):
 
 
 def _image_embedding(data: bytes, dim: int = 8) -> list[float]:
-    """Image feature vector. For decodable rasters — 24-bit BMP and
-    8-bit RGB/RGBA PNG (stdlib zlib decode) — this is REAL:
+    """Image feature vector. For decodable rasters — 24-bit BMP,
+    8-bit RGB/RGBA PNG (stdlib zlib decode), and baseline JPEG
+    (operators/jpeg.py, from-scratch T.81) — this is REAL:
     nearest-resize to 2x2 then per-cell mean luminance + global RGB
     means/std, an honest tiny visual descriptor. Other containers get
     the deterministic hash stub (a model embedding would slot in
@@ -229,6 +232,10 @@ def _image_embedding(data: bytes, dim: int = 8) -> list[float]:
         px = decode_png_pixels(data)
         if px is not None:
             px = px[:, :, :3]  # drop alpha for the visual descriptor
+    if px is None:
+        from vrl_spark.operators.jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(data)
     if px is not None:
         import numpy as np
 
