@@ -115,6 +115,7 @@ PREV_ROUND_REF = {
     "dataset_stratified": 0.32,
     "events_asof": 0.76,
     "text_line_dedup": 1.37,
+    "text_gopher_rules": 1.07,
 }
 
 

@@ -650,3 +650,32 @@ def test_curate_corpus_optional_scrub_stages(spark):
     # words + 'mail me at' + the scrubbed '<EMAIL>' = 34 (41 if the
     # nav line had leaked through)
     assert all(r["n_tokens"] == 34 for r in got)
+
+
+def test_gopher_rules_vectors(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with great energy"] * 5
+    )
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "too few words here"),                   # word-count floor
+        (3, good + "\nmore...\nagain...\nyet..."),   # ellipsis lines
+        (4, good + " ##### " * 20),                  # symbol ratio
+        (5, " ".join(["1234"] * 60)),                # alpha + stopwords fail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 60
+    assert out[1]["stopword_hits"] == 3          # the, that, with
+    assert out[2]["keep"] is False and out[2]["n_words"] == 4
+    assert out[3]["keep"] is False
+    assert out[3]["ellipsis_frac_x1m"] == 750000  # 3 of 4 lines
+    assert out[4]["keep"] is False
+    assert out[4]["symbol_ratio_x1m"] > 100000
+    assert out[5]["keep"] is False
+    assert out[5]["alpha_word_frac_x1m"] == 0
+    # map-only plan
+    plan = textstats.gopher_rules(df)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

@@ -395,3 +395,101 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule family not already covered by
+    quality_score / repetition_stats: per-document rule metrics plus
+    the combined ``keep`` verdict with the published thresholds
+    (word-count band, mean word length band, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    stopword-hit floor).
+
+    Pure column arithmetic over ONE tokenization and ONE line split
+    (bound — no re-evaluation per metric): map-only, codegen'd,
+    fuses with the scan at any scale.
+    """
+    from vrl_spark.functions.parse import bind
+
+    t = F.trim(F.col(text_col))
+    low = F.lower(t)
+
+    def with_words(w: Column) -> Column:
+        def with_lines(ls: Column) -> Column:
+            n_words = F.when(t == "", F.lit(0)).otherwise(F.size(w)).cast("long")
+            nwd = n_words.cast("double")
+            sum_chars = F.aggregate(
+                w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            mean_wl = F.when(n_words > 0, sum_chars / nwd).otherwise(0.0)
+            n_sym = (
+                (F.length(low) - F.length(F.replace(low, F.lit("#"), F.lit(""))))
+                + (F.length(low)
+                   - F.length(F.replace(low, F.lit("..."), F.lit("")))) / 3
+                + (F.length(low) - F.length(F.replace(low, F.lit("…"), F.lit(""))))
+            ).cast("double")
+            symbol_ratio = F.when(n_words > 0, n_sym / nwd).otherwise(0.0)
+            n_lines = F.size(ls).cast("double")
+            bullet_frac = F.size(
+                F.filter(ls, lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+            ).cast("double") / n_lines
+            ellipsis_frac = F.size(
+                F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+            ).cast("double") / n_lines
+            alpha_frac = F.when(
+                n_words > 0,
+                F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / nwd,
+            ).otherwise(0.0)
+            sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            stop_hits = F.size(
+                F.array_intersect(F.array_distinct(w), sw)
+            ).cast("long")
+            keep = (
+                n_words.between(min_words, max_words)
+                & mean_wl.between(min_mean_word_len, max_mean_word_len)
+                & (symbol_ratio <= max_symbol_ratio)
+                & (bullet_frac <= max_bullet_frac)
+                & (ellipsis_frac <= max_ellipsis_frac)
+                & (alpha_frac >= min_alpha_word_frac)
+                & (stop_hits >= min_stopword_hits)
+            )
+            x1m = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+            return F.struct(
+                n_words.alias("n_words"),
+                x1m(mean_wl).alias("mean_word_len_x1m"),
+                x1m(symbol_ratio).alias("symbol_ratio_x1m"),
+                x1m(bullet_frac).alias("bullet_frac_x1m"),
+                x1m(ellipsis_frac).alias("ellipsis_frac_x1m"),
+                x1m(alpha_frac).alias("alpha_word_frac_x1m"),
+                stop_hits.alias("stopword_hits"),
+                keep.alias("keep"),
+            )
+
+        return bind(F.split(t, "\n", -1), with_lines)
+
+    s = bind(F.split(low, r"\s+"), with_words)
+    out = df.select(F.col(id_col), s.alias("_g"))
+    g = F.col("_g")
+    return out.select(
+        id_col,
+        *[g.getField(f).alias(f) for f in
+          ("n_words", "mean_word_len_x1m", "symbol_ratio_x1m",
+           "bullet_frac_x1m", "ellipsis_frac_x1m", "alpha_word_frac_x1m",
+           "stopword_hits", "keep")],
+    )

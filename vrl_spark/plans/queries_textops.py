@@ -1259,3 +1259,91 @@ def text_line_dedup(spark, sf_dir):
     )
     return textstats.line_dedup(planted, "text", "doc_id",
                                 min_docs=2, min_chars=10)
+
+
+# ---------------------------------------------------------------------
+# Gopher quality rules (the full published rule family)
+# ---------------------------------------------------------------------
+# Rule-triggering content is planted by residue: bullet lists (%4==1),
+# ellipsis lines + symbol runs (%4==2), digit words (%4==3).
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    trim(text
+      || CASE WHEN doc_id % 4 = 1 THEN chr(10) || '• item one' || chr(10) ||
+          '• item two' || chr(10) || '• item three' || chr(10) ||
+          '• item four' || chr(10) || '• item five' ELSE '' END
+      || CASE WHEN doc_id % 4 = 2 THEN chr(10) || 'read more...' || chr(10) ||
+          'click here...' || chr(10) || '### #### #####' ELSE '' END
+      || CASE WHEN doc_id % 4 = 3 THEN
+          ' 12345 67890 11111 22222 33333 44444 55555 66666' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN
+          ' the deal is that we have an offer with value' ELSE '' END
+    ) AS tt
+  FROM documents
+),
+m AS (
+  SELECT doc_id, tt, lower(tt) AS low,
+    string_split_regex(lower(tt), '\\s+') AS w,
+    string_split(tt, chr(10)) AS ls
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN tt = '' THEN 0 ELSE len(w) END AS n_words,
+    CASE WHEN tt = '' THEN 0.0
+         ELSE list_sum(list_transform(w, x -> length(x)))
+              / CAST(len(w) AS DOUBLE) END AS mean_wl,
+    CASE WHEN tt = '' THEN 0.0 ELSE (
+        (length(low) - length(replace(low, '#', '')))
+        + (length(low) - length(replace(low, '...', ''))) / 3
+        + (length(low) - length(replace(low, '…', '')))
+      ) / CAST(len(w) AS DOUBLE) END AS symbol_ratio,
+    len(list_filter(ls, l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+      / CAST(len(ls) AS DOUBLE) AS bullet_frac,
+    len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+      / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
+    CASE WHEN tt = '' THEN 0.0
+         ELSE len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+              / CAST(len(w) AS DOUBLE) END AS alpha_frac,
+    len(list_intersect(list_distinct(w),
+        ['the','be','to','of','and','that','have','with'])) AS stopword_hits
+  FROM m
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(ROUND(mean_wl * 1000000) AS BIGINT) AS mean_word_len_x1m,
+  CAST(ROUND(symbol_ratio * 1000000) AS BIGINT) AS symbol_ratio_x1m,
+  CAST(ROUND(bullet_frac * 1000000) AS BIGINT) AS bullet_frac_x1m,
+  CAST(ROUND(ellipsis_frac * 1000000) AS BIGINT) AS ellipsis_frac_x1m,
+  CAST(ROUND(alpha_frac * 1000000) AS BIGINT) AS alpha_word_frac_x1m,
+  CAST(stopword_hits AS BIGINT) AS stopword_hits,
+  (n_words BETWEEN 50 AND 100000 AND mean_wl BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+   AND stopword_hits >= 2) AS keep
+FROM c
+"""
+
+
+@register("text_gopher_rules", _GOPHER_ORACLE)
+def text_gopher_rules(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 1, "\n• item one\n• item two\n• item three"
+                               "\n• item four\n• item five").otherwise(""),
+            F.when(d % 4 == 2, "\nread more...\nclick here..."
+                               "\n### #### #####").otherwise(""),
+            F.when(d % 4 == 3, " 12345 67890 11111 22222 33333 44444"
+                               " 55555 66666").otherwise(""),
+            F.when(d % 2 == 0, " the deal is that we have an offer"
+                               " with value").otherwise(""),
+        ).alias("text"),
+    )
+    return textstats.gopher_rules(planted, "text", "doc_id")
