@@ -116,6 +116,7 @@ PREV_ROUND_REF = {
     "events_asof": 0.76,
     "text_line_dedup": 1.37,
     "text_gopher_rules": 1.07,
+    "text_vocab_stats": 0.85,
 }
 
 

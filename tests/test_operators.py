@@ -679,3 +679,24 @@ def test_gopher_rules_vectors(spark):
     plan = textstats.gopher_rules(df)._jdf.queryExecution()\
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_vocab_stats_ranking(spark):
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta"),
+        (3, "alpha delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in
+           textstats.vocab_stats(df, top_k=3).collect()}
+    assert out["alpha"]["rank"] == 1
+    assert out["alpha"]["doc_freq"] == 3 and out["alpha"]["total_freq"] == 4
+    assert out["beta"]["rank"] == 2 and out["beta"]["doc_freq"] == 2
+    # doc_freq tie between delta and gamma -> token text breaks it
+    assert out["delta"]["rank"] == 3
+    assert "gamma" not in out  # cut by top_k
+    # top-k lowering: TakeOrdered heaps, not a global sort shuffle
+    plan = textstats.vocab_stats(df, top_k=3)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

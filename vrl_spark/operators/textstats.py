@@ -493,3 +493,42 @@ def gopher_rules(
            "bullet_frac_x1m", "ellipsis_frac_x1m", "alpha_word_frac_x1m",
            "stopword_hits", "keep")],
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` tokens by DOCUMENT
+    frequency (ties broken by token text), with total occurrence
+    counts — the stats behind stopword lists, vocab pruning, and
+    df-based quality features.
+
+    Scale shape: explode tokens -> one hash-shuffle aggregation with
+    map-side combine (count_distinct docs + total count per token);
+    the top-k is orderBy+limit, which Spark lowers to
+    TakeOrderedAndProject — per-partition heaps, no global sort
+    shuffle. The final rank window runs on top_k rows only.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_freq"),
+    )
+    head = agg.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return head.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1347,3 +1347,38 @@ def text_gopher_rules(spark, sf_dir):
         ).alias("text"),
     )
     return textstats.gopher_rules(planted, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------
+# corpus vocabulary head (document frequency)
+# ---------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> x != '') AS w
+        FROM documents),
+       UNNEST(w) AS u(token)
+),
+agg AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_freq
+  FROM toks GROUP BY token
+),
+r AS (
+  SELECT token, doc_freq, total_freq,
+    ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) AS rank
+  FROM agg
+)
+SELECT token, doc_freq, total_freq, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 100
+"""
+
+
+@register("text_vocab_stats", _VOCAB_ORACLE)
+def text_vocab_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return textstats.vocab_stats(docs, "text", "doc_id", top_k=100)
