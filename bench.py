@@ -117,6 +117,7 @@ PREV_ROUND_REF = {
     "text_line_dedup": 1.37,
     "text_gopher_rules": 1.07,
     "text_vocab_stats": 0.85,
+    "text_chunks": 0.32,
 }
 
 

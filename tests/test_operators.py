@@ -700,3 +700,28 @@ def test_vocab_stats_ranking(spark):
     plan = textstats.vocab_stats(df, top_k=3)._jdf.queryExecution()\
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_documents_windows(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "one two"), (3, "")], ["doc_id", "text"]
+    )
+    out = textstats.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # stride 3: starts 0,3,6,9 -> 4 chunks, last is the tail word
+    assert len(by_doc[1]) == 4
+    assert by_doc[1][0]["chunk_text"] == "w0 w1 w2 w3"
+    assert by_doc[1][1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert by_doc[1][3]["chunk_text"] == "w9"
+    assert by_doc[1][3]["n_chunk_tokens"] == 1
+    assert by_doc[2][0]["chunk_text"] == "one two" and len(by_doc[2]) == 1
+    assert 3 not in by_doc  # empty doc -> no chunks
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, chunk_tokens=4, overlap=4)
+    # map-only
+    plan = textstats.chunk_documents(df)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

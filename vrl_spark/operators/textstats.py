@@ -532,3 +532,66 @@ def vocab_stats(
     )
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
     return head.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows (RAG /
+    context-window chunking): chunk k covers tokens
+    ``[k*stride, k*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the tail chunk may be short.
+    Empty documents yield no chunks.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Scale shape: one tokenization per document (bound), chunk starts
+    from ``sequence`` and slices inside a single projection, then one
+    posexplode — map-only, no shuffle, no Python; output rows are
+    ~1/stride per input token regardless of document skew.
+    """
+    from vrl_spark.functions.parse import bind
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        )
+        chunks = F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(toks, s + 1, chunk_tokens))
+                .cast("long")
+                .alias("n_chunk_tokens"),
+            ),
+        )
+        empty = F.array().cast(
+            "array<struct<chunk_text:string,n_chunk_tokens:bigint>>"
+        )
+        return F.when(t == "", empty).otherwise(chunks)
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            bind(F.filter(F.split(t, r"\s+"), lambda x: x != ""), body)
+        ).alias("chunk_id", "_c"),
+    )
+    c = F.col("_c")
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        c.getField("chunk_text").alias("chunk_text"),
+        c.getField("n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -1382,3 +1382,31 @@ def text_vocab_stats(spark, sf_dir):
         "doc_id", "text"
     )
     return textstats.vocab_stats(docs, "text", "doc_id", top_k=100)
+
+
+# ---------------------------------------------------------------------
+# overlapping token-window chunking (RAG / context assembly)
+# ---------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST(g.st // 24 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(w, g.st + 1, g.st + 32), ' ') AS chunk_text,
+  CAST(len(list_slice(w, g.st + 1, g.st + 32)) AS BIGINT) AS n_chunk_tokens
+FROM s, UNNEST(generate_series(0, len(w) - 1, 24)) AS g(st)
+"""
+
+
+@register("text_chunks", _CHUNK_ORACLE)
+def text_chunks(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return textstats.chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=32, overlap=8
+    )
