@@ -118,6 +118,7 @@ PREV_ROUND_REF = {
     "text_gopher_rules": 1.07,
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
+    "text_bm25": 0.65,
 }
 
 

@@ -725,3 +725,30 @@ def test_chunk_documents_windows(spark):
     plan = textstats.chunk_documents(df)._jdf.queryExecution()\
         .executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_bm25_scores_semantics(spark):
+    import math
+
+    from vrl_spark.operators import retrieval
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "totally unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           retrieval.bm25_scores(df, ["spark"]).collect()}
+    assert out[3] == 0.0
+    assert out[1] > out[2] > 0          # higher tf wins
+    # hand-computed doc 2: N=3, df=2, tf=1, dl=2, avgdl=10/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    want = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / (10 / 3)))
+    assert abs(out[2] - want) < 1e-9
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(df, [])
+    # query terms are filtered BEFORE the explode; no Python anywhere
+    plan = retrieval.bm25_scores(df, ["spark"])._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

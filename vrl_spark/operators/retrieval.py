@@ -1,0 +1,84 @@
+"""Lexical retrieval scoring over the corpus: BM25 (Robertson/
+Sparck-Jones, the public textbook formula) against a fixed query term
+list — the classic sparse companion to the dense ANN path in
+operators/similarity.py.
+
+Scale shape: tokens are filtered to the query terms BEFORE the
+explode, so the exploded relation is O(matches), not O(corpus
+tokens); document-frequency and corpus scalars (N, avgdl) are
+broadcast 1-row/tiny frames; the final score is one groupBy on the
+doc id. No Python, no cross joins, no full-vocab materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) for every document (0.0 when no query term occurs).
+
+    score = sum over matched terms of
+        ln(1 + (N - df + 0.5)/(df + 0.5))
+        * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with dl = whitespace token count and avgdl its corpus mean.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    t = F.trim(F.col(text_col))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).cast("double").alias("dl")
+    )
+    scalars = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    matches = (
+        base.select(
+            id_col, "dl",
+            F.explode(
+                F.filter(F.col("_toks"), lambda x: x.isin(terms))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = matches.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        matches.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

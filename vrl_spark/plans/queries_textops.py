@@ -1410,3 +1410,56 @@ def text_chunks(spark, sf_dir):
     return textstats.chunk_documents(
         docs, "text", "doc_id", chunk_tokens=32, overlap=8
     )
+
+
+# ---------------------------------------------------------------------
+# BM25 lexical scoring
+# ---------------------------------------------------------------------
+# Fixed query over the corpus vocabulary; full formula replicated in
+# DuckDB (ln + rational arithmetic on IEEE doubles both sides).
+
+_BM25_TERMS = ["batch", "scan", "window", "join", "filter"]
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x != '') AS w
+  FROM documents
+),
+dls AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM base),
+sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dls),
+m AS (
+  SELECT doc_id, dl, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM dls, UNNEST(list_filter(w,
+    x -> list_contains({_BM25_TERMS!r}, x))) AS u(term)
+  GROUP BY doc_id, dl, u.term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY term),
+s AS (
+  SELECT m.doc_id,
+    SUM(ln(1 + (sc.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        * (m.tf * 2.2)
+        / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / sc.avgdl))) AS score
+  FROM m JOIN dfreq USING (term) CROSS JOIN sc
+  GROUP BY m.doc_id
+)
+SELECT base.doc_id,
+  CAST(ROUND(COALESCE(s.score, 0.0) * 1000000) AS BIGINT) AS score_x1m
+FROM base LEFT JOIN s ON base.doc_id = s.doc_id
+"""
+
+
+@register("text_bm25", _BM25_ORACLE)
+def text_bm25(spark, sf_dir):
+    from vrl_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = retrieval.bm25_scores(docs, _BM25_TERMS)
+    return out.select(
+        "doc_id", F.round(F.col("score") * 1000000).cast("long").alias(
+            "score_x1m"
+        ),
+    )
