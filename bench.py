@@ -119,6 +119,7 @@ PREV_ROUND_REF = {
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
     "text_bm25": 0.65,
+    "text_unigram_nll": 0.76,
 }
 
 

@@ -752,3 +752,24 @@ def test_bm25_scores_semantics(spark):
     plan = retrieval.bm25_scores(df, ["spark"])._jdf.queryExecution()\
         .executedPlan().toString()
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    import math
+
+    from vrl_spark.operators import retrieval
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common rare"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in retrieval.unigram_nll(df).collect()}
+    # corpus: common x5, rare x1, total 6
+    nll_common = -math.log(5 / 6)
+    nll_rare = -math.log(1 / 6)
+    assert abs(out[1]["mean_nll"] - nll_common) < 1e-9
+    assert abs(out[2]["mean_nll"] - (nll_common + nll_rare) / 2) < 1e-9
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]  # rare = surprising
+    assert out[3]["mean_nll"] == 0.0 and out[3]["n_tokens"] == 0

@@ -82,3 +82,56 @@ def bm25_scores(
         .join(scored, id_col, "left")
         .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram language model — the cheap relational stand-in for the
+    CCNet/KenLM perplexity quality signal (documents whose tokens are
+    globally rare score high = surprising = often junk; exp(mean_nll)
+    is the perplexity).
+
+    p(t) = corpus_count(t) / corpus_tokens; every scored token was
+    counted, so no smoothing is needed.
+
+    Scale shape: one explode over tokens, one token-key aggregation
+    for the LM counts, one equi-join back on the token key (both
+    sides already partitioned by it), one groupBy(doc). The unigram
+    table is O(vocab) — it shuffles, never broadcasts, so a
+    billion-type vocab still flows.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("token")
+    )
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = counts.agg(F.sum("c").alias("corpus_tokens"))
+    nll = (
+        exploded.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log(F.col("c") / F.col("corpus_tokens"))).alias("_nll"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.avg("_nll").alias("mean_nll"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(nll, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )

@@ -1463,3 +1463,46 @@ def text_bm25(spark, sf_dir):
             "score_x1m"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# unigram LM negative log-likelihood (perplexity quality proxy)
+# ---------------------------------------------------------------------
+
+_NLL_ORACLE = """
+WITH e AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> x != '') AS w
+        FROM documents),
+       UNNEST(w) AS u(token)
+),
+c AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY token),
+tot AS (SELECT SUM(c) AS corpus_tokens FROM c),
+n AS (
+  SELECT e.doc_id, AVG(-ln(c.c / tot.corpus_tokens)) AS mean_nll,
+         COUNT(*) AS n_tokens
+  FROM e JOIN c USING (token) CROSS JOIN tot
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+  CAST(ROUND(COALESCE(n.mean_nll, 0.0) * 1000000) AS BIGINT) AS mean_nll_x1m,
+  CAST(COALESCE(n.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+"""
+
+
+@register("text_unigram_nll", _NLL_ORACLE)
+def text_unigram_nll(spark, sf_dir):
+    from vrl_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = retrieval.unigram_nll(docs)
+    return out.select(
+        "doc_id",
+        F.round(F.col("mean_nll") * 1000000).cast("long").alias("mean_nll_x1m"),
+        "n_tokens",
+    )
