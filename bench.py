@@ -120,6 +120,7 @@ PREV_ROUND_REF = {
     "text_chunks": 0.32,
     "text_bm25": 0.65,
     "text_unigram_nll": 0.76,
+    "text_domain_stats": 0.43,
 }
 
 

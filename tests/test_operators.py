@@ -773,3 +773,22 @@ def test_unigram_nll_rare_tokens_score_higher(spark):
     assert abs(out[2]["mean_nll"] - (nll_common + nll_rare) / 2) < 1e-9
     assert out[2]["mean_nll"] > out[1]["mean_nll"]  # rare = surprising
     assert out[3]["mean_nll"] == 0.0 and out[3]["n_tokens"] == 0
+
+
+def test_domain_stats_rollup(spark):
+    from vrl_spark.operators import urltools
+
+    rows = [
+        (1, "http://a.example.com/x", "one two three"),
+        (2, "http://b.example.com/y", "four five"),
+        (3, "http://a.example.com/z", "six"),
+        (4, "http://shop.portal.co.uk/q", "seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["domain"]: r for r in urltools.domain_stats(df).collect()}
+    ex = out["example.com"]
+    assert ex["n_docs"] == 3 and ex["n_hosts"] == 2
+    assert ex["total_tokens"] == 6
+    assert ex["mean_doc_tokens_x1m"] == 2000000
+    uk = out["portal.co.uk"]  # multi-label public suffix -> eTLD+1
+    assert uk["n_docs"] == 1 and uk["total_tokens"] == 4

@@ -102,3 +102,38 @@ def url_dedup(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain corpus rollup — the aggregation behind
+    domain blocklists and per-site crawl budgets: document count,
+    distinct-host count, and token volume per eTLD+1 (public-suffix
+    aware via functions.presets.parse_etld).
+
+    One map-side-combined aggregation on the domain key; host and
+    token count are scalar expressions over the scan. mean tokens is
+    derived from the exact integer sum/count, so it is
+    order-independent (no float accumulation).
+    """
+    from vrl_spark.functions.presets import parse_etld
+    from vrl_spark.operators.textstats import token_count
+
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    rows = df.select(
+        parse_etld(host, plus_parts=1).alias("domain"),
+        host.alias("_host"),
+        token_count(F.col(text_col)).alias("_tok"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("_host")).alias("n_hosts"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(
+            F.sum("_tok").cast("double") / F.count(F.lit(1)) * 1000000
+        ).cast("long").alias("mean_doc_tokens_x1m"),
+    )

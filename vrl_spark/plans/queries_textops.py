@@ -1506,3 +1506,56 @@ def text_unigram_nll(spark, sf_dir):
         F.round(F.col("mean_nll") * 1000000).cast("long").alias("mean_nll_x1m"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------
+# per-registered-domain rollup (blocklist / crawl-budget stats)
+# ---------------------------------------------------------------------
+# URL variants plant three eTLD+1 families (incl. a multi-label public
+# suffix); the oracle derives the domain ANALYTICALLY from the
+# residues — independent of the PSL lowering it checks.
+
+_DOMAIN_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'example.com'
+      WHEN 1 THEN 'portal' || (doc_id % 5) || '.co.uk'
+      ELSE 'github.io' END AS domain,
+    CASE doc_id % 3
+      WHEN 0 THEN 'www.shop' || (doc_id % 20) || '.example.com'
+      WHEN 1 THEN 'news' || (doc_id % 20) || '.portal' || (doc_id % 5) || '.co.uk'
+      ELSE 'user' || (doc_id % 9) || '.github.io' END AS host,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+  FROM documents
+)
+SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+  CAST(ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT)
+    AS mean_doc_tokens_x1m
+FROM t GROUP BY domain
+"""
+
+
+@register("text_domain_stats", _DOMAIN_ORACLE)
+def text_domain_stats(spark, sf_dir):
+    from vrl_spark.operators import urltools
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = F.col("doc_id")
+    k20 = (d % 20).cast("string")
+    url = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit("http://www.shop"), k20, F.lit(".example.com/p")))
+        .when(d % 3 == 1, F.concat(
+            F.lit("http://news"), k20, F.lit(".portal"),
+            (d % 5).cast("string"), F.lit(".co.uk/x")))
+        .otherwise(F.concat(
+            F.lit("http://user"), (d % 9).cast("string"),
+            F.lit(".github.io/repo")))
+    )
+    planted = docs.select("doc_id", url.alias("url"), "text")
+    return urltools.domain_stats(planted)
