@@ -84,6 +84,37 @@ def main() -> None:
         ).alias("ip_encrypted"),
     ).show(truncate=False)
 
+    # --- curation: PII, boilerplate, quality rules, chunks -------------
+    from vrl_spark.operators import pii, retrieval, textstats, urltools
+
+    print("== PII scrub ==")
+    pii_docs = spark.createDataFrame(
+        [(1, "contact bob@example.com or call 415-555-2671 from 10.1.2.3")],
+        ["doc_id", "text"],
+    )
+    pii.pii_scrub(pii_docs).select("scrubbed", "pii_total").show(truncate=False)
+
+    print("== URL canonicalization + dedup ==")
+    urls = spark.createDataFrame(
+        [(1, "HTTP://Example.COM:80/a/?utm_source=x&id=1#top"),
+         (2, "http://example.com/a?id=1")],
+        ["doc_id", "url"],
+    )
+    urltools.url_dedup(urls).show(truncate=False)
+
+    print("== Gopher quality rules ==")
+    textstats.gopher_rules(docs).select(
+        "doc_id", "n_words", "stopword_hits", "keep"
+    ).show()
+
+    print("== token-window chunking (chunk=8, overlap=2) ==")
+    textstats.chunk_documents(docs, chunk_tokens=8, overlap=2).show(
+        truncate=40
+    )
+
+    print("== BM25 scoring for query ['deduplication', 'training'] ==")
+    retrieval.bm25_scores(docs, ["deduplication", "training"]).show()
+
     # --- datadog-style log search --------------------------------------
     from vrl_spark.functions.ddquery import match_datadog_query
 
