@@ -121,6 +121,7 @@ PREV_ROUND_REF = {
     "text_bm25": 0.65,
     "text_unigram_nll": 0.76,
     "text_domain_stats": 0.43,
+    "graph_pagerank": 4.4,
 }
 
 

@@ -792,3 +792,23 @@ def test_domain_stats_rollup(spark):
     assert ex["mean_doc_tokens_x1m"] == 2000000
     uk = out["portal.co.uk"]  # multi-label public suffix -> eTLD+1
     assert uk["n_docs"] == 1 and uk["total_tokens"] == 4
+
+
+def test_pagerank_cycle_and_dangling(spark):
+    from vrl_spark.operators.graph import pagerank
+
+    # 2-cycle: symmetric fixpoint 0.5/0.5 at every iteration
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=3).collect()}
+    assert abs(out[1] - 0.5) < 1e-12 and abs(out[2] - 0.5) < 1e-12
+
+    # dangling node: A->B, B has no out-edges; hand-computed 2 steps
+    # step1: dang=.5, B_in=.5   -> A=.075+.85*.25=.2875, B=.7125
+    # step2: dang=.7125, B_in=.2875
+    #   A=.075+.85*(.7125/2)=.3778125, B=.075+.85*(.2875+.35625)=.6221875
+    dg = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(dg, iterations=2).collect()}
+    assert abs(out[1] - 0.3778125) < 1e-12
+    assert abs(out[2] - 0.6221875) < 1e-12
+    # mass conserved
+    assert abs(sum(out.values()) - 1.0) < 1e-12

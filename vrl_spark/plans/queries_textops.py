@@ -1559,3 +1559,73 @@ def text_domain_stats(spark, sf_dir):
     )
     planted = docs.select("doc_id", url.alias("url"), "text")
     return urltools.domain_stats(planted)
+
+
+# ---------------------------------------------------------------------
+# PageRank over a planted host link graph
+# ---------------------------------------------------------------------
+# Edges derive deterministically from doc ids; host 96 is made
+# dangling (its out-edges filtered) to exercise the dangling-mass
+# redistribution. The oracle UNROLLS the 10 synchronous iterations as
+# chained CTEs — recursive-CTE aggregation limits don't apply, and
+# every step is plain relational algebra DuckDB executes independently.
+
+
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    # AS MATERIALIZED on every step: DuckDB inlines plain CTEs, so an
+    # iteration chain would otherwise re-expand exponentially
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT doc_id % 97 AS src,"
+        " (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents WHERE doc_id % 97 != 96)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS o"
+        " FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dang"
+            f" FROM r{i} WHERE node NOT IN (SELECT src FROM od))"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" SUM(r.rank / od.o) AS inflow"
+            f" FROM e JOIN r{i} r ON e.src = r.node JOIN od ON e.src = od.src"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT nodes.node,"
+            f" {1.0 - d} / (SELECT n FROM nn)"
+            f" + {d} * (COALESCE(c.inflow, 0)"
+            f" + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(ROUND(rank * 100000000) AS BIGINT)"
+        f" AS rank_x1e8 FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    from vrl_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    edges = (
+        docs.select(
+            (d % 97).alias("src"), ((d * 31 + 7) % 97).alias("dst")
+        )
+        .where(F.col("src") != 96)
+        .distinct()
+    )
+    out = pagerank(edges, damping=0.85, iterations=10)
+    return out.select(
+        "node",
+        F.round(F.col("rank") * 100000000).cast("long").alias("rank_x1e8"),
+    )
