@@ -122,6 +122,7 @@ PREV_ROUND_REF = {
     "text_unigram_nll": 0.76,
     "text_domain_stats": 0.43,
     "graph_pagerank": 4.4,
+    "dataset_weighted_sample": 0.28,
 }
 
 

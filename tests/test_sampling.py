@@ -111,3 +111,29 @@ def test_sample_per_stratum_prefilter_equivalence(spark):
         sampling.sample_per_stratum(df, ["g"], n=0)
     with _pytest.raises(ValueError):
         sampling.sample_per_stratum(df, ["g"], n=5, prefilter=0.5)
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from vrl_spark.operators import sampling
+
+    rows = [(i, 100 if i < 20 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sampling.weighted_sample(df, "w", n=20).collect()
+    assert len(got) == 20
+    assert all(1 <= r["sample_rank"] <= 20 for r in got)
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    # 20 heavy docs carry 2000/2180 of the weight: expect the winners
+    # to be dominated by them (deterministic, so this is a fixed fact)
+    assert heavy >= 12
+    again = {r["doc_id"] for r in
+             sampling.weighted_sample(df, "w", n=20).collect()}
+    assert again == {r["doc_id"] for r in got}
+    # zero/negative weights are excluded, not errors
+    dfz = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5)], ["doc_id", "w"]
+    )
+    kept = sampling.weighted_sample(dfz, "w", n=5).collect()
+    assert [r["doc_id"] for r in kept] == [3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(df, "w", n=0)

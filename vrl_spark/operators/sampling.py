@@ -193,3 +193,43 @@ def sample_per_stratum(
         base.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): each row gets key = u^(1/w) with u a
+    salted md5 hash fraction standing in for the uniform draw, and the
+    n largest keys win — inclusion probability proportional to weight,
+    yet fully reproducible (a pure function of salt, id, weight).
+    Used for quality-weighted corpus subsetting. Rows with
+    non-positive weight are excluded.
+
+    Returns the winning rows plus ``sample_rank`` (1..n by key).
+
+    Scale: the key is a scalar projection; top-n lowers to
+    TakeOrderedAndProject per-partition heaps (no global sort); the
+    rank window runs on n rows.
+    """
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("double")
+    key = F.pow(_hash_frac(F.col(id_col), salt), 1.0 / w)
+    ranked = (
+        df.where(w > 0)
+        .withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    win = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .drop("_key")
+    )

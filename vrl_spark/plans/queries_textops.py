@@ -1629,3 +1629,46 @@ def graph_pagerank(spark, sf_dir):
         "node",
         F.round(F.col("rank") * 100000000).cast("long").alias("rank_x1e8"),
     )
+
+
+# ---------------------------------------------------------------------
+# deterministic weighted sampling (quality-weighted subset)
+# ---------------------------------------------------------------------
+# weight = doc token count; same md5-fraction + power key in DuckDB.
+
+_WSAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    list_sum(list_transform(generate_series(1, 8),
+      k -> (strpos('0123456789abcdef',
+                   substr(md5('wsample|' || doc_id), k, 1)) - 1)
+           * power(16, 8 - k))) / 4294967296.0 AS frac
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_tokens, power(frac, 1.0 / n_tokens) AS key
+  FROM h WHERE n_tokens > 0
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS sample_rank
+  FROM k
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 50
+"""
+
+
+@register("dataset_weighted_sample", _WSAMPLE_ORACLE)
+def dataset_weighted_sample(spark, sf_dir):
+    from vrl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.weighted_sample(
+        docs, "n_tokens", n=50, id_col="doc_id", salt="wsample"
+    ).select("doc_id", "n_tokens", "sample_rank")
