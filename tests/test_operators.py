@@ -650,6 +650,12 @@ def test_curate_corpus_optional_scrub_stages(spark):
     # words + 'mail me at' + the scrubbed '<EMAIL>' = 34 (41 if the
     # nav line had leaked through)
     assert all(r["n_tokens"] == 34 for r in got)
+    # the gopher gate drops everything here (word salad: no stopwords)
+    gated = curate_corpus(
+        df, min_tokens=5, gopher_filter=True,
+        minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
+    )
+    assert gated.count() == 0
 
 
 def test_gopher_rules_vectors(spark):

@@ -5,6 +5,7 @@ actually runs —
     raw docs
       -> [optional] corpus-wide duplicated-line removal (boilerplate)
       -> [optional] PII scrubbing                  (redaction)
+      -> [optional] Gopher rule gate               (quality)
       -> token-count bounds + repetition filter   (quality)
       -> minhash-LSH pairs -> connected components
          -> one survivor per near-dup cluster      (dedup)
@@ -42,6 +43,7 @@ def curate_corpus(
     minhash_kwargs: dict | None = None,
     strip_boilerplate_min_docs: int | None = None,
     scrub_pii: bool = False,
+    gopher_filter: bool = False,
 ) -> DataFrame:
     """Returns (id, n_tokens, split, pack_id) for every KEPT document.
 
@@ -65,6 +67,14 @@ def curate_corpus(
         df = _pii.pii_scrub(
             df, text_col, out_col="_scrubbed", with_counts=False
         ).drop(text_col).withColumnRenamed("_scrubbed", text_col)
+
+    # 0b) optional Gopher rule gate (full published family) before
+    # the cheaper token-bound/repetition checks
+    if gopher_filter:
+        keep_ids = textstats.gopher_rules(df, text_col, id_col).where(
+            "keep"
+        ).select(id_col)
+        df = df.join(keep_ids, id_col, "left_semi")
 
     # 1) quality: token bounds, then repetition thresholds
     with_tok = df.select(
