@@ -123,6 +123,7 @@ PREV_ROUND_REF = {
     "text_domain_stats": 0.43,
     "graph_pagerank": 4.4,
     "dataset_weighted_sample": 0.28,
+    "graph_hits": 5.2,
 }
 
 

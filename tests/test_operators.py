@@ -818,3 +818,19 @@ def test_pagerank_cycle_and_dangling(spark):
     assert abs(out[2] - 0.6221875) < 1e-12
     # mass conserved
     assert abs(sum(out.values()) - 1.0) < 1e-12
+
+
+def test_hits_star_graph(spark):
+    from vrl_spark.operators.graph import hits
+
+    # star: 1,2,3 all point at 4 -> node 4 is the authority, 1-3 are
+    # equal hubs, and the L1 norms make the values exact rationals
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=3).collect()}
+    assert abs(out[4]["authority"] - 1.0) < 1e-12
+    assert out[4]["hub"] == 0.0
+    for n in (1, 2, 3):
+        assert abs(out[n]["hub"] - 1 / 3) < 1e-12
+        assert out[n]["authority"] == 0.0

@@ -92,3 +92,79 @@ def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
             .localCheckpoint()
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` HITS steps
+    (Kleinberg), L1-normalized each round (same principal direction
+    as the classic L2 variant, but every step is rational arithmetic
+    — exactly replicable in the SQL oracle):
+
+        authority'(v) = sum over u->v of hub(u)     (then / L1 sum)
+        hub'(v)       = sum over v->u of authority'(u)  (then / L1 sum)
+
+    Same loop discipline as pagerank: edge-sized shuffles, two
+    equi-join+groupBy steps per iteration, localCheckpoint per round,
+    one driver scalar per normalization.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    n_edges = e.count()
+    parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _hits_loop(e, iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        e.unpersist()
+
+
+def _hits_loop(e: DataFrame, iterations: int) -> DataFrame:
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def normalized(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col)).collect()[0][0] or 1.0
+        return scores.select(
+            "node", (F.col(col) / F.lit(total)).alias(col)
+        ).localCheckpoint()
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    hub = normalized(hub, "hub")
+    auth = None
+    for _ in range(iterations):
+        auth = normalized(
+            nodes.join(
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("authority"))
+                .withColumnRenamed("dst", "node"),
+                "node", "left",
+            ).select(
+                "node", F.coalesce("authority", F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        hub = normalized(
+            nodes.join(
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum("authority").alias("hub"))
+                .withColumnRenamed("src", "node"),
+                "node", "left",
+            ).select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+    return hub.join(auth, "node").select("node", "hub", "authority")

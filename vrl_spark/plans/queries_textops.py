@@ -1672,3 +1672,73 @@ def dataset_weighted_sample(spark, sf_dir):
     return sampling.weighted_sample(
         docs, "n_tokens", n=50, id_col="doc_id", salt="wsample"
     ).select("doc_id", "n_tokens", "sample_rank")
+
+
+# ---------------------------------------------------------------------
+# HITS hubs/authorities over the same planted link graph
+# ---------------------------------------------------------------------
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT doc_id % 97 AS src,"
+        " (doc_id * 31 + 7) % 97 AS dst"
+        " FROM documents WHERE doc_id % 97 != 96)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "h0 AS MATERIALIZED (SELECT node,"
+        " 1.0 / (SELECT COUNT(*) FROM nodes) AS hub FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"aa{i} AS MATERIALIZED (SELECT nodes.node, COALESCE(x.s, 0) AS v"
+            f" FROM nodes LEFT JOIN (SELECT e.dst AS node, SUM(h.hub) AS s"
+            f" FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst) x"
+            f" ON nodes.node = x.node)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" v / (SELECT SUM(v) FROM aa{i}) AS authority FROM aa{i})"
+        )
+        ctes.append(
+            f"hh{i} AS MATERIALIZED (SELECT nodes.node, COALESCE(x.s, 0) AS v"
+            f" FROM nodes LEFT JOIN (SELECT e.src AS node,"
+            f" SUM(a.authority) AS s"
+            f" FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src) x"
+            f" ON nodes.node = x.node)"
+        )
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT node,"
+            f" v / (SELECT SUM(v) FROM hh{i}) AS hub FROM hh{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{iters}.node,"
+        f" CAST(ROUND(h{iters}.hub * 100000000) AS BIGINT) AS hub_x1e8,"
+        f" CAST(ROUND(a{iters - 1}.authority * 100000000) AS BIGINT)"
+        f" AS authority_x1e8"
+        f" FROM h{iters} JOIN a{iters - 1} ON h{iters}.node = a{iters - 1}.node"
+    )
+
+
+@register("graph_hits", _hits_oracle())
+def graph_hits(spark, sf_dir):
+    from vrl_spark.operators.graph import hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    edges = (
+        docs.select(
+            (d % 97).alias("src"), ((d * 31 + 7) % 97).alias("dst")
+        )
+        .where(F.col("src") != 96)
+        .distinct()
+    )
+    out = hits(edges, iterations=5)
+    return out.select(
+        "node",
+        F.round(F.col("hub") * 100000000).cast("long").alias("hub_x1e8"),
+        F.round(F.col("authority") * 100000000).cast("long").alias(
+            "authority_x1e8"
+        ),
+    )
