@@ -89,7 +89,7 @@ PREV_ROUND_REF = {
     "vrl_ddquery": 0.10,
     "vrl_encode_json": 0.08,
     "vrl_enrichment_range": 1.20,
-    "vrl_formats": 1.92,
+    "vrl_formats": 1.75,
     "vrl_hashes_codecs": 0.08,
     "vrl_math_ip": 1.37,
     "vrl_parse_etld": 0.44,
@@ -98,7 +98,7 @@ PREV_ROUND_REF = {
     "vrl_parse_syslog": 0.58,
     "vrl_parse_url": 1.05,
     "vrl_parse_user_agent": 0.22,
-    "vrl_presets_vendor": 2.04,
+    "vrl_presets_vendor": 1.70,
     "vrl_strings": 0.08,
     "vrl_syslog": 0.07,
     "vrl_crypto_codecs": 4.73,
