@@ -124,6 +124,7 @@ PREV_ROUND_REF = {
     "graph_pagerank": 4.4,
     "dataset_weighted_sample": 0.28,
     "graph_hits": 5.2,
+    "events_funnel": 0.43,
 }
 
 

@@ -834,3 +834,26 @@ def test_hits_star_graph(spark):
     for n in (1, 2, 3):
         assert abs(out[n]["hub"] - 1 / 3) < 1e-12
         assert out[n]["authority"] == 0.0
+
+
+def test_funnel_ordered_subsequence(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.funnel import funnel
+
+    t = lambda m: dt(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        (2, t(0), "click"), (2, t(1), "view"),        # click BEFORE view
+        (3, t(0), "purchase"),                        # never views
+        (4, t(0), "view"), (4, t(1), "purchase"), (4, t(2), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step_idx"]: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["n_users"] == 3 and out[1]["step_name"] == "view"
+    assert out[2]["n_users"] == 2    # users 1 and 4
+    assert out[3]["n_users"] == 1    # only user 1 purchases after click
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, [])

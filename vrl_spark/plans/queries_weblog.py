@@ -158,3 +158,65 @@ def events_asof(spark, sf_dir):
     return asof_join(
         ev, dim, on=["user_id"], left_ts="ts", right_ts="vts"
     ).select("event_id", "user_id", "ts", "matched_ts", "tier")
+
+
+# ---------------------------------------------------------------------
+# funnel analysis: view -> click -> purchase
+# ---------------------------------------------------------------------
+# Greedy earliest-match subsequence per user; the oracle chains
+# list_position over the per-user ordered type list (equivalent to the
+# greedy fold for both existence and earliest positions).
+
+_FUNNEL_ORACLE = """
+WITH l AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_type) AS seq
+  FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+  GROUP BY user_id
+),
+p AS (
+  -- DuckDB list_position returns 0 (not NULL) when absent: NULLIF
+  SELECT user_id,
+    NULLIF(list_position(seq, 'view'), 0) AS p1,
+    seq
+  FROM l
+),
+q AS (
+  SELECT user_id, p1,
+    CASE WHEN p1 IS NOT NULL THEN
+      p1 + NULLIF(list_position(seq[p1 + 1 :], 'click'), 0)
+    END AS p2,
+    seq
+  FROM p
+),
+m AS (
+  SELECT user_id,
+    CASE
+      WHEN p2 IS NOT NULL
+           AND NULLIF(list_position(seq[p2 + 1 :], 'purchase'), 0)
+               IS NOT NULL THEN 3
+      WHEN p2 IS NOT NULL THEN 2
+      WHEN p1 IS NOT NULL THEN 1
+      ELSE 0 END AS max_step
+  FROM q
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step_name,
+         CAST(COUNT(*) FILTER (max_step >= 1) AS BIGINT) AS n_users FROM m
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FILTER (max_step >= 2) FROM m
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FILTER (max_step >= 3) FROM m
+) WHERE n_users > 0
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark, sf_dir):
+    from vrl_spark.operators.funnel import funnel
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts") < "2024-01-04")
+        .select("user_id", "ts", "event_type")
+    )
+    return funnel(ev, ["view", "click", "purchase"])
