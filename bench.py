@@ -125,6 +125,7 @@ PREV_ROUND_REF = {
     "dataset_weighted_sample": 0.28,
     "graph_hits": 5.2,
     "events_funnel": 0.43,
+    "text_profile_stats": 0.25,
 }
 
 

@@ -857,3 +857,17 @@ def test_funnel_ordered_subsequence(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_profile_stats_exact_quantiles(spark):
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", 10)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["g"]: r for r in
+           textstats.profile_stats(df, "g", "v").collect()}
+    a = out["a"]
+    assert a["n"] == 4 and a["min_v"] == 1 and a["max_v"] == 4
+    assert a["mean_x1m"] == 2500000
+    assert a["p50_x1m"] == 2500000          # interpolated median of 1..4
+    assert a["p90_x1m"] == 3700000          # 1 + 0.9*3 interpolation
+    b = out["b"]
+    assert b["n"] == 1 and b["p50_x1m"] == 10000000

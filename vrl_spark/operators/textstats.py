@@ -595,3 +595,34 @@ def chunk_documents(
         c.getField("chunk_text").alias("chunk_text"),
         c.getField("n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def profile_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group numeric profile (corpus data-profiling: length /
+    token-count distributions per language or source): count, min,
+    max, mean, and exact interpolated p50/p90.
+
+    One map-side-combined aggregation; exact percentiles sort within
+    the group's value multiset only (Spark `percentile`), not the
+    whole table. Mean derives from exact integer sum/count. At 100 TB
+    switch `percentile` to `approx_percentile` for sketch-merge
+    aggregation — the call site is the only change.
+    """
+    v = F.col(value_col).cast("long")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)) * 1000000)
+        .cast("long").alias("mean_x1m"),
+        F.round(F.percentile(v, F.lit(0.5)) * 1000000).cast("long").alias(
+            "p50_x1m"
+        ),
+        F.round(F.percentile(v, F.lit(0.9)) * 1000000).cast("long").alias(
+            "p90_x1m"
+        ),
+    )

@@ -1742,3 +1742,26 @@ def graph_hits(spark, sf_dir):
             "authority_x1e8"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# per-group numeric profiling (length distributions per lang)
+# ---------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT lang, COUNT(*) AS n,
+  MIN(n_chars) AS min_v, MAX(n_chars) AS max_v,
+  CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT)
+    AS mean_x1m,
+  CAST(ROUND(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_x1m,
+  CAST(ROUND(quantile_cont(n_chars, 0.9) * 1000000) AS BIGINT) AS p90_x1m
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_profile_stats", _PROFILE_ORACLE)
+def text_profile_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "n_chars"
+    )
+    return textstats.profile_stats(docs, "lang", "n_chars")
