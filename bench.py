@@ -126,6 +126,7 @@ PREV_ROUND_REF = {
     "graph_hits": 5.2,
     "events_funnel": 0.43,
     "text_profile_stats": 0.25,
+    "pipeline_log_templates": 0.33,
 }
 
 

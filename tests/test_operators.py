@@ -871,3 +871,22 @@ def test_profile_stats_exact_quantiles(spark):
     assert a["p90_x1m"] == 3700000          # 1 + 0.9*3 interpolation
     b = out["b"]
     assert b["n"] == 1 and b["p50_x1m"] == 10000000
+
+
+def test_template_mining(spark):
+    from vrl_spark.operators.textstats import mine_templates
+
+    rows = [
+        (1, "error 404 at 10.0.0.1 req 550e8400-e29b-41d4-a716-446655440000"),
+        (2, "error 500 at 10.0.0.9 req 550e8400-e29b-41d4-a716-446655440001"),
+        (3, "worker deadbeefcafe1234 started"),
+        (4, "worker deadbeefcafe9999 started"),
+        (5, "a singleton line"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    out = {r["template"]: r for r in mine_templates(df, "text").collect()}
+    err = out["error <N> at <IP> req <UUID>"]
+    assert err["n_lines"] == 2
+    assert err["example"].startswith("error 404")  # lexicographic min
+    assert out["worker <HEX> started"]["n_lines"] == 2
+    assert "a singleton line" not in out  # below min_count

@@ -626,3 +626,51 @@ def profile_stats(
             "p90_x1m"
         ),
     )
+
+
+# log-template mining masks, applied in order (specific -> generic);
+# written in the shared Java-regex / RE2 subset for oracle parity
+TEMPLATE_MASKS: list[tuple[str, str]] = [
+    (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+     "<UUID>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9a-f]{12,}\b", "<HEX>"),
+    (r"[0-9]+", "<N>"),
+]
+
+
+def template_col(col: Column) -> Column:
+    """One log line -> its structural template (variable parts masked).
+    A lightweight Drain-style signature: UUIDs, IPs, long hex runs,
+    then any number collapse to typed placeholders, in that order."""
+    out = col
+    for pat, token in TEMPLATE_MASKS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def mine_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """(template, n_lines, example): structure discovery over a log
+    stream — group lines by masked template, keep templates matching
+    >= min_count lines, carry the lexicographically-smallest raw line
+    as the deterministic example.
+
+    Scale shape: the mask chain is map-only codegen; one template-key
+    aggregation with map-side combine. Template cardinality is tiny
+    relative to line count (that is the point of the operator), so the
+    aggregated state is small no matter the input size.
+    """
+    t = F.col(text_col)
+    return (
+        df.select(template_col(t).alias("template"), t.alias("_raw"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("_raw").alias("example"),
+        )
+        .where(F.col("n_lines") >= min_count)
+    )

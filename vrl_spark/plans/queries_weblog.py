@@ -220,3 +220,32 @@ def events_funnel(spark, sf_dir):
         .select("user_id", "ts", "event_type")
     )
     return funnel(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------
+# log-template mining over the weblog lines
+# ---------------------------------------------------------------------
+
+from vrl_spark.operators.textstats import TEMPLATE_MASKS  # noqa: E402
+
+
+def _template_oracle() -> str:
+    expr = "text"
+    for pat, token in TEMPLATE_MASKS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    return f"""
+WITH pages AS ({derive_pages_sql()}),
+t AS (SELECT {expr} AS template, text FROM pages)
+SELECT template, COUNT(*) AS n_lines, MIN(text) AS example
+FROM t GROUP BY template HAVING COUNT(*) >= 2
+"""
+
+
+@register("pipeline_log_templates", _template_oracle())
+def pipeline_log_templates(spark, sf_dir):
+    from vrl_spark.operators.textstats import mine_templates
+    from vrl_spark.plans import weblog
+
+    pages = weblog.load_pages(spark, sf_dir).select("text")
+    return mine_templates(pages, "text", min_count=2)
