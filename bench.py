@@ -127,6 +127,7 @@ PREV_ROUND_REF = {
     "events_funnel": 0.43,
     "text_profile_stats": 0.25,
     "pipeline_log_templates": 0.33,
+    "events_error_anomalies": 0.5,
 }
 
 

@@ -890,3 +890,29 @@ def test_template_mining(spark):
     assert err["example"].startswith("error 404")  # lexicographic min
     assert out["worker <HEX> started"]["n_lines"] == 2
     assert "a singleton line" not in out  # below min_count
+
+
+def test_error_rate_anomalies(spark):
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.anomaly import error_rate_anomalies
+
+    rows = []
+    # user 1: 3 calm days (1 error in 10), then a day of all errors
+    for day in (1, 2, 3):
+        rows += [(1, dt(2024, 1, day, h), "error" if h == 0 else "view")
+                 for h in range(10)]
+    rows += [(1, dt(2024, 1, 4, h), "error") for h in range(10)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {str(r["bucket"].date()): r for r in
+           error_rate_anomalies(df).collect()}
+    spike = out["2024-01-04"]
+    assert spike["err_rate"] == 1.0
+    # constant baseline -> zero spread -> infinite z reported as NULL,
+    # but the break IS flagged
+    assert spike["is_anomaly"] is True and spike["z"] is None
+    # first three days: no full trailing frame or zero spread -> never
+    # anomalous
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        assert out[day]["is_anomaly"] is False
+        assert out[day]["z"] is None

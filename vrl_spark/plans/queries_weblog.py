@@ -249,3 +249,73 @@ def pipeline_log_templates(spark, sf_dir):
 
     pages = weblog.load_pages(spark, sf_dir).select("text")
     return mine_templates(pages, "text", min_count=2)
+
+
+# ---------------------------------------------------------------------
+# trailing-window error-rate anomaly detection
+# ---------------------------------------------------------------------
+# Floats cross engines: rate is an exact rational, trailing mean/std
+# run over a deterministic ROWS frame in bucket order, outputs round
+# at x1e6.
+
+_ANOMALY_ORACLE = """
+WITH b AS (
+  SELECT user_id AS entity, date_trunc('day', ts) AS bucket,
+    COUNT(*) AS n_events,
+    COUNT(*) FILTER (event_type = 'error') AS n_errors
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT entity, bucket, n_events, n_errors,
+    CAST(n_errors AS DOUBLE) / n_events AS err_rate
+  FROM b
+),
+w AS (
+  SELECT entity, bucket, n_events, n_errors, err_rate,
+    AVG(err_rate) OVER f AS trail_mean,
+    STDDEV(err_rate) OVER f AS trail_std,
+    COUNT(*) OVER f AS frame_n
+  FROM r
+  WINDOW f AS (PARTITION BY entity ORDER BY bucket
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT entity, bucket, CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_errors AS BIGINT) AS n_errors,
+  CAST(ROUND(err_rate * 1000000) AS BIGINT) AS err_rate_x1m,
+  CAST(ROUND(CASE WHEN frame_n = 3 AND trail_std > 0
+    THEN (err_rate - trail_mean) / trail_std END * 1000000) AS BIGINT)
+    AS z_x1m,
+  -- decide on the ROUNDED z so an engine-side last-ulp stddev
+  -- difference can't flip a boundary case; a zero-spread baseline
+  -- followed by any deviation is anomalous (infinite z)
+  COALESCE(abs(ROUND(CASE WHEN frame_n = 3 AND trail_std > 0
+    THEN (err_rate - trail_mean) / trail_std END * 1000000)) > 2000000,
+    FALSE)
+  OR COALESCE(frame_n = 3 AND trail_std = 0 AND err_rate != trail_mean,
+              FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@register("events_error_anomalies", _ANOMALY_ORACLE)
+def events_error_anomalies(spark, sf_dir):
+    from vrl_spark.operators.anomaly import error_rate_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    out = error_rate_anomalies(ev)
+    zr = F.round(F.col("z") * 1000000).cast("long")
+    return out.select(
+        "entity", "bucket", "n_events", "n_errors",
+        F.round(F.col("err_rate") * 1000000).cast("long").alias(
+            "err_rate_x1m"
+        ),
+        zr.alias("z_x1m"),
+        # threshold on the rounded z (cross-engine boundary-stable),
+        # plus the zero-spread flat-break verdict (z is NULL there)
+        (
+            F.coalesce(F.abs(zr) > 2000000, F.lit(False))
+            | (F.col("is_anomaly") & F.col("z").isNull())
+        ).alias("is_anomaly"),
+    )
