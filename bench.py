@@ -128,6 +128,7 @@ PREV_ROUND_REF = {
     "text_profile_stats": 0.25,
     "pipeline_log_templates": 0.33,
     "events_error_anomalies": 0.5,
+    "text_extract_entities": 0.26,
 }
 
 

@@ -916,3 +916,18 @@ def test_error_rate_anomalies(spark):
     for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
         assert out[day]["is_anomaly"] is False
         assert out[day]["z"] is None
+
+
+def test_extract_entities_lists(spark):
+    from vrl_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co then c@d.org from 10.0.0.1"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii.extract_entities(
+        df, filters=["email", "ipv4"]).collect()}
+    assert out[1]["email_list"] == "a@b.co|c@d.org"
+    assert out[1]["ipv4_list"] == "10.0.0.1"
+    assert out[1]["entity_total"] == 3
+    assert out[2]["email_list"] == "" and out[2]["entity_total"] == 0

@@ -106,3 +106,25 @@ def pii_scrub(
             total = c if total is None else total + c
         out = out.withColumn("pii_total", total.cast("long"))
     return out
+
+
+def extract_entities(
+    df: DataFrame,
+    text_col: str = "text",
+    filters: list[str] | None = None,
+) -> DataFrame:
+    """Adds one ``<name>_list`` column per selected category holding
+    every match in document order joined with ``|`` (string output so
+    cross-engine comparison is canonical), plus ``entity_total``.
+    The extraction dual of ``pii_scrub``: same pattern table, same
+    map-only plan shape."""
+    names = _resolve(filters)
+    t = F.col(text_col)
+    out = df
+    total = None
+    for name in names:
+        matches = F.regexp_extract_all(t, F.lit(f"({PII_PATTERNS[name]})"), 1)
+        out = out.withColumn(f"{name}_list", F.array_join(matches, "|"))
+        c = F.size(matches).cast("long")
+        total = c if total is None else total + c
+    return out.withColumn("entity_total", total.cast("long"))

@@ -1765,3 +1765,30 @@ def text_profile_stats(spark, sf_dir):
         "lang", "n_chars"
     )
     return textstats.profile_stats(docs, "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------
+# entity extraction (the dual of the PII scrub)
+# ---------------------------------------------------------------------
+
+_ENTITY_ORACLE = """
+WITH planted AS ({plant})
+SELECT doc_id,
+  COALESCE(array_to_string(regexp_extract_all(text, '{email}'), '|'), '')
+    AS email_list,
+  COALESCE(array_to_string(regexp_extract_all(text, '{ipv4}'), '|'), '')
+    AS ipv4_list,
+  CAST(len(regexp_extract_all(text, '{email}'))
+     + len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS entity_total
+FROM planted
+""".format(plant=_PII_PLANT_SQL,
+           email=_pii.PII_PATTERNS["email"],
+           ipv4=_pii.PII_PATTERNS["ipv4"])
+
+
+@register("text_extract_entities", _ENTITY_ORACLE)
+def text_extract_entities(spark, sf_dir):
+    planted = _pii_planted(spark, sf_dir)
+    return _pii.extract_entities(
+        planted, "text", filters=["email", "ipv4"]
+    ).select("doc_id", "email_list", "ipv4_list", "entity_total")
