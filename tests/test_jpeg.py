@@ -309,3 +309,27 @@ def test_image_embedding_uses_real_jpeg_pixels():
     assert emb[:4] == [round(130 / 255, 6)] * 4   # 2x2 mean luminance
     assert emb[4:7] == [round(130 / 255, 6)] * 3  # RGB means
     assert emb[7] == 0.0                          # flat -> zero std
+
+
+def test_restart_markers_any_boundary_alignment():
+    """Regression: when an interval's entropy bytes ended exactly at a
+    bit-reader fill boundary, the RST marker was never peeked and
+    decode crashed to None. Sweep varied DC magnitudes (=varied
+    bitstream lengths) so segment ends land on every alignment."""
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        # multiples of 8: v/8 is an integer, so expected pixels avoid
+        # the .5 rounding boundary the float IDCT can land either side of
+        vals = [int(v) * 8 for v in rng.randint(-112, 113, size=3)]
+        blocks = []
+        for v in vals:
+            b = [0] * 64
+            b[0] = v
+            blocks.append(b)
+        data = build_jpeg(24, 8, [(1, 1, 1)], {1: blocks},
+                          restart_interval=1)
+        px = decode_jpeg_pixels(data)
+        assert px is not None, (trial, vals)
+        for i, v in enumerate(vals):
+            want = int(np.clip(round(v / 8 + 128), 0, 255))
+            assert (px[:, 8 * i : 8 * i + 8, 0] == want).all(), (trial, i)

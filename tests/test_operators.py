@@ -931,3 +931,52 @@ def test_extract_entities_lists(spark):
     assert out[1]["ipv4_list"] == "10.0.0.1"
     assert out[1]["entity_total"] == 3
     assert out[2]["email_list"] == "" and out[2]["entity_total"] == 0
+
+
+def test_asof_join_null_payload_value_not_skipped(spark):
+    """Regression: per-column last(ignorenulls) skipped a genuinely
+    NULL right value and carried an OLDER row's payload, mixing fields
+    across right rows. The struct carry keeps row integrity."""
+    from datetime import datetime as dt
+
+    from vrl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, dt(2024, 1, 3))], ["eid", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1), "v5"), (10, dt(2024, 1, 2), None)],
+        ["k", "vts", "ver"],
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts",
+                    right_ts="vts").collect()[0]
+    assert row["matched_ts"] == dt(2024, 1, 2)
+    assert row["ver"] is None  # the matched row's (null) value, not v5
+
+
+def test_url_normalize_non_url_with_hash_unchanged(spark):
+    from vrl_spark.operators import urltools
+
+    df = spark.createDataFrame(
+        [(1, "not-a-url #anchor"), (2, "plain")], ["i", "u"]
+    )
+    out = {r["i"]: r["c"] for r in df.select(
+        "i", urltools.url_normalize(F.col("u")).alias("c")).collect()}
+    assert out[1] == "not-a-url #anchor"  # fragment NOT stripped
+    assert out[2] == "plain"
+
+
+def test_pii_empty_filters_rejected(spark):
+    from vrl_spark.operators import pii
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pii.pii_scrub(df, filters=[])
+    with pytest.raises(ValueError):
+        pii.extract_entities(df, filters=[])
+
+
+def test_hits_zero_iterations_rejected(spark):
+    from vrl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits(edges, iterations=0)

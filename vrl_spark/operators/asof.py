@@ -74,16 +74,22 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    m_ts = F.last(
-        F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
-    ).over(w)
-    carried = [
-        F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload
-    ]
+    # carry the matched right ROW as one struct: a right row is
+    # non-null as a whole even when a payload FIELD is legitimately
+    # NULL, so last(ignorenulls) skips interleaved left rows without
+    # also skipping null payload values (which per-column carry would,
+    # silently mixing fields from different right rows)
+    r_row = F.when(
+        F.col("_is_left") == 0,
+        F.struct(F.col("_ts").alias("_mts"),
+                 *[F.col(c).alias(c) for c in payload]),
+    )
+    carried = F.last(r_row, ignorenulls=True).over(w)
     out = (
         l2.unionByName(r2)
         .select(*on, "_ts", "_is_left", *left_extra,
-                m_ts.alias("matched_ts"), *carried)
+                carried.getField("_mts").alias("matched_ts"),
+                *[carried.getField(c).alias(c) for c in payload])
         .where(F.col("_is_left") == 1)
     )
     if tolerance_sec is not None:

@@ -22,6 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_edge_sized_shuffle(edges, src_col, dst_col, loop_fn) -> DataFrame:
+    """Shared iterative-loop harness: persist the normalized edge
+    list, size shuffle partitions to IT (not the session's
+    corpus-sized setting), run the loop, restore the conf."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    n_edges = e.count()
+    parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return loop_fn(e)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        e.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -38,19 +57,9 @@ def pagerank(
     be deduped by the caller if they are not intended as weights
     (each copy contributes).
     """
-    spark = edges.sparkSession
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
-    n_edges = e.count()
-    parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        return _pr_loop(e, damping, iterations)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        e.unpersist()
+    return _with_edge_sized_shuffle(
+        edges, src_col, dst_col, lambda e: _pr_loop(e, damping, iterations)
+    )
 
 
 def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
@@ -112,19 +121,11 @@ def hits(
     equi-join+groupBy steps per iteration, localCheckpoint per round,
     one driver scalar per normalization.
     """
-    spark = edges.sparkSession
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
-    n_edges = e.count()
-    parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        return _hits_loop(e, iterations)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        e.unpersist()
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    return _with_edge_sized_shuffle(
+        edges, src_col, dst_col, lambda e: _hits_loop(e, iterations)
+    )
 
 
 def _hits_loop(e: DataFrame, iterations: int) -> DataFrame:

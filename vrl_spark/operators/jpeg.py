@@ -114,9 +114,20 @@ class _BitReader:
         return v
 
     def align_to_marker(self):
-        """Drop partial byte + consume an RST marker (after DRI)."""
+        """Drop partial byte + consume an RST marker (after DRI).
+
+        The reader may have buffered the interval's final data bytes
+        without ever peeking the marker (fill stops at 24+ bits), so
+        when no marker was observed, peek directly at the stream."""
         self.acc = 0
         self.nbits = 0
+        if (
+            self.marker is None
+            and self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.marker = self.data[self.pos + 1]
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2
             self.marker = None

@@ -64,6 +64,8 @@ DEFAULT_TOKENS: dict[str, str] = {
 
 def _resolve(filters: list[str] | None) -> list[str]:
     names = list(filters) if filters is not None else list(PII_PATTERNS)
+    if not names:
+        raise ValueError("filters must be non-empty (or None for all)")
     unknown = [n for n in names if n not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII filters {unknown!r}; have {list(PII_PATTERNS)}")

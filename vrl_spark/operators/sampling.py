@@ -30,10 +30,7 @@ def hash_split(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0, got {total}")
     # 32-bit bucket in [0, 1): conv of 8 hex chars / 2^32
-    frac = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("double") / F.lit(float(2**32))
+    frac = _hash_frac(col, salt)
     expr = None
     acc = 0.0
     names = list(weights)

@@ -48,10 +48,15 @@ def _norm_query(q: Column) -> Column:
 
 def url_normalize(col: Column) -> Column:
     """Canonical URL per the module contract. A value with no
-    ``scheme://`` prefix is returned unchanged (not a fetchable URL —
-    nothing to canonicalize)."""
-    nofrag = bind(F.regexp_replace(col, "#.*$", ""), lambda u: _rebuild(u))
-    return nofrag
+    ``scheme://`` prefix is returned unchanged — including its
+    fragment (not a fetchable URL; nothing to canonicalize)."""
+    def outer(orig: Column) -> Column:
+        built = bind(F.regexp_replace(orig, "#.*$", ""), _rebuild)
+        return F.when(
+            orig.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), built
+        ).otherwise(orig)
+
+    return bind(col, outer)
 
 
 def _rebuild(u: Column) -> Column:
@@ -82,9 +87,8 @@ def _rebuild(u: Column) -> Column:
             F.when(qn == "", "").otherwise(F.concat(F.lit("?"), qn)),
         )
 
-    built = bind(scheme, lambda s: bind(hostport, lambda hp: bind(
+    return bind(scheme, lambda s: bind(hostport, lambda hp: bind(
         path, lambda pth: bind(query, lambda q: build(s, hp, pth, q)))))
-    return F.when(u.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), built).otherwise(u)
 
 
 def url_dedup(
