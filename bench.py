@@ -67,68 +67,57 @@ def steal_probe() -> float:
 # pipeline_aggregate 9.1 s recorded vs 1.17 s clean in the same hour).
 # Used to (a) flag a suspicious measurement for re-run and (b) emit
 # the per-query delta table the record keeps.
+# Merged r4 registry vehicles carry the SUM of their parts' r3
+# judge-clean refs (+ ~0.3 s where the vehicle adds a doc_id join);
+# single queries carry the r3 judge-clean re-measure where the judge
+# published one, else the best prior clean-window value.
 PREV_ROUND_REF = {
     "pipeline_aggregate": 1.17,
     "pipeline_routed_rows": 1.40,
     "pipeline_route_counts": 0.51,
     "pipeline_host_rollup_salted": 0.24,
     "pipeline_via_builder": 0.16,
-    "dataset_split": 0.16,
-    "dataset_pack": 1.07,
     "dedup_exact": 0.18,
     "events_sessionize": 0.46,
     "events_windowed": 0.36,
     "similarity_topk": 1.23,
-    "text_lang_id": 0.16,
-    "text_repetition": 2.5,
-    "text_decontaminate": 2.0,
-    "text_rolling_fingerprint": 0.46,
-    "text_stats": 1.24,
-    "vrl_coercions": 0.12,
-    "vrl_collections": 0.30,
-    "vrl_ddquery": 0.10,
-    "vrl_encode_json": 0.08,
-    "vrl_enrichment_range": 1.20,
-    "vrl_formats": 1.75,
-    "vrl_hashes_codecs": 0.08,
-    "vrl_math_ip": 1.37,
-    "vrl_parse_etld": 0.44,
-    "vrl_parse_json": 0.40,
+    "vrl_coercions_json": 0.52,          # vrl_coercions + vrl_parse_json
+    "vrl_parse_url_etld": 1.55,          # vrl_parse_url + vrl_parse_etld
+    "vrl_syslog_suite": 0.65,            # vrl_parse_syslog + vrl_syslog
+    "vrl_math_ip_enrich": 1.86,          # vrl_math_ip + vrl_enrichment_range
+    "vrl_strings_collections": 0.38,     # vrl_strings + vrl_collections
+    "vrl_hashes_encode": 0.16,           # vrl_hashes_codecs + vrl_encode_json
+    "vrl_breadth": 3.55,                 # formats + presets_vendor + ddquery
+    "text_stats_langid": 1.40,           # text_stats + text_lang_id
+    "text_pii_entities": 0.77,           # text_pii_scrub + text_extract_entities
+    "text_bm25_nll": 1.70,               # text_bm25 + text_unigram_nll + join
+    "text_repetition_fingerprint": 3.26, # text_repetition + rolling + join
+    "text_gopher_decontaminate": 3.37,   # gopher_rules + decontaminate + join
+    "dataset_split_pack": 1.53,          # dataset_split + dataset_pack + join
+    "graph_link_analysis": 7.85,         # graph_pagerank + graph_hits
     "vrl_parse_kv_timestamp": 0.29,
-    "vrl_parse_syslog": 0.58,
-    "vrl_parse_url": 1.05,
     "vrl_parse_user_agent": 0.22,
-    "vrl_presets_vendor": 1.70,
-    "vrl_strings": 0.08,
-    "vrl_syslog": 0.07,
-    "vrl_crypto_codecs": 4.73,
-    "similarity_lsh_ann": 0.49,
+    "vrl_crypto_codecs": 5.48,
+    "similarity_lsh_ann": 1.70,
     "dedup_ngram_jaccard": 1.36,
-    "dedup_minhash_lsh": 3.42,
+    "dedup_minhash_lsh": 4.08,
     "dedup_minhash_engine": 1.51,
-    "dedup_simhash": 1.65,
-    "dedup_clusters": 6.42,
-    "dataset_curation": 12.0,
-    "dedup_embedding_cosine": 2.98,
-    "text_pii_scrub": 0.51,
+    "dedup_simhash": 1.70,
+    "dedup_clusters": 6.26,
+    "dataset_curation": 11.79,
+    "dedup_embedding_cosine": 3.09,
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
     "events_asof": 0.76,
     "text_line_dedup": 1.37,
-    "text_gopher_rules": 1.07,
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
-    "text_bm25": 0.65,
-    "text_unigram_nll": 0.76,
     "text_domain_stats": 0.43,
-    "graph_pagerank": 4.4,
     "dataset_weighted_sample": 0.28,
-    "graph_hits": 5.2,
     "events_funnel": 0.43,
     "text_profile_stats": 0.25,
     "pipeline_log_templates": 0.33,
     "events_error_anomalies": 0.5,
-    "text_extract_entities": 0.26,
 }
 
 
@@ -230,7 +219,7 @@ def main() -> None:
     # alone vs 13-30 s measured right after vrl_crypto_codecs).
     headline = ["pipeline_aggregate", "pipeline_routed_rows", "pipeline_route_counts"]
     heavy = [
-        "vrl_formats", "vrl_presets_vendor",
+        "vrl_breadth",
         "vrl_crypto_codecs", "similarity_lsh_ann", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_minhash_engine", "dedup_simhash",
         "dedup_clusters", "dataset_curation",
@@ -298,10 +287,57 @@ def main() -> None:
         "probe_clean_max_sec": round(probe_clean_max, 3),
         "remeasured": {n: a for n, a in attempts.items() if a > 1},
         "steal_flagged": flagged,  # dirty even after re-measure attempts
-        "delta_vs_prev_clean": deltas,  # ratio vs judge-clean r02 times
+        "delta_vs_prev_clean": deltas,  # ratio vs judge-clean refs
         **amp_stats,
     }
-    print(json.dumps(out))
+
+    # The FULL record goes to a committed file: round 3's single-line
+    # stdout record outgrew the driver's tail-capture buffer and the
+    # committed BENCH_r03.json was truncated mid-JSON. The stdout line
+    # (the LAST line printed) keeps the driver contract — metric /
+    # value / unit / per-query seconds / sf — and points at the file
+    # carrying deltas, probe details, and re-measure counts.
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        rnd = os.environ.get("BENCH_ROUND")
+        if rnd is None:
+            import glob as _glob
+            import re as _re
+
+            seen = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(
+                    os.path.dirname(bench_dir), "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = f"{max(seen, default=0) + 1:02d}"
+        full_path = os.path.join(bench_dir, f"r{rnd}_full.json")
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        full_rel = os.path.relpath(full_path, os.path.dirname(bench_dir))
+    except Exception as e:  # record-keeping failure shouldn't kill bench
+        print(f"# bench full-record error: {e}", file=sys.stderr)
+        full_rel = None
+
+    short = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "docs": n_docs,
+        "docs_per_sec": out["docs_per_sec"],
+        "gb_per_sec": out["gb_per_sec"],
+        "cores": out["cores"],
+        "probe_floor_sec": out["probe_floor_sec"],
+        "steal_flagged": flagged,
+        "full_record": full_rel,
+        **{k: amp_stats[k] for k in ("amplified_docs_per_sec",) if k in amp_stats},
+    }
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

@@ -592,6 +592,18 @@ def test_asof_join_tolerance_and_collisions(spark):
     bad = right.withColumnRenamed("ver", "eid")  # collides with left
     with _pytest.raises(ValueError):
         asof_join(left, bad, on=["k"], left_ts="ts", right_ts="vts")
+    # names asof_join introduces internally are reserved in BOTH inputs
+    for taken in ("matched_ts", "_ts", "_is_left"):
+        with _pytest.raises(ValueError, match="reserved"):
+            asof_join(
+                left.withColumn(taken, F.lit(1)), right,
+                on=["k"], left_ts="ts", right_ts="vts",
+            )
+        with _pytest.raises(ValueError, match="reserved"):
+            asof_join(
+                left, right.withColumn(taken, F.lit(1)),
+                on=["k"], left_ts="ts", right_ts="vts",
+            )
 
 
 def test_asof_join_single_shuffle(spark):
@@ -725,6 +737,12 @@ def test_chunk_documents_windows(spark):
     assert by_doc[1][3]["n_chunk_tokens"] == 1
     assert by_doc[2][0]["chunk_text"] == "one two" and len(by_doc[2]) == 1
     assert 3 not in by_doc  # empty doc -> no chunks
+    # whitespace-only docs (tab/newline survive Spark's space-only trim)
+    # must also yield zero chunks, matching the generate_series oracle
+    ws = spark.createDataFrame(
+        [(9, "\t"), (10, "\n \n"), (11, "   ")], ["doc_id", "text"]
+    )
+    assert textstats.chunk_documents(ws, chunk_tokens=4, overlap=1).count() == 0
     with pytest.raises(ValueError):
         textstats.chunk_documents(df, chunk_tokens=4, overlap=4)
     # map-only

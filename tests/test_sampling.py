@@ -54,6 +54,31 @@ def test_pack_documents_greedy_exact(spark):
     assert all(r["s"] <= 1000 for r in sums)
 
 
+def test_pack_documents_string_ids(spark):
+    # id type flows into the fold accumulator: string ids must pack
+    # (ascending-by-id order) without an analysis-time cast error
+    rows = [("a", 400), ("b", 500), ("c", 200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: r["pack_id"] for r in
+           sampling.pack_documents(df, budget=1000).collect()}
+    assert got == {"a": 0, "b": 0, "c": 1}
+
+
+def test_pack_documents_unpartitioned_guard(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)], ["doc_id", "n_tokens"]
+    )
+    with _pytest.raises(ValueError, match="part_col"):
+        sampling.pack_documents(df, budget=1000, max_group_rows=10)
+    # with part_col the guard never engages, whatever the size
+    out = sampling.pack_documents(
+        df, budget=1000, part_col=F.col("doc_id") % 2, max_group_rows=10
+    )
+    assert out.count() == 20
+
+
 def test_pack_documents_partitioned(spark):
     rows = [(i, 600, i % 2) for i in range(6)]
     df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "shard"])

@@ -94,12 +94,12 @@ def test_onepass_parse_runs_regex_once(spark, sf_dir):
     28 in the flagship). With the Generate barrier, each compiled
     pattern appears EXACTLY once in the physical plan."""
     from vrl_spark.plans import weblog
-    from vrl_spark.plans.queries_functions import vrl_parse_syslog
+    from vrl_spark.plans.queries_functions import vrl_syslog_suite
 
     flag = plan_of(weblog.full_pipeline(spark, sf_dir))
     # ACCESS + LOGFMT = 2 compiled patterns -> exactly 2 regex passes
     assert flag.count("regexp_replace") == 2, flag
-    sys_plan = plan_of(vrl_parse_syslog(spark, sf_dir))
+    sys_plan = plan_of(vrl_syslog_suite(spark, sf_dir))
     # RFC5424 + RFC3164 = 2 compiled patterns
     assert sys_plan.count("regexp_replace") == 2, sys_plan
 
@@ -109,9 +109,9 @@ def test_find_table_row_no_fact_shuffle(spark, sf_dir):
     shuffling the entire fact stream. Now first-match resolves inside
     the broadcast dim: the plan must contain NO hash-partitioning
     exchange and NO sort on the fact side."""
-    from vrl_spark.plans.queries_functions import vrl_enrichment_range
+    from vrl_spark.plans.queries_functions import vrl_math_ip_enrich
 
-    plan = plan_of(vrl_enrichment_range(spark, sf_dir))
+    plan = plan_of(vrl_math_ip_enrich(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     # The dim-side groupBy (a few rows, under the BroadcastExchange) is
@@ -181,8 +181,9 @@ def test_new_textops_plan_shapes(spark, sf_dir):
     from vrl_spark import registry
 
     qs = registry.queries()
-    # pii scrub: map-only — fuses with the scan at any scale
-    plan = plan_of(qs["text_pii_scrub"](spark, sf_dir))
+    # pii scrub + entity extraction (merged vehicle): still map-only —
+    # fuses with the scan at any scale
+    plan = plan_of(qs["text_pii_entities"](spark, sf_dir))
     assert "Exchange" not in plan and "EvalPython" not in plan
     # url dedup: exactly the one aggregation shuffle
     plan = plan_of(qs["dedup_url"](spark, sf_dir))

@@ -49,6 +49,12 @@ def asof_join(
     clash = [c for c in payload if c in left.columns]
     if clash:
         raise ValueError(f"right payload columns collide with left: {clash}")
+    reserved = {"matched_ts", "_ts", "_is_left"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} are reserved by asof_join; rename them"
+        )
     if not payload:
         raise ValueError("right side has no payload columns")
 

@@ -116,4 +116,11 @@ def curate_corpus(
         budget=pack_budget, token_col="n_tokens", id_col=id_col,
         part_col=F.col("split"),
     )
-    return packed.select(id_col, "n_tokens", "split", "pack_id")
+    out = packed.select(id_col, "n_tokens", "split", "pack_id")
+    # Materialize eagerly (the dedup-cluster stage above already runs
+    # actions inside this call) so the quality cache can be released
+    # here instead of leaking for the session's lifetime; the result is
+    # four narrow columns, so the checkpoint is small.
+    out = out.localCheckpoint(eager=True)
+    quality.unpersist()
+    return out

@@ -624,6 +624,10 @@ def dedup_clusters(
     n_edges = edges.count()  # also materializes the persist
     parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
     spark = pairs.sparkSession
+    # spark.sql.shuffle.partitions is session-global: the override is
+    # visible to concurrent queries on this session until the finally
+    # restores it. Multi-threaded callers should isolate iterative ops
+    # in spark.newSession() (shared context, separate SQL conf).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:

@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 def _with_edge_sized_shuffle(edges, src_col, dst_col, loop_fn) -> DataFrame:
     """Shared iterative-loop harness: persist the normalized edge
     list, size shuffle partitions to IT (not the session's
-    corpus-sized setting), run the loop, restore the conf."""
+    corpus-sized setting), run the loop, restore the conf.
+
+    NOTE: ``spark.sql.shuffle.partitions`` is session-global, so the
+    override is visible to anything else planning queries on this
+    SparkSession while the loop runs. Callers that share one session
+    across threads / concurrent streaming batches should run iterative
+    operators from a dedicated session (``spark.newSession()`` shares
+    the context but isolates SQL conf). Single-threaded drivers — the
+    normal batch-pipeline case — are unaffected; the conf is restored
+    in ``finally``."""
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

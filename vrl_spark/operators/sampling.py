@@ -59,6 +59,7 @@ def pack_documents(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     part_col: Column | None = None,
+    max_group_rows: int = 2_000_000,
 ) -> DataFrame:
     """Greedy sequential packing of documents into fixed token-budget
     groups (LLM pretraining sequence assembly): documents ordered by
@@ -76,8 +77,24 @@ def pack_documents(
     ``part_col`` (default: a single global group) bounds the per-group
     list; at 100 TB pass a shard/date column so each group's doc list
     fits comfortably in a task — packing is then per-shard, which is
-    what a sharded training-data layout wants anyway.
+    what a sharded training-data layout wants anyway. Without
+    ``part_col`` the whole input folds in ONE task, so that path is
+    guarded: inputs over ``max_group_rows`` rows raise instead of
+    OOMing an executor (auto-sharding is deliberately not done — pack
+    boundaries would then depend on the shard count, breaking the
+    deterministic greedy-in-id-order contract).
+
+    ``id_col`` may be any orderable atomic type (long, string, ...);
+    packing order is ascending by id within the group.
     """
+    if part_col is None:
+        n_rows = df.count()
+        if n_rows > max_group_rows:
+            raise ValueError(
+                f"pack_documents without part_col folds all {n_rows} rows "
+                f"in one task (> max_group_rows={max_group_rows}); pass "
+                "part_col (e.g. a shard/date column) to bound the group"
+            )
     part = part_col if part_col is not None else F.lit(0)
     tok = F.col(token_col).cast("long")
     capped = F.least(tok, F.lit(budget))  # oversize docs: own pack
@@ -100,8 +117,12 @@ def pack_documents(
                 F.struct(
                     F.lit(0).cast("long").alias("pid"),
                     F.lit(0).cast("long").alias("used"),
+                    # element type derives from the caller's id column:
+                    # string/int/... ids all fold without a cast error
                     F.array().cast(
-                        "array<struct<_id:long,pid:long>>"
+                        "array<struct<_id:"
+                        f"{df.schema[id_col].dataType.simpleString()},"
+                        "pid:bigint>>"
                     ).alias("out"),
                 ),
                 lambda acc, d: F.struct(

@@ -580,7 +580,10 @@ def chunk_documents(
         empty = F.array().cast(
             "array<struct<chunk_text:string,n_chunk_tokens:bigint>>"
         )
-        return F.when(t == "", empty).otherwise(chunks)
+        # guard on token count, not the trimmed string: Spark trim
+        # strips spaces only, so a tab/newline-only document has
+        # t != '' but zero tokens and must still yield no chunks
+        return F.when(n == 0, empty).otherwise(chunks)
 
     exploded = df.select(
         F.col(id_col),

@@ -25,8 +25,7 @@ from vrl_spark.registry import register
 # vrl_formats: xml / yaml / ruby-hash / cbor -> canonical JSON strings
 # ---------------------------------------------------------------------
 
-_FORMATS_ORACLE = """
-SELECT doc_id,
+_FORMATS_COLS_SQL = """
   '{"log": {"@id": "' || doc_id || '", "level": "' ||
     CASE doc_id % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn' ELSE 'error' END ||
     '", "msg": "m-' || doc_id || '"}}' AS xml_json,
@@ -36,15 +35,12 @@ SELECT doc_id,
     || (doc_id % 5 + 200) || ', "user": "u' || doc_id || '"}' AS ruby_json,
   CASE WHEN doc_id % 2 = 0 THEN '{"a":1,"b":[true,null],"s":"hi"}'
        ELSE '[1,"x",false]' END AS cbor_json
-FROM documents
 """
 
 
-@register("vrl_formats", _FORMATS_ORACLE)
-def vrl_formats(spark, sf_dir):
+def _formats_cols():
     from vrl_spark.functions import formats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     ds = d.cast("string")
     lvl = F.element_at(
@@ -69,21 +65,19 @@ def vrl_formats(spark, sf_dir):
     cbor_in = F.when(
         d % 2 == 0, F.unhex(F.lit("a3616101616282f5f66173626869"))
     ).otherwise(F.unhex(F.lit("83016178f4")))
-    return docs.select(
-        "doc_id",
+    return [
         formats.parse_xml(xml_in).alias("xml_json"),
         formats.parse_yaml(yaml_in).alias("yaml_json"),
         formats.parse_ruby_hash(ruby_in).alias("ruby_json"),
         formats.parse_cbor(cbor_in).alias("cbor_json"),
-    )
+    ]
 
 
 # ---------------------------------------------------------------------
 # vrl_presets_vendor: apache / nginx / cef / alb / vpc / glog / influx
 # ---------------------------------------------------------------------
 
-_VENDOR_ORACLE = """
-SELECT doc_id,
+_VENDOR_COLS_SQL = """
   '10.0.' || (doc_id % 250) || '.7' AS apache_ip,
   CAST(200 + doc_id % 5 AS VARCHAR) AS apache_status,
   CAST(doc_id AS VARCHAR) AS apache_bytes,
@@ -110,15 +104,12 @@ SELECT doc_id,
   'cpu' AS influx_measurement,
   'h' || (doc_id % 20) AS influx_host,
   CAST(1556813561098000000 + doc_id AS BIGINT) AS influx_ts
-FROM documents
 """
 
 
-@register("vrl_presets_vendor", _VENDOR_ORACLE)
-def vrl_presets_vendor(spark, sf_dir):
+def _vendor_cols():
     from vrl_spark.functions import presets
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     ds = d.cast("string")
 
@@ -184,8 +175,7 @@ def vrl_presets_vendor(spark, sf_dir):
     vpc = presets.parse_aws_vpc_flow_log(vpc_line)
     glog = presets.parse_glog(glog_line)
     influx = presets.parse_influxdb(influx_line)
-    return docs.select(
-        "doc_id",
+    return [
         apache.getField("client_ip").alias("apache_ip"),
         apache.getField("status").alias("apache_status"),
         apache.getField("bytes").alias("apache_bytes"),
@@ -211,15 +201,14 @@ def vrl_presets_vendor(spark, sf_dir):
         influx.getField("measurement").alias("influx_measurement"),
         F.element_at(influx.getField("tags"), "host").alias("influx_host"),
         influx.getField("timestamp").alias("influx_ts"),
-    )
+    ]
 
 
 # ---------------------------------------------------------------------
 # vrl_ddquery: match_datadog_query predicate compiler, per-row verdicts
 # ---------------------------------------------------------------------
 
-_DDQUERY_ORACLE = """
-SELECT doc_id,
+_DDQUERY_COLS_SQL = """
   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS m_term,
   CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END AS m_wild,
   CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS m_phrase,
@@ -230,15 +219,12 @@ SELECT doc_id,
   CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END AS m_namewild,
   CASE WHEN doc_id % 3 IN (0, 2) AND doc_id % 2 = 0 THEN 1 ELSE 0 END AS m_bool,
   CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS m_not
-FROM documents
 """
 
 
-@register("vrl_ddquery", _DDQUERY_ORACLE)
-def vrl_ddquery(spark, sf_dir):
+def _ddquery_cols():
     from vrl_spark.functions.ddquery import match_datadog_query as mdq
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     ds = d.cast("string")
     message = F.concat(
@@ -272,8 +258,7 @@ def vrl_ddquery(spark, sf_dir):
     def b(q, **kw):
         return mdq(q, **kw).cast("long")
 
-    return docs.select(
-        "doc_id",
+    return [
         b("error", message=message).alias("m_term"),
         b("host-1*", message=message).alias("m_wild"),
         b('"slow response"', message=message).alias("m_phrase"),
@@ -284,4 +269,32 @@ def vrl_ddquery(spark, sf_dir):
         b("@name:svc-1*", attrs=attrs).alias("m_namewild"),
         b("(error OR warning) AND env:prod", message=message, tags=tags).alias("m_bool"),
         b("NOT error", message=message).alias("m_not"),
+    ]
+
+
+# ---------------------------------------------------------------------
+# the single registered breadth query: all three families in ONE
+# map-only select over documents (merged r3 queries vrl_formats +
+# vrl_presets_vendor + vrl_ddquery — the driver's correctness check
+# covers at most 50 registry entries, so the breadth families share a
+# vehicle; every function still runs and every capture is still
+# value-checked)
+# ---------------------------------------------------------------------
+
+_BREADTH_ORACLE = (
+    "SELECT doc_id, "
+    + _FORMATS_COLS_SQL.strip().rstrip(",")
+    + ", "
+    + _VENDOR_COLS_SQL.strip().rstrip(",")
+    + ", "
+    + _DDQUERY_COLS_SQL.strip().rstrip(",")
+    + " FROM documents"
+)
+
+
+@register("vrl_breadth", _BREADTH_ORACLE)
+def vrl_breadth(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", *_formats_cols(), *_vendor_cols(), *_ddquery_cols()
     )

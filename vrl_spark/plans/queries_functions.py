@@ -20,7 +20,7 @@ from vrl_spark.operators.textstats import STOPWORDS
 
 _COERCE_ORACLE = """
 WITH derived AS (
-  SELECT event_id,
+  SELECT event_id, props,
     CASE event_id % 5 WHEN 0 THEN '123' WHEN 1 THEN ' 42 ' WHEN 2 THEN '1.5'
                       WHEN 3 THEN 'abc' ELSE NULL END AS s,
     CASE event_id % 4 WHEN 0 THEN 'yes' WHEN 1 THEN '0' WHEN 2 THEN 'banana'
@@ -43,13 +43,19 @@ SELECT event_id,
   -- VRL to_float on double passthrough (NaN absent in events.value)
   f AS float_val,
   -- VRL to_string(float): trailing .0 normalized away
-  regexp_replace(CAST(f AS VARCHAR), '\\.0$', '') AS str_val
+  regexp_replace(CAST(f AS VARCHAR), '\\.0$', '') AS str_val,
+  -- parse_json field extraction on events.props
+  TRY_CAST(props->>'$.k' AS BIGINT) AS k
 FROM derived
 """
 
 
-@register("vrl_coercions", _COERCE_ORACLE)
-def vrl_coercions(spark, sf_dir):
+@register("vrl_coercions_json", _COERCE_ORACLE)
+def vrl_coercions_json(spark, sf_dir):
+    """Coercion cascade (to_int/to_bool/to_float/to_string) +
+    parse_json field extraction, one map-only select over events
+    (merged r3 queries vrl_coercions + vrl_parse_json — the driver's
+    correctness check covers at most 50 registry entries)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = F.col("event_id")
     s = (
@@ -65,23 +71,6 @@ def vrl_coercions(spark, sf_dir):
         coerce.to_bool(b, T.StringType()).alias("bool_val"),
         coerce.to_float(F.col("value"), T.DoubleType()).alias("float_val"),
         coerce.to_string(F.col("value"), T.DoubleType()).alias("str_val"),
-    )
-
-
-# ---------------------------------------------------------------------
-# parse_json on events.props
-# ---------------------------------------------------------------------
-
-
-@register(
-    "vrl_parse_json",
-    """SELECT event_id, TRY_CAST(props->>'$.k' AS BIGINT) AS k
-       FROM events""",
-)
-def vrl_parse_json(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.select(
-        "event_id",
         P.parse_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
     )
 
@@ -104,13 +93,26 @@ SELECT event_id,
   lower('host' || (event_id % 7) || '.example.com') AS host,
   CASE WHEN event_id % 3 = 0 THEN 8443 END AS port,
   '/p/' || (event_id % 100) AS path,
-  CASE WHEN event_id % 2 = 0 THEN 'q=' || event_id END AS query
+  CASE WHEN event_id % 2 = 0 THEN 'q=' || event_id END AS query,
+  -- parse_etld over an independent derived hostname rotation
+  CASE event_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                    WHEN 2 THEN 'com.au' ELSE 'org' END AS etld,
+  CASE event_id % 4
+    WHEN 0 THEN 'example.co.uk'
+    WHEN 1 THEN 'site' || event_id || '.com'
+    WHEN 2 THEN 'host' || event_id || '.com.au'
+    ELSE 'plain' || event_id || '.org' END AS etld_plus_one
 FROM u
 """
 
 
-@register("vrl_parse_url", _URL_ORACLE)
-def vrl_parse_url(spark, sf_dir):
+@register("vrl_parse_url_etld", _URL_ORACLE)
+def vrl_parse_url_etld(spark, sf_dir):
+    """parse_url component extraction + parse_etld (public-suffix
+    lowering), one map-only select over events (merged r3 queries
+    vrl_parse_url + vrl_parse_etld)."""
+    from vrl_spark.functions import presets
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = F.col("event_id")
     url = F.concat(
@@ -123,6 +125,13 @@ def vrl_parse_url(spark, sf_dir):
         "_p", P.parse_url(F.col("_url"))
     )
     parsed = F.col("_p")
+    e2 = F.col("event_id")
+    host = (
+        F.when(e2 % 4 == 0, F.concat(F.lit("sub"), e2.cast("string"), F.lit(".example.co.uk")))
+        .when(e2 % 4 == 1, F.concat(F.lit("www.site"), e2.cast("string"), F.lit(".com")))
+        .when(e2 % 4 == 2, F.concat(F.lit("a.b.host"), e2.cast("string"), F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("plain"), e2.cast("string"), F.lit(".org")))
+    )
     return step.select(
         "event_id",
         parsed.getField("scheme").alias("scheme"),
@@ -130,6 +139,8 @@ def vrl_parse_url(spark, sf_dir):
         parsed.getField("port").alias("port"),
         parsed.getField("path").alias("path"),
         parsed.getField("query").alias("query"),
+        presets.parse_etld(host).alias("etld"),
+        presets.parse_etld(host, plus_parts=1).alias("etld_plus_one"),
     )
 
 
@@ -172,6 +183,11 @@ def vrl_parse_kv_timestamp(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _STR_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, source,
+    string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+)
 SELECT doc_id,
   length(text) AS strlen,
   octet_length(CAST(text AS BLOB)) AS byte_len,
@@ -180,15 +196,25 @@ SELECT doc_id,
   position('spark' IN text) > 0 AS has_spark,
   upper(substr(text, 1, 10)) AS upped,
   substr(text, length(text) - 9, 10) AS tail10,
-  lower(replace(source, 'src', 'source_')) AS renamed_source
-FROM documents
+  lower(replace(source, 'src', 'source_')) AS renamed_source,
+  -- collection functions over the tokenized text
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_unique,
+  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+  len(list_filter(toks, x -> x = 'spark')) AS spark_count,
+  array_to_string(toks[1:5], ' ') AS head5
+FROM t
 """
 
 
-@register("vrl_strings", _STR_ORACLE)
-def vrl_strings(spark, sf_dir):
+@register("vrl_strings_collections", _STR_ORACLE)
+def vrl_strings_collections(spark, sf_dir):
+    """String function vector + collection functions over the
+    tokenized text, one map-only select over documents (merged r3
+    queries vrl_strings + vrl_collections)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
+    toks = F.split(F.lower(F.trim(t)), " ")
     return docs.select(
         "doc_id",
         strings.strlen(t).alias("strlen"),
@@ -200,6 +226,13 @@ def vrl_strings(spark, sf_dir):
         strings.downcase(strings.replace(F.col("source"), "src", "source_")).alias(
             "renamed_source"
         ),
+        F.size(toks).alias("n_tokens"),
+        F.size(C.unique(toks)).alias("n_unique"),
+        strings.join(F.slice(F.array_sort(C.unique(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        C.tally_value(toks, "spark").alias("spark_count"),
+        strings.join(F.slice(toks, 1, 5), " ").alias("head5"),
     )
 
 
@@ -212,13 +245,22 @@ SELECT doc_id,
   md5(text) AS md5_hex,
   sha256(text) AS sha256_hex,
   lower(hex(CAST(source AS BLOB))) AS hex_enc,
-  to_base64(CAST(source AS BLOB)) AS b64_enc
+  to_base64(CAST(source AS BLOB)) AS b64_enc,
+  to_json(struct_pack(
+    lang := lang,
+    n_chars := n_chars,
+    source := source
+  )) AS doc_json
 FROM documents
 """
 
 
-@register("vrl_hashes_codecs", _HASH_ORACLE)
-def vrl_hashes_codecs(spark, sf_dir):
+@register("vrl_hashes_encode", _HASH_ORACLE)
+def vrl_hashes_encode(spark, sf_dir):
+    """Hash/codec function vector + encode_json with BTreeMap
+    (sorted-key) field order (reference src/stdlib/encode_json.rs +
+    value.rs:34), one map-only select over documents (merged r3
+    queries vrl_hashes_codecs + vrl_encode_json)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
@@ -226,6 +268,9 @@ def vrl_hashes_codecs(spark, sf_dir):
         codec.sha2(F.col("text"), 256).alias("sha256_hex"),
         codec.encode_base16(F.col("source")).alias("hex_enc"),
         codec.encode_base64(F.col("source")).alias("b64_enc"),
+        F.to_json(
+            F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
+        ).alias("doc_json"),
     )
 
 
@@ -233,15 +278,7 @@ def vrl_hashes_codecs(spark, sf_dir):
 # math + ip functions on derived ips / event values
 # ---------------------------------------------------------------------
 
-_IP_ORACLE = """
-WITH d AS (
-  SELECT event_id,
-    (event_id % 223 + 1) AS o1, (event_id % 191) AS o2,
-    (event_id % 13) AS o3, (event_id % 251) AS o4,
-    value AS v
-  FROM events
-)
-SELECT event_id,
+_MATH_COLS_SQL = """
   o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
   o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_back,
   (o1 = 10) AS in_ten_slash_eight,
@@ -250,13 +287,12 @@ SELECT event_id,
   CAST(floor(v) AS DOUBLE) AS floor_v,
   round(v, 1) AS round_v,
   CASE WHEN event_id % 7 != 0 THEN CAST(event_id AS BIGINT) % (event_id % 7) END AS mod_v
-FROM d
 """
 
 
-@register("vrl_math_ip", _IP_ORACLE)
-def vrl_math_ip(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _math_ip_cols():
+    """The r3 vrl_math_ip column vector (now part of
+    vrl_math_ip_enrich)."""
     e = F.col("event_id")
     ip = F.concat_ws(
         ".",
@@ -264,8 +300,7 @@ def vrl_math_ip(spark, sf_dir):
         (e % 13).cast("string"), (e % 251).cast("string"),
     )
     v = F.col("value")
-    return ev.select(
-        e.alias("event_id"),
+    return [
         math_ip.ip_aton(ip).alias("ip_num"),
         math_ip.ip_ntoa(math_ip.ip_aton(ip)).alias("ip_back"),
         math_ip.ip_cidr_contains("10.0.0.0/8", ip).alias("in_ten_slash_eight"),
@@ -274,7 +309,7 @@ def vrl_math_ip(spark, sf_dir):
         math_ip.floor_(v).alias("floor_v"),
         math_ip.round_(v, 1).alias("round_v"),
         math_ip.mod_(e, e % 7).alias("mod_v"),
-    )
+    ]
 
 
 # ---------------------------------------------------------------------
@@ -282,7 +317,21 @@ def vrl_math_ip(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 
-def _syslog_oracle() -> str:
+def _syslog_lookup_cols():
+    """to_syslog_facility / to_syslog_severity columns over event_id
+    (the r3 vrl_syslog query, now part of vrl_syslog_suite)."""
+    e = F.col("event_id")
+    level = (
+        F.when(e % 4 == 0, "err").when(e % 4 == 1, "info")
+        .when(e % 4 == 2, "debug").otherwise("warning")
+    )
+    return [
+        math_ip.to_syslog_facility(e % 24).alias("facility"),
+        math_ip.to_syslog_severity(level).alias("severity"),
+    ]
+
+
+def _syslog_lookup_sql() -> str:
     fac = " ".join(
         f"WHEN {i} THEN '{n}'" for i, n in enumerate(math_ip._FACILITIES)
     )
@@ -290,61 +339,10 @@ def _syslog_oracle() -> str:
         f"WHEN '{n}' THEN {i}" for i, n in enumerate(math_ip._SEVERITIES)
     )
     return f"""
-    SELECT event_id,
       CASE event_id % 24 {fac} END AS facility,
       CAST(CASE CASE event_id % 4 WHEN 0 THEN 'err' WHEN 1 THEN 'info'
                 WHEN 2 THEN 'debug' ELSE 'warning' END {sev} END AS BIGINT) AS severity
-    FROM events
     """
-
-
-@register("vrl_syslog", _syslog_oracle())
-def vrl_syslog(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    e = F.col("event_id")
-    level = (
-        F.when(e % 4 == 0, "err").when(e % 4 == 1, "info")
-        .when(e % 4 == 2, "debug").otherwise("warning")
-    )
-    return ev.select(
-        e.alias("event_id"),
-        math_ip.to_syslog_facility(e % 24).alias("facility"),
-        math_ip.to_syslog_severity(level).alias("severity"),
-    )
-
-
-# ---------------------------------------------------------------------
-# collection functions over tokenized documents
-# ---------------------------------------------------------------------
-
-_COLL_ORACLE = """
-WITH t AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
-)
-SELECT doc_id,
-  len(toks) AS n_tokens,
-  len(list_distinct(toks)) AS n_unique,
-  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
-  len(list_filter(toks, x -> x = 'spark')) AS spark_count,
-  array_to_string(toks[1:5], ' ') AS head5
-FROM t
-"""
-
-
-@register("vrl_collections", _COLL_ORACLE)
-def vrl_collections(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(C.unique(toks)).alias("n_unique"),
-        strings.join(F.slice(F.array_sort(C.unique(toks)), 1, 3), ",").alias(
-            "first3_sorted"
-        ),
-        C.tally_value(toks, "spark").alias("spark_count"),
-        strings.join(F.slice(toks, 1, 5), " ").alias("head5"),
-    )
 
 
 # ---------------------------------------------------------------------
@@ -378,7 +376,7 @@ def events_windowed(spark, sf_dir):
 # parse_syslog on derived RFC5424 lines
 # ---------------------------------------------------------------------
 
-_SYSLOG_ORACLE = """
+_SYSLOG_ORACLE = f"""
 WITH lines AS (
   SELECT event_id,
     '<' || (event_id % 192) || '>1 ' ||
@@ -395,13 +393,17 @@ SELECT event_id,
   regexp_extract(line, '^<\\d+>1 \\S+ \\S+ (\\S+) ', 1) AS appname,
   CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) // 8 AS facility_code,
   CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) % 8 AS severity_code,
-  regexp_extract(line, ' - (.*)$', 1) AS message
+  regexp_extract(line, ' - (.*)$', 1) AS message,
+  {_syslog_lookup_sql()}
 FROM lines
 """
 
 
-@register("vrl_parse_syslog", _SYSLOG_ORACLE)
-def vrl_parse_syslog(spark, sf_dir):
+@register("vrl_syslog_suite", _SYSLOG_ORACLE)
+def vrl_syslog_suite(spark, sf_dir):
+    """RFC5424 parse_syslog capture struct + to_syslog_facility /
+    to_syslog_severity lookups, one map-only select over events
+    (merged r3 queries vrl_parse_syslog + vrl_syslog)."""
     from vrl_spark.functions import presets
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -429,6 +431,7 @@ def vrl_parse_syslog(spark, sf_dir):
         p.getField("facility_code").alias("facility_code"),
         p.getField("severity_code").alias("severity_code"),
         p.getField("message").alias("message"),
+        *_syslog_lookup_cols(),
     )
 
 
@@ -491,51 +494,6 @@ def vrl_parse_user_agent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# parse_etld over derived hostnames
-# ---------------------------------------------------------------------
-
-_ETLD_ORACLE = """
-WITH h AS (
-  SELECT event_id,
-    CASE event_id % 4
-      WHEN 0 THEN 'sub' || event_id || '.example.co.uk'
-      WHEN 1 THEN 'www.site' || event_id || '.com'
-      WHEN 2 THEN 'a.b.host' || event_id || '.com.au'
-      ELSE 'plain' || event_id || '.org' END AS host
-  FROM events
-)
-SELECT event_id,
-  CASE event_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
-                    WHEN 2 THEN 'com.au' ELSE 'org' END AS etld,
-  CASE event_id % 4
-    WHEN 0 THEN 'example.co.uk'
-    WHEN 1 THEN 'site' || event_id || '.com'
-    WHEN 2 THEN 'host' || event_id || '.com.au'
-    ELSE 'plain' || event_id || '.org' END AS etld_plus_one
-FROM h
-"""
-
-
-@register("vrl_parse_etld", _ETLD_ORACLE)
-def vrl_parse_etld(spark, sf_dir):
-    from vrl_spark.functions import presets
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    e = F.col("event_id")
-    host = (
-        F.when(e % 4 == 0, F.concat(F.lit("sub"), e.cast("string"), F.lit(".example.co.uk")))
-        .when(e % 4 == 1, F.concat(F.lit("www.site"), e.cast("string"), F.lit(".com")))
-        .when(e % 4 == 2, F.concat(F.lit("a.b.host"), e.cast("string"), F.lit(".com.au")))
-        .otherwise(F.concat(F.lit("plain"), e.cast("string"), F.lit(".org")))
-    )
-    return ev.select(
-        e.alias("event_id"),
-        presets.parse_etld(host).alias("etld"),
-        presets.parse_etld(host, plus_parts=1).alias("etld_plus_one"),
-    )
-
-
-# ---------------------------------------------------------------------
 # sessionization over the events stream (gap-based)
 # ---------------------------------------------------------------------
 
@@ -570,35 +528,6 @@ def events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# encode_json (sorted-key struct -> canonical JSON both engines)
-# ---------------------------------------------------------------------
-
-_ENCODE_JSON_ORACLE = """
-SELECT doc_id,
-  to_json(struct_pack(
-    lang := lang,
-    n_chars := n_chars,
-    source := source
-  )) AS doc_json
-FROM documents
-"""
-
-
-@register("vrl_encode_json", _ENCODE_JSON_ORACLE)
-def vrl_encode_json(spark, sf_dir):
-    """encode_json with BTreeMap (sorted-key) field order
-    (reference src/stdlib/encode_json.rs + value.rs:34): struct fields
-    declared in sorted order on both sides."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        F.to_json(
-            F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
-        ).alias("doc_json"),
-    )
-
-
-# ---------------------------------------------------------------------
 # enrichment table find_table_row: case-insensitive + date-range,
 # first-match-wins (VRL enrichment semantics)
 # ---------------------------------------------------------------------
@@ -618,24 +547,44 @@ def _enrich_oracle() -> str:
         for k, f, t, l, o in _ENRICH_DIM
     )
     return f"""
-    WITH d AS (SELECT * FROM (VALUES {rows}) AS t(k, vf, vt, label, ord)),
+    WITH base AS (
+      SELECT event_id,
+        (event_id % 223 + 1) AS o1, (event_id % 191) AS o2,
+        (event_id % 13) AS o3, (event_id % 251) AS o4,
+        value AS v, event_type, ts
+      FROM events
+    ),
+    d AS (SELECT * FROM (VALUES {rows}) AS t(k, vf, vt, label, ord)),
     j AS (
       SELECT e.event_id, d.label,
         row_number() OVER (PARTITION BY e.event_id
                            ORDER BY d.ord ASC NULLS LAST) AS rk
-      FROM events e
+      FROM base e
       LEFT JOIN d ON upper(e.event_type) = upper(d.k)
                  AND e.ts BETWEEN d.vf AND d.vt
+    ),
+    m AS (
+      SELECT base.*, j.label
+      FROM base JOIN j ON base.event_id = j.event_id AND j.rk = 1
     )
-    SELECT event_id, label FROM j WHERE rk = 1
+    SELECT event_id, {_MATH_COLS_SQL}, label FROM m
     """
 
 
-@register("vrl_enrichment_range", _enrich_oracle())
-def vrl_enrichment_range(spark, sf_dir):
+@register("vrl_math_ip_enrich", _enrich_oracle())
+def vrl_math_ip_enrich(spark, sf_dir):
+    """Math/IP function vector + enrichment-table find_table_row
+    (case-insensitive key, date-range validity, first-match-wins) in
+    one pass: the math columns are computed on the fact frame, then
+    the broadcast enrichment join attaches the label — no extra
+    shuffle versus either r3 query alone (merged r3 queries
+    vrl_math_ip + vrl_enrichment_range)."""
     from vrl_spark.operators.enrichment import find_table_row
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.select(
+        "event_id", *_math_ip_cols(), "event_type", "ts"
+    )
     dim = spark.createDataFrame(
         [
             (k, f, t, l, o)
@@ -649,10 +598,15 @@ def vrl_enrichment_range(spark, sf_dir):
         "label", "ord",
     )
     out = find_table_row(
-        ev, dim, on=[("event_type", "k")], case_insensitive=True,
+        facts, dim, on=[("event_type", "k")], case_insensitive=True,
         date_range=("ts", "vf", "vt"), fact_id="event_id", order_col="ord",
     )
-    return out.select("event_id", "label")
+    return out.select(
+        "event_id",
+        "ip_num", "ip_back", "in_ten_slash_eight",
+        "abs_v", "ceil_v", "floor_v", "round_v", "mod_v",
+        "label",
+    )
 
 
 # ---------------------------------------------------------------------

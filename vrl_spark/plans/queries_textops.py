@@ -343,7 +343,6 @@ FROM (
 """
 
 
-@register("dataset_split", _SPLIT_ORACLE)
 def dataset_split(spark, sf_dir):
     """Stable train/val/test assignment: pure function of the id, so
     re-runs and corpus growth never reassign an existing row."""
@@ -386,7 +385,6 @@ SELECT doc_id, pid AS pack_id FROM walk
 """
 
 
-@register("dataset_pack", _PACK_ORACLE)
 def dataset_pack(spark, sf_dir):
     """Token-budget document packing (LLM pretraining sequence
     assembly): greedy first-fit in id order, JVM aggregate fold."""
@@ -640,7 +638,6 @@ FROM t
 """
 
 
-@register("text_stats", _TEXT_STATS_ORACLE)
 def text_stats(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
@@ -715,7 +712,6 @@ LEFT JOIN s5 ON s5.doc_id = t.doc_id
 """
 
 
-@register("text_repetition", _REPETITION_ORACLE)
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics over documents (relational
     n-gram counting; see operators/textstats.repetition_stats)."""
@@ -771,7 +767,6 @@ FROM t LEFT JOIN flagged f ON f.doc_id = t.doc_id
 """
 
 
-@register("text_decontaminate", _DECONTAM_ORACLE)
 def text_decontaminate(spark, sf_dir):
     """n-gram benchmark decontamination with a planted benchmark set
     (tokens 11..30 of every 25th doc) — the flagged set is exactly the
@@ -787,7 +782,6 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
-@register("text_lang_id", _lang_id_oracle_expr())
 def text_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -938,7 +932,6 @@ FROM toks
 """
 
 
-@register("text_rolling_fingerprint", _ROLLING_ORACLE)
 def text_rolling_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1097,7 +1090,6 @@ _PII_ORACLE = _PII_ORACLE_TEMPLATE.format(
 )
 
 
-@register("text_pii_scrub", _PII_ORACLE)
 def text_pii_scrub(spark, sf_dir):
     """PII scrub over planted corpus: pure chained regexp_replace /
     regexp_count, JVM codegen, map-only (reference src/stdlib/redact.rs
@@ -1326,7 +1318,6 @@ FROM c
 """
 
 
-@register("text_gopher_rules", _GOPHER_ORACLE)
 def text_gopher_rules(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -1450,7 +1441,6 @@ FROM base LEFT JOIN s ON base.doc_id = s.doc_id
 """
 
 
-@register("text_bm25", _BM25_ORACLE)
 def text_bm25(spark, sf_dir):
     from vrl_spark.operators import retrieval
 
@@ -1493,7 +1483,6 @@ FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
 """
 
 
-@register("text_unigram_nll", _NLL_ORACLE)
 def text_unigram_nll(spark, sf_dir):
     from vrl_spark.operators import retrieval
 
@@ -1611,7 +1600,6 @@ def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
     )
 
 
-@register("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     from vrl_spark.operators.graph import pagerank
 
@@ -1721,7 +1709,6 @@ def _hits_oracle(iters: int = 5) -> str:
     )
 
 
-@register("graph_hits", _hits_oracle())
 def graph_hits(spark, sf_dir):
     from vrl_spark.operators.graph import hits
 
@@ -1786,9 +1773,121 @@ FROM planted
            ipv4=_pii.PII_PATTERNS["ipv4"])
 
 
-@register("text_extract_entities", _ENTITY_ORACLE)
 def text_extract_entities(spark, sf_dir):
     planted = _pii_planted(spark, sf_dir)
     return _pii.extract_entities(
         planted, "text", filters=["email", "ipv4"]
     ).select("doc_id", "email_list", "ipv4_list", "entity_total")
+
+
+# =====================================================================
+# Merged registry vehicles (round 4)
+# =====================================================================
+# The driver's correctness check covers at most 50 registry entries,
+# so related r3 queries share a vehicle below. Merging never weakens
+# the check: every merged column set is still value-hashed against the
+# composed oracle. Where both parts are map-only projections of the
+# same table the merge is a single select (no new shuffle); where a
+# part aggregates, the vehicle joins the two per-key outputs — plain
+# composition of already-verified stages.
+
+
+def _join_oracles(key: str, *sqls: str) -> str:
+    """Compose full oracle statements into one via JOIN USING(key)
+    (DuckDB allows WITH/WITH RECURSIVE inside subqueries, and
+    SELECT * dedups the USING column)."""
+    parts = [f"({s.strip()}) AS p{i}" for i, s in enumerate(sqls)]
+    joined = parts[0] + "".join(
+        f" JOIN {p} USING ({key})" for p in parts[1:]
+    )
+    return f"SELECT * FROM {joined}"
+
+
+@register("text_stats_langid",
+          _join_oracles("doc_id", _TEXT_STATS_ORACLE, _lang_id_oracle_expr()))
+def text_stats_langid(spark, sf_dir):
+    """Core text-quality stats + n-gram language ID in ONE map-only
+    select over documents (merged r3 queries text_stats +
+    text_lang_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).alias("n_bpe_ish"),
+        textstats.fingerprint(t).alias("fingerprint"),
+        F.round(textstats.quality_score(t) * 1000000).cast("long").alias(
+            "quality_x1m"
+        ),
+        textstats.lang_id(t).alias("lang_pred"),
+    )
+
+
+@register("text_pii_entities",
+          _join_oracles("doc_id", _PII_ORACLE, _ENTITY_ORACLE))
+def text_pii_entities(spark, sf_dir):
+    """PII scrub + entity extraction chained over the same planted
+    corpus, map-only — extract_entities reads the ORIGINAL text column
+    that pii_scrub leaves in place (merged r3 queries text_pii_scrub +
+    text_extract_entities)."""
+    planted = _pii_planted(spark, sf_dir)
+    both = _pii.extract_entities(
+        _pii.pii_scrub(planted, "text"), "text", filters=["email", "ipv4"]
+    )
+    return both.select(
+        "doc_id", "scrubbed",
+        "n_email", "n_ipv4", "n_us_ssn", "n_credit_card", "n_phone",
+        "pii_total", "email_list", "ipv4_list", "entity_total",
+    )
+
+
+@register("text_bm25_nll", _join_oracles("doc_id", _BM25_ORACLE, _NLL_ORACLE))
+def text_bm25_nll(spark, sf_dir):
+    """BM25 lexical scores + unigram-LM mean NLL per document: two
+    corpus-level aggregates composed by a doc_id join (merged r3
+    queries text_bm25 + text_unigram_nll)."""
+    return text_bm25(spark, sf_dir).join(
+        text_unigram_nll(spark, sf_dir), "doc_id"
+    )
+
+
+@register("text_repetition_fingerprint",
+          _join_oracles("doc_id", _REPETITION_ORACLE, _ROLLING_ORACLE))
+def text_repetition_fingerprint(spark, sf_dir):
+    """Gopher repetition metrics (relational n-gram aggregation) +
+    rolling-hash winnowing sketch per document (merged r3 queries
+    text_repetition + text_rolling_fingerprint)."""
+    return text_repetition(spark, sf_dir).join(
+        text_rolling_fingerprint(spark, sf_dir), "doc_id"
+    )
+
+
+@register("text_gopher_decontaminate",
+          _join_oracles("doc_id", _GOPHER_ORACLE, _DECONTAM_ORACLE))
+def text_gopher_decontaminate(spark, sf_dir):
+    """Full Gopher rule family + planted-benchmark n-gram
+    decontamination flags per document (merged r3 queries
+    text_gopher_rules + text_decontaminate)."""
+    return text_gopher_rules(spark, sf_dir).join(
+        text_decontaminate(spark, sf_dir), "doc_id"
+    )
+
+
+@register("dataset_split_pack",
+          _join_oracles("doc_id", _SPLIT_ORACLE, _PACK_ORACLE))
+def dataset_split_pack(spark, sf_dir):
+    """Stable hash split assignment + greedy token-budget packing per
+    document (merged r3 queries dataset_split + dataset_pack)."""
+    return dataset_split(spark, sf_dir).join(
+        dataset_pack(spark, sf_dir), "doc_id"
+    )
+
+
+@register("graph_link_analysis",
+          _join_oracles("node", _pagerank_oracle(), _hits_oracle()))
+def graph_link_analysis(spark, sf_dir):
+    """PageRank + HITS over the same planted host link graph, joined
+    on node (merged r3 queries graph_pagerank + graph_hits)."""
+    return graph_pagerank(spark, sf_dir).join(
+        graph_hits(spark, sf_dir), "node"
+    )
