@@ -354,17 +354,36 @@ def test_simhash_batched_equals_column_paths(spark):
 
 
 def test_dedup_clusters_long_chain_converges_logarithmically(spark):
-    """A 200-node path graph (worst-case diameter) must resolve within
-    max_iterations=12: pointer jumping gives O(log d) rounds, not
-    O(d) — plain neighbor propagation would need ~200."""
-    pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(1000, 1200)], ["id_a", "id_b"]
+    """A 1000-node path graph (worst-case diameter) mixed with a
+    100-leaf star and singletons must resolve with O(log d) rounds:
+    pointer jumping halves remaining path lengths each round, so the
+    diameter-999 chain converges in ~12 rounds where plain neighbor
+    propagation would need ~999 (and would return WRONG labels under
+    any reasonable max_iterations cap)."""
+    chain = [(i, i + 1) for i in range(1000, 1999)]          # path, d=999
+    star = [(5000, 5000 + j) for j in range(1, 101)]         # star, d=2
+    pairs = spark.createDataFrame(chain + star, ["id_a", "id_b"])
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1000, 2000)]
+        + [(5000 + j,) for j in range(101)]
+        + [(9001,), (9002,)],                                # singletons
+        ["doc_id"],
     )
-    out = dedup.dedup_clusters(pairs, max_iterations=12).collect()
-    assert len(out) == 201
-    assert all(r["cluster_id"] == 1000 for r in out)
-    keeps = [r["doc_id"] for r in out if r["keep"]]
-    assert keeps == [1000]
+    stats: dict = {}
+    out = dedup.dedup_clusters(
+        pairs, ids=ids, max_iterations=20, stats=stats
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert len(out) == 1000 + 101 + 2
+    assert all(by[i]["cluster_id"] == 1000 for i in range(1000, 2000))
+    assert all(by[5000 + j]["cluster_id"] == 5000 for j in range(101))
+    assert by[9001]["keep"] and by[9001]["cluster_id"] == 9001
+    keeps = sorted(r["doc_id"] for r in out if r["keep"])
+    assert keeps == [1000, 5000, 9001, 9002]
+    # O(log d): ceil(log2(999)) = 10; allow slack for the propagate/
+    # jump interleave + the final no-change round, but stay far from
+    # the O(d) regime
+    assert 1 < stats["iterations"] <= 14, stats
 
 
 def test_repetition_stats_planted(spark):
@@ -778,6 +797,70 @@ def test_bm25_scores_semantics(spark):
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
 
 
+def test_tfidf_doc_vectors_hand_computed(spark):
+    import math
+
+    from vrl_spark.operators import retrieval
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry durian durian durian"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["terms"] for r in
+           retrieval.tfidf_doc_vectors(df, top_k=2).collect()}
+    # N=4 (whitespace-only doc counts toward N), df: apple 1, banana 2,
+    # cherry 2, durian 1
+    ln4, ln2 = math.log(4.0), math.log(2.0)
+    w_apple, w_banana = 2 * ln4, ln2
+    nrm1 = math.sqrt(w_apple ** 2 + w_banana ** 2)
+    assert [t["term"] for t in out[1]] == ["apple", "banana"]
+    assert abs(out[1][0]["weight"] - w_apple / nrm1) < 1e-9
+    assert abs(out[1][1]["weight"] - w_banana / nrm1) < 1e-9
+    # doc 2: equal weights (both ln2) -> term-asc tiebreak
+    assert [t["term"] for t in out[2]] == ["banana", "cherry"]
+    assert abs(out[2][0]["weight"] - 1 / math.sqrt(2)) < 1e-9
+    # top_k truncation: doc 3 has 2 terms, durian (3*ln4) dominates
+    assert [t["term"] for t in out[3]] == ["durian", "cherry"]
+    # empty doc -> present with empty vector
+    assert out[4] == []
+    # L2 normalization: every vector has unit norm
+    for terms in (out[1], out[2]):
+        assert abs(sum(t["weight"] ** 2 for t in terms) - 1.0) < 1e-9
+    plan = retrieval.tfidf_doc_vectors(df)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_query_scores_cosine(spark):
+    import math
+
+    from vrl_spark.operators import retrieval
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry durian durian durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           retrieval.tfidf_query_scores(df, ["APPLE", "cherry"]).collect()}
+    ln3 = math.log(3.0)
+    ln15 = math.log(1.5)
+    # query idfs from matched corpus terms: apple ln3, cherry ln1.5
+    qn = math.sqrt(ln3 ** 2 + ln15 ** 2)
+    w_apple, w_banana = 2 * ln3, ln15
+    hat_apple = w_apple / math.sqrt(w_apple ** 2 + w_banana ** 2)
+    assert abs(out[1] - hat_apple * ln3 / qn) < 1e-9
+    hat_cherry2 = ln15 / math.sqrt(2 * ln15 ** 2)
+    assert abs(out[2] - hat_cherry2 * ln15 / qn) < 1e-9
+    assert out[3] > 0  # cherry matches
+    with pytest.raises(ValueError):
+        retrieval.tfidf_query_scores(df, [])
+
+
 def test_unigram_nll_rare_tokens_score_higher(spark):
     import math
 
@@ -852,6 +935,30 @@ def test_hits_star_graph(spark):
     for n in (1, 2, 3):
         assert abs(out[n]["hub"] - 1 / 3) < 1e-12
         assert out[n]["authority"] == 0.0
+
+
+def test_graph_loops_are_collect_free(spark, monkeypatch):
+    """Per-iteration scalars (dangling mass, L1 totals) ride as 1-row
+    broadcasts inside each round's checkpoint job — neither loop may
+    call DataFrame.collect (the setup count()s are allowed)."""
+    from pyspark.sql import DataFrame
+
+    from vrl_spark.operators.graph import hits, pagerank
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], ["src", "dst"]
+    )
+    pagerank(edges, iterations=4)
+    hits(edges, iterations=4)
+    assert calls["n"] == 0, f"{calls['n']} driver collects inside the loops"
 
 
 def test_funnel_ordered_subsequence(spark):

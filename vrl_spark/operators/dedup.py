@@ -578,6 +578,7 @@ def dedup_clusters(
     ids: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iterations: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup PAIRS -> (id, cluster_id, keep): the decision stage
     that turns any of the pair-producing operators (minhash / simhash /
@@ -631,13 +632,14 @@ def dedup_clusters(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        return _cc_loop(edges, ids, id_col, max_iterations)
+        return _cc_loop(edges, ids, id_col, max_iterations, stats)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _cc_loop(
-    edges: DataFrame, ids: DataFrame | None, id_col: str, max_iterations: int
+    edges: DataFrame, ids: DataFrame | None, id_col: str,
+    max_iterations: int, stats: dict | None = None,
 ) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -645,7 +647,9 @@ def _cc_loop(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # 1) neighbor-min: pull the min label across the edge
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -683,6 +687,8 @@ def _cc_loop(
         labels = new.select("id", "label")
         if not changed:
             break
+    if stats is not None:
+        stats["iterations"] = rounds
     edges.unpersist()
     out = labels.select(
         F.col("id").alias(id_col),

@@ -10,8 +10,10 @@ DataFrame-loop discipline established by dedup.dedup_clusters:
 - ranks are localCheckpoint-ed per iteration (lineage would otherwise
   grow exponentially; on a real cluster use checkpoint() to reliable
   storage)
-- the dangling-mass term is ONE driver scalar per iteration (same
-  footprint as dedup_clusters' convergence count)
+- per-iteration scalars (PageRank's dangling mass, HITS' L1 totals)
+  are folded INTO the plan as 1-row broadcast crossJoins — zero
+  driver collects inside the loops; the only per-round action is the
+  localCheckpoint materialization itself
 - shuffle partitions are sized to the edge list, not the session's
   corpus-sized setting
 """
@@ -84,11 +86,13 @@ def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
     ).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
+        # dangling mass as a 1-row broadcast, not a driver collect:
+        # the scalar folds into the SAME job the checkpoint runs, so
+        # each round is exactly one action and the agg subplan never
+        # executes twice
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -99,12 +103,13 @@ def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1.0 - d) / n)
                     + d * (F.coalesce(F.col("inflow"), F.lit(0.0))
-                           + F.lit(dangling / n))
+                           + F.col("_dang") / n)
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -127,8 +132,9 @@ def hits(
         hub'(v)       = sum over v->u of authority'(u)  (then / L1 sum)
 
     Same loop discipline as pagerank: edge-sized shuffles, two
-    equi-join+groupBy steps per iteration, localCheckpoint per round,
-    one driver scalar per normalization.
+    equi-join+groupBy steps per iteration, localCheckpoint per round;
+    each L1 normalization total rides as a 1-row broadcast crossJoin
+    inside the round's single action — no driver collects.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -146,9 +152,16 @@ def _hits_loop(e: DataFrame, iterations: int) -> DataFrame:
     )
 
     def normalized(scores: DataFrame, col: str) -> DataFrame:
-        total = scores.agg(F.sum(col)).collect()[0][0] or 1.0
-        return scores.select(
-            "node", (F.col(col) / F.lit(total)).alias(col)
+        # L1 total as a 1-row broadcast folded into the checkpoint's
+        # job (zero-sum/empty guard keeps the division defined, as the
+        # old driver-side `or 1.0` did)
+        total = scores.agg(
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("_l1")
+        ).select(
+            F.when(F.col("_l1") == 0.0, 1.0).otherwise(F.col("_l1")).alias("_l1")
+        )
+        return scores.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_l1")).alias(col)
         ).localCheckpoint()
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))

@@ -84,6 +84,144 @@ def bm25_scores(
     )
 
 
+def _tfidf_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, term, idf, w, w_hat): per-(doc, term) tf-idf weights with
+    idf = ln(N/df), w = tf*idf, and w_hat the L2-normalized weight
+    within the document.
+
+    Scale shape: one explode, one (id, term) count, one term-keyed
+    document-frequency aggregation joined back on the term key (both
+    sides partitioned by it — the vocab table shuffles, never
+    broadcasts), one groupBy(id) for the norms. N rides as a 1-row
+    broadcast. No Python, no collects.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term",
+            F.log(F.col("n_docs") / F.col("df")).alias("idf"),
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
+    )
+    return w.join(norms, id_col).select(
+        id_col, "term", "idf", "w",
+        (F.col("w") / F.nullif(F.col("_norm"), F.lit(0.0))).alias("w_hat"),
+    )
+
+
+def tfidf_doc_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """L2-normalized sparse tf-idf document vectors: (id, terms) with
+    ``terms`` an array<struct<term, weight>> of the document's top_k
+    terms, ordered by weight desc then term asc. Zero-idf terms (in
+    every document) are dropped; documents left with no terms get an
+    empty array.
+
+    ``quantize`` (e.g. 1_000_000) ranks by round(w_hat*quantize)
+    instead of the raw double — cross-engine-deterministic top-k for
+    oracle comparison; production callers can leave it None.
+
+    Scale shape: _tfidf_weights' relational pipeline + one per-doc
+    window limited to top_k (WindowGroupLimit pushes the limit below
+    the sort) + one groupBy(id) assembly.
+    """
+    from pyspark.sql import Window
+
+    hat = _tfidf_weights(df, text_col, id_col).where(F.col("w") > 0)
+    key = (
+        F.round(F.col("w_hat") * quantize) if quantize is not None
+        else F.col("w_hat")
+    )
+    ranked = hat.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(key.desc(), F.col("term"))
+        ),
+    ).where(F.col("_rk") <= top_k)
+    vecs = ranked.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_rk", "term", F.col("w_hat").alias("weight")))
+            ),
+            lambda s: F.struct(
+                s.getField("term").alias("term"),
+                s.getField("weight").alias("weight"),
+            ),
+        ).alias("terms")
+    )
+    empty = F.array().cast("array<struct<term:string,weight:double>>")
+    return (
+        df.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(id_col, F.coalesce("terms", empty).alias("terms"))
+    )
+
+
+def tfidf_query_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score): cosine between each document's L2-normalized
+    tf-idf vector and the query's (tf=1 per term, idf-weighted,
+    L2-normalized) — the sparse-retrieval dual of
+    similarity.brute_force_topk.
+
+    Scale shape: the weighted relation is filtered to the query terms
+    BEFORE the scoring join, so the scored relation is O(matches); the
+    query-side idf table and its norm are tiny 1-row/`len(terms)`-row
+    broadcasts.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    hat = _tfidf_weights(df, text_col, id_col).where(F.col("w") > 0)
+    matched = hat.where(F.col("term").isin(terms)).select(
+        id_col, "term", "idf", "w_hat"
+    )
+    qidf = matched.select("term", "idf").distinct()
+    qnorm = qidf.agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("_qn")
+    )
+    scored = (
+        matched.crossJoin(F.broadcast(qnorm))
+        .select(
+            id_col,
+            (F.col("w_hat") * F.col("idf") / F.nullif(F.col("_qn"), F.lit(0.0)))
+            .alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     text_col: str = "text",

@@ -1891,3 +1891,107 @@ def graph_link_analysis(spark, sf_dir):
     return graph_pagerank(spark, sf_dir).join(
         graph_hits(spark, sf_dir), "node"
     )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF document vectors + sparse cosine retrieval
+# ---------------------------------------------------------------------
+# Both halves of retrieval's tf-idf family in one vehicle: the per-doc
+# top-5 L2-normalized vector (rendered "term:weight_x1m ..." ordered
+# by quantized weight desc, term asc — the same deterministic rank the
+# operator uses) and the cosine score against a fixed query. The
+# oracle recomputes idf = ln(N/df), w_hat = tf*idf / l2norm, the
+# ranked top-k string, and the query cosine from first principles.
+
+_TFIDF_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x != '') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, u.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM base, UNNEST(w) AS u(term)
+  GROUP BY doc_id, u.term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM base),
+wts AS (
+  SELECT tf.doc_id, tf.term,
+    ln(nd.n_docs / dfreq.df) AS idf,
+    tf.tf * ln(nd.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+pos AS (SELECT * FROM wts WHERE w > 0),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM pos GROUP BY doc_id),
+hat AS (
+  SELECT p.doc_id, p.term, p.idf, p.w / n.nrm AS w_hat
+  FROM pos p JOIN norms n USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, term, w_hat,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY ROUND(w_hat * 1000000) DESC, term) AS rk
+  FROM hat
+),
+tops AS (
+  SELECT doc_id,
+    string_agg(
+      term || ':' ||
+        CAST(CAST(ROUND(w_hat * 1000000) AS BIGINT) AS VARCHAR),
+      ' ' ORDER BY rk) AS top_terms
+  FROM ranked WHERE rk <= 5 GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id, term, idf, w_hat FROM hat
+  WHERE list_contains({_BM25_TERMS!r}, term)
+),
+qn AS (
+  SELECT sqrt(SUM(idf * idf)) AS qn
+  FROM (SELECT DISTINCT term, idf FROM q)
+),
+sc AS (
+  SELECT q.doc_id, SUM(q.w_hat * q.idf / qn.qn) AS score
+  FROM q CROSS JOIN qn GROUP BY q.doc_id
+)
+SELECT b.doc_id,
+  COALESCE(t.top_terms, '') AS top_terms,
+  CAST(ROUND(COALESCE(sc.score, 0.0) * 1000000) AS BIGINT) AS qscore_x1m
+FROM base b
+LEFT JOIN tops t USING (doc_id)
+LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("text_tfidf", _TFIDF_ORACLE)
+def text_tfidf(spark, sf_dir):
+    """Sparse tf-idf: per-doc top-5 vector (quantized rank, rendered
+    as an ordered string) + cosine score against the fixed BM25 query
+    terms, joined on doc_id."""
+    from vrl_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vecs = retrieval.tfidf_doc_vectors(
+        docs, top_k=5, quantize=1_000_000
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                "terms",
+                lambda s: F.concat(
+                    s.getField("term"), F.lit(":"),
+                    F.round(s.getField("weight") * 1000000)
+                    .cast("long").cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("top_terms"),
+    )
+    scores = retrieval.tfidf_query_scores(docs, _BM25_TERMS).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000).cast("long").alias("qscore_x1m"),
+    )
+    return vecs.join(scores, "doc_id")
