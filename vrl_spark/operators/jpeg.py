@@ -1,10 +1,14 @@
-"""Baseline JPEG raster decoder, stdlib + numpy only.
+"""Baseline + progressive JPEG raster decoder, stdlib + numpy only.
 
-Covers the sequential baseline process (SOF0): 8-bit samples, Huffman
-entropy coding, 1- or 3-component YCbCr, any h/v sampling factors up
-to 2 (4:4:4, 4:2:2, 4:2:0), restart markers, 8- and 16-bit-precision
-quantization tables. Progressive (SOF2), arithmetic coding, and 12-bit
-precision return None — the caller falls back to the metadata path.
+Covers the sequential baseline process (SOF0) and the progressive
+Huffman process (SOF2): 8-bit samples, 1- or 3-component YCbCr, any
+h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0), restart markers,
+8- and 16-bit-precision quantization tables. Progressive scans support
+the full T.81 Annex G feature set: spectral selection (Ss/Se bands),
+successive approximation (Ah/Al bit-plane refinement, DC and AC), EOB
+run lengths, and interleaved DC / non-interleaved AC scan geometry.
+Arithmetic coding, hierarchical (SOF5+), and 12-bit precision return
+None — the caller falls back to the metadata path.
 
 This is a from-scratch implementation of the public ITU-T T.81 spec
 (the reference repo has no JPEG code at all — its media handling stops
@@ -149,12 +153,24 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(data: bytes):
-    """Baseline JPEG -> HxWx3 uint8 RGB array (grayscale replicated),
-    or None for non-JPEG / unsupported flavors."""
+    """Baseline or progressive JPEG -> HxWx3 uint8 RGB array
+    (grayscale replicated), or None for non-JPEG / unsupported
+    flavors."""
     try:
         return _decode(data)
     except Exception:
         return None
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    0xFF00 stuffing and fill bytes; leaves RSTn to the caller)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
 
 
 def _decode(data: bytes):
@@ -167,13 +183,20 @@ def _decode(data: bytes):
     restart_interval = 0
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("progressive") \
+                    and frame.get("coeffs_ready"):
+                return _finish_progressive(frame)
+            return None
+        if pos + 4 > n:
+            return None
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -198,7 +221,7 @@ def _decode(data: bytes):
                 syms = body[i + 17 : i + 17 + total]
                 (huff_ac if cls else huff_dc)[tid] = _Huff(counts, syms)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             bits, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if bits != 8 or nc not in (1, 3):
                 return None
@@ -207,30 +230,41 @@ def _decode(data: bytes):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # extended/arithmetic/hierarchical frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = body[0]
+            scan_ids = []
+            tables = {}
+            for i in range(ns):
+                cid, t = body[1 + 2 * i], body[2 + 2 * i]
+                scan_ids.append(cid)
+                tables[cid] = (t >> 4, t & 0xF)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if frame["progressive"]:
+                pos = _progressive_scan(
+                    data, pos, frame, scan_ids, tables, ss, se, ah, al,
+                    qt, huff_dc, huff_ac, restart_interval,
+                )
+                pos = _next_marker(data, pos)
+                continue
             if ns != len(frame["comps"]):
-                return None  # multi-scan (non-interleaved) not supported
+                return None  # baseline multi-scan not supported
             if ns == 1:
                 # single-component scan is non-interleaved: one data
                 # unit per MCU regardless of declared sampling factors
                 frame["comps"][0]["h"] = frame["comps"][0]["v"] = 1
-            tables = {}
-            for i in range(ns):
-                cid, t = body[1 + 2 * i], body[2 + 2 * i]
-                tables[cid] = (t >> 4, t & 0xF)
             return _scan(data, pos, frame, tables, qt, huff_dc, huff_ac,
                          restart_interval)
-        elif marker == 0xD9:  # EOI before SOS
-            return None
     return None
 
 
@@ -288,7 +322,13 @@ def _scan(data, pos, frame, tables, qt, huff_dc, huff_ac, restart_interval):
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = spatial
             n_mcu += 1
 
-    # upsample to full resolution by replication, crop to (h, w)
+    return _assemble(comps, w, h, hmax, vmax)
+
+
+def _assemble(comps, w, h, hmax, vmax):
+    """Upsample component planes to full resolution by replication,
+    crop to (h, w), convert BT.601 YCbCr -> RGB (grayscale
+    replicated)."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -307,3 +347,198 @@ def _scan(data, pos, frame, tables, qt, huff_dc, huff_ac, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# progressive process (SOF2) — T.81 Annex G decode procedures
+# ---------------------------------------------------------------------
+
+
+def _prog_init(frame, qt):
+    """Allocate per-component quantized-coefficient storage (zigzag
+    order per block) sized to the padded interleaved-MCU grid; record
+    the non-interleaved block geometry each AC scan walks."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int32)
+        # full (non-interleaved) block counts: ceil(comp_px / 8) of
+        # the component's own pixel dimensions
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        c["bw_full"] = -(-cw // 8)
+        c["bh_full"] = -(-ch // 8)
+        c["pred"] = 0
+        c["q"] = qt[c["tq"]]
+    frame["coeffs_ready"] = True
+
+
+def _progressive_scan(data, pos, frame, scan_ids, tables, ss, se, ah, al,
+                      qt, huff_dc, huff_ac, restart_interval):
+    """Decode one progressive scan into the coefficient buffers;
+    returns the stream position where entropy data ended."""
+    if "hmax" not in frame:
+        _prog_init(frame, qt)
+    comps = {c["id"]: c for c in frame["comps"]}
+    scan = [comps[cid] for cid in scan_ids]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        return _prog_dc_scan(data, pos, frame, scan, tables, ah, al,
+                             huff_dc, restart_interval)
+    if len(scan) != 1:
+        raise ValueError("AC scans are single-component")
+    return _prog_ac_scan(data, pos, scan[0], tables, ss, se, ah, al,
+                         huff_ac, restart_interval)
+
+
+def _prog_dc_scan(data, pos, frame, scan, tables, ah, al, huff_dc,
+                  restart_interval):
+    br = _BitReader(data, pos)
+    interleaved = len(scan) > 1
+    for c in scan:
+        c["pred"] = 0
+    if interleaved:
+        units = []  # (comp, by, bx) in MCU order
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append((c, my * c["v"] + by,
+                                          mx * c["h"] + bx))
+        mcu_units = sum(c["h"] * c["v"] for c in scan)
+    else:
+        # non-interleaved DC scan: MCU = one block of this component
+        c = scan[0]
+        units = [(c, by, bx)
+                 for by in range(c["bh_full"])
+                 for bx in range(c["bw_full"])]
+        mcu_units = 1
+    n_mcu = 0
+    for i, (c, by, bx) in enumerate(units):
+        if (restart_interval and i % mcu_units == 0
+                and n_mcu and n_mcu % restart_interval == 0):
+            br.align_to_marker()
+            for cc in scan:
+                cc["pred"] = 0
+        if i % mcu_units == mcu_units - 1:
+            n_mcu += 1
+        if ah == 0:
+            s = br.decode_symbol(huff_dc[tables[c["id"]][0]])
+            diff = _extend(br.bits(s), s) if s else 0
+            c["pred"] += diff
+            c["coef"][by, bx, 0] = c["pred"] << al
+        elif br.bit():
+            c["coef"][by, bx, 0] |= 1 << al
+    return br.pos
+
+
+def _prog_ac_scan(data, pos, c, tables, ss, se, ah, al, huff_ac,
+                  restart_interval):
+    br = _BitReader(data, pos)
+    ac_t = huff_ac[tables[c["id"]][1]]
+    state = {"eobrun": 0}
+    n = 0
+    for by in range(c["bh_full"]):
+        for bx in range(c["bw_full"]):
+            if restart_interval and n and n % restart_interval == 0:
+                br.align_to_marker()
+                state["eobrun"] = 0
+            n += 1
+            coef = c["coef"][by, bx]
+            if ah == 0:
+                _ac_first(br, ac_t, coef, ss, se, al, state)
+            else:
+                _ac_refine(br, ac_t, coef, ss, se, al, state)
+    return br.pos
+
+
+def _ac_first(br, ac_t, coef, ss, se, al, state):
+    """T.81 G.1.2.2: first scan of an AC band (Ah=0)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, ac_t, coef, ss, se, al, state):
+    """T.81 G.1.2.3: successive-approximation refinement of an AC band
+    (Ah = Al+1). History coefficients absorb one correction bit each;
+    newly significant ones arrive as +-1 at bit Al, positioned by runs
+    of zero-history coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish_progressive(frame):
+    """Dequantize + IDCT every component's coefficient grid (batched
+    numpy over all blocks) and assemble the image."""
+    for c in frame["comps"]:
+        deq = c["coef"].astype(np.float64) * c["q"][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[..., _ZIGZAG] = deq
+        bh, bw = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = _M.T @ blocks @ _M + 128.0
+        c["plane"] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble(frame["comps"], frame["w"], frame["h"],
+                     frame["hmax"], frame["vmax"])
