@@ -116,6 +116,50 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(exact_set & approx_set) >= len(exact_set) // 3
 
 
+def test_ivf_assign_nearest_centroid(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.95, 0.05]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        ["centroid_id", "centroid_vec"],
+    )
+    out = {r["vec_id"]: r["list_id"]
+           for r in similarity.ivf_assign(emb, cents).collect()}
+    assert out == {1: 10, 2: 10, 3: 20, 4: 20}
+    # exact tie (45-degree vector): smallest centroid_id wins
+    tied = spark.createDataFrame([(5, [1.0, 1.0])], ["vec_id", "embedding"])
+    out5 = similarity.ivf_assign(tied, cents).collect()[0]
+    assert out5["list_id"] == 10
+
+
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, k=3).collect()
+    approx = similarity.ivf_topk(emb, q, n_lists=8, nprobe=3, k=3).collect()
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in exact}
+    hit = 0
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            hit += 1
+            # within probed lists the scan is EXACT: scores agree
+            assert r["cos_sim"] == pytest.approx(exact_map[key], abs=1e-6)
+    assert hit >= len(exact_map) // 3  # probes must surface true nbrs
+    # nprobe = n_lists degenerates to exhaustive search = brute force
+    full = similarity.ivf_topk(emb, q, n_lists=8, nprobe=8, k=3).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == set(exact_map)
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb, q, n_lists=4, nprobe=5)
+
+
 def test_textstats(spark):
     row = spark.range(1).select(
         textstats.token_count(F.lit("a b  c")).alias("tc"),

@@ -76,6 +76,21 @@ def test_similarity_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ivf_broadcasts_probes_not_corpus(spark, sf_dir):
+    """IVF-Flat: centroids and query probes ride as broadcasts; the
+    corpus-sized relations never do (the probe join must be a
+    BroadcastHashJoin on list_id with the corpus on the streamed
+    side), and nothing falls back to a cartesian product."""
+    from vrl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    plan = plan_of(ivf_topk(emb, q, n_lists=8, nprobe=3, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_whole_stage_codegen_covers_parse(spark, sf_dir):
     """The parse stage must stay inside whole-stage codegen (no
     Python, no interpreted projection)."""

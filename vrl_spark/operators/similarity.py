@@ -191,3 +191,132 @@ def cosine_dedup_pairs(
         F.col("cos"),
     )
     return scored.where(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------
+# IVF-Flat approximate nearest neighbors
+# ---------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled coarse quantizer: the ``n_lists`` corpus
+    vectors with the smallest md5(id) become the centroids
+    (consistent sampling — stable under corpus growth and oracle-
+    replicable; FAISS-style IVF accepts any coarse quantizer, and a
+    uniform sample is the standard no-training baseline).
+
+    Returns (centroid_id, centroid_vec); tiny — always broadcast."""
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(n_lists)
+        .select("centroid_id", "centroid_vec")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list assignment: each corpus vector joins its nearest
+    centroid by cosine (ties -> smallest centroid_id). Adds
+    ``list_id``.
+
+    Scale shape: ONE broadcast join (centroids are tiny) + ONE
+    map-side-combined argmax shuffle keyed by the vector id — this is
+    the index build; at 100 TB the result is written once as a
+    parquet/Iceberg table bucketed by list_id so queries become
+    partition-pruned scans. Cosines are rounded to 1e-6 before the
+    argmax so the assignment (and its tie-breaks) is identical across
+    engines."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
+            .alias("cs"),
+            (-F.col("centroid_id")).alias("neg_id"),
+            F.col("centroid_id").alias("cid"),
+        ).alias("_key"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(F.col(vec_col), F.col("_key")).alias(vec_col),
+            F.max(F.col("_key")).getField("cid").alias("list_id"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine neighbors: corpus vectors are
+    bucketed into ``n_lists`` inverted lists by nearest sampled
+    centroid; each query exactly scans only its ``nprobe`` nearest
+    lists. The complement of lsh_topk's hyperplane buckets — recall
+    tunes via nprobe (probes cost scans of single lists, never corpus
+    passes).
+
+    Scale shape: centroids and query probes both broadcast; the only
+    corpus-sized work is the one-off assignment shuffle (the index
+    build) and per-query scans of nprobe/n_lists of the corpus.
+    Inverted lists are disjoint, so probed candidates need no dedup.
+    Skewed lists (a hot centroid) bound per-task work at
+    corpus/n_lists x skew — raise n_lists with corpus size exactly
+    like LSH band count."""
+    if not 1 <= nprobe <= n_lists:
+        raise ValueError(f"need 1 <= nprobe <= n_lists, got {nprobe}")
+    cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "list_id",
+    )
+    qscored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(F.broadcast(cents)).select(
+        "query_id", "qvec", F.col("centroid_id").alias("list_id"),
+        F.round(cosine(F.col("qvec"), F.col("centroid_vec")), 6).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("list_id")
+    )
+    probes = (
+        qscored.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qvec", "list_id")
+    )
+    joined = assigned.join(F.broadcast(probes), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1995,3 +1995,79 @@ def text_tfidf(spark, sf_dir):
         F.round(F.col("score") * 1000000).cast("long").alias("qscore_x1m"),
     )
     return vecs.join(scores, "doc_id")
+
+
+# ---------------------------------------------------------------------
+# IVF-Flat ANN, oracle-checked end-to-end
+# ---------------------------------------------------------------------
+# The coarse quantizer is deterministic (smallest-md5 sampled
+# centroids), so DuckDB replicates centroid selection, inverted-list
+# assignment (argmax with rounded-cosine tie-breaks), probe ranking,
+# and the final top-k bit-for-bit.
+
+def _ivf_ann_oracle(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    cos = (
+        "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> x[1] * x[2])) / NULLIF("
+        "sqrt(list_sum(list_transform({a}, y -> y * y))) * "
+        "sqrt(list_sum(list_transform({b}, y -> y * y))), 0), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}
+),
+asg AS (
+  SELECT vec_id, v, centroid_id AS list_id FROM (
+    SELECT b.vec_id, b.v, c.centroid_id,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        {cos.format(a='b.v', b='c.cv')} DESC, c.centroid_id) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qvec FROM base WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qvec, list_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id AS list_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {cos.format(a='q.qvec', b='c.cv')} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+    {cos.format(a='qvec', b='a.v')} AS cos_sim
+  FROM probes JOIN asg a USING (list_id)
+  WHERE a.vec_id != probes.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS cos_x1m,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("similarity_ivf_ann", _ivf_ann_oracle())
+def similarity_ivf_ann(spark, sf_dir):
+    """IVF-Flat ANN over the embeddings table: 16 sampled-centroid
+    inverted lists, 4 probes per query, exact cosine top-5 within the
+    probed lists."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), n_lists=16, nprobe=4, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cos_sim") * 1000000).cast("long").alias("cos_x1m"),
+        F.col("rank").cast("long").alias("rank"),
+    )
