@@ -345,3 +345,67 @@ def test_png_embedding_real_pixels(spark):
     assert abs(emb[1] - 0.587) < 1e-4      # green
     assert abs(emb[2] - 0.114) < 1e-4      # blue
     assert abs(emb[3] - 1.0) < 1e-4        # white
+
+
+def test_video_keyframes_scene_cuts(spark):
+    """Three flat-color scenes with tiny in-scene jitter: the cut
+    detector must flag exactly frame 0 and the two scene starts, with
+    the right mean colors; a fourth doc with a non-RVID payload is
+    skipped, and a single-frame video yields just frame 0."""
+    import numpy as np
+
+    from vrl_spark.operators import multimodal
+
+    rng = np.random.RandomState(3)
+
+    def scene(color, n, h=8, w=8):
+        base = np.full((n, h, w, 3), color, dtype=np.int16)
+        jitter = rng.randint(-2, 3, size=base.shape)
+        return np.clip(base + jitter, 0, 255).astype(np.uint8)
+
+    frames = np.concatenate([
+        scene((200, 10, 10), 5),   # scene A: frames 0-4
+        scene((10, 200, 10), 4),   # scene B: frames 5-8
+        scene((10, 10, 200), 6),   # scene C: frames 9-14
+    ])
+    vid = multimodal.encode_rvid(frames)
+    single = multimodal.encode_rvid(frames[:1])
+    rows = [(1, vid), (2, b"not a video"), (3, single)]
+    df = spark.createDataFrame(rows, ["doc_id", "media"])
+    out = multimodal.video_keyframes(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 3}
+    keys = sorted(r["frame_idx"] for r in by_doc[1])
+    assert keys == [0, 5, 9]
+    by_idx = {r["frame_idx"]: r for r in by_doc[1]}
+    assert by_idx[0]["diff_energy"] == 0.0
+    assert by_idx[5]["diff_energy"] > 50  # scene jump, not jitter
+    assert by_idx[5]["mean_rgb"][1] > 150  # scene B is green
+    assert by_idx[9]["mean_rgb"][2] > 150  # scene C is blue
+    # determinism: same bytes -> same shas
+    again = {(r["doc_id"], r["frame_idx"]): r["frame_sha"]
+             for r in multimodal.video_keyframes(df).collect()}
+    assert again == {(r["doc_id"], r["frame_idx"]): r["frame_sha"]
+                     for r in out}
+    assert [r["frame_idx"] for r in by_doc[3]] == [0]
+
+
+def test_rvid_roundtrip_and_guards():
+    import numpy as np
+    import pytest
+
+    from vrl_spark.operators.multimodal import (
+        _decode_rvid, encode_rvid,
+    )
+
+    frames = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    data = encode_rvid(frames)
+    back = _decode_rvid(data)
+    assert back.shape == (2, 4, 5, 3) and (back == frames).all()
+    assert _decode_rvid(data[:-1]) is None      # truncated raster
+    assert _decode_rvid(b"RVID") is None        # truncated header
+    assert _decode_rvid(b"\x00" * 40) is None   # wrong magic
+    with pytest.raises(ValueError):
+        encode_rvid(np.zeros((1, 2, 2, 4), dtype=np.uint8))  # RGBA
