@@ -84,8 +84,40 @@ def test_unknown_algorithm_fails_at_build():
         crypto.encrypt(F.col("t"), "ROT13", K32, IV16)
     with pytest.raises(ValueError, match="Invalid key size"):
         crypto.encrypt(F.col("t"), "AES-256-CFB", K16, IV16)
-    with pytest.raises(NotImplementedError):
-        crypto.encrypt(F.col("t"), "XCHACHA20-POLY1305", K32, b"24_bytes_" + b"x" * 15)
+    with pytest.raises(ValueError, match="Invalid iv size"):
+        crypto.encrypt(F.col("t"), "XCHACHA20-POLY1305", K32, IV16)
+
+
+# extended-nonce AEADs: byte-exact parity with the reference's own
+# test vectors (encrypt.rs:508-517), through the FULL Spark path
+XNONCE_VECTORS = [
+    ("XCHACHA20-POLY1305",
+     b"\x84\xd0S<\\\x88\x019a\xd3\xa17\xdf\xc0\xe0\xd3h\xbcn-"
+     b"\x98\x85@\x19\x08\xc5ki\x18\x10\xdd!T#\x91\xcf"),
+    ("XSALSA20-POLY1305",
+     b"(\xc8\xb8\x88\x1d\xc0\xc0F\xa5\xc7n\xc8\x05B\t\xceiR\x8f\xaf"
+     b"\xc7\xa8\xeb.\x95(\x14\xe8C\x80[w\x85\xf3\x8dn"),
+]
+
+
+@pytest.mark.parametrize("alg,want", XNONCE_VECTORS,
+                         ids=[v[0] for v in XNONCE_VECTORS])
+def test_extended_nonce_reference_vectors(spark, alg, want):
+    key = b"32_bytes_" + b"x" * 23
+    iv = b"24_bytes_" + b"x" * 15
+    df = spark.createDataFrame([("morethan1blockofdata",)], ["t"])
+    ct = df.select(crypto.encrypt(F.col("t"), alg, key, iv).alias("c"))
+    got = ct.collect()[0]["c"]
+    assert bytes(got) == want, alg
+    back = ct.select(crypto.decrypt(F.col("c"), alg, key, iv).alias("p"))
+    assert bytes(back.collect()[0]["p"]) == b"morethan1blockofdata"
+    # tamper -> error branch (NULL), not an exception
+    bad = spark.createDataFrame(
+        [(bytearray(want[:-1] + bytes([want[-1] ^ 1])),)], ["c"]
+    )
+    assert bad.select(
+        crypto.decrypt(F.col("c"), alg, key, iv).alias("p")
+    ).collect()[0]["p"] is None
 
 
 IP_VECTORS = [

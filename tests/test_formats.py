@@ -74,8 +74,74 @@ def test_validate_json_schema(spark):
 def test_absent_codecs_raise_at_build(spark):
     with pytest.raises(NotImplementedError, match="zstandard"):
         FM.encode_zstd(F.lit("x"))
-    with pytest.raises(NotImplementedError, match="lz4"):
-        FM.decode_lz4(F.lit("x"))
+
+
+_FOX = b"The quick brown fox jumps over 13 lazy dogs."
+
+
+def test_snappy_reference_vector_and_roundtrip(spark):
+    """decode_snappy.rs / encode_snappy.rs doc vectors (snap::raw
+    bytes), through the full Spark path, plus a compressing
+    round-trip and the malformed -> NULL error branch."""
+    import base64
+
+    vec = base64.b64decode(
+        "LKxUaGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgMTMgbGF6eSBkb2dzLg=="
+    )
+    rep = b"repetitive " * 200
+    df = spark.createDataFrame(
+        [(1, bytearray(vec)), (2, bytearray(b"\xff\xff\xff\xff\xff"))],
+        ["i", "c"],
+    )
+    got = {r["i"]: r["p"] for r in df.select(
+        "i", FM.decode_snappy(F.col("c")).alias("p")).collect()}
+    assert bytes(got[1]) == _FOX
+    assert got[2] is None  # malformed -> error branch
+    enc = spark.createDataFrame([(bytearray(_FOX),), (bytearray(rep),)], ["t"])
+    out = enc.select(
+        FM.encode_snappy(F.col("t")).alias("c"),
+        F.octet_length("t").alias("n"),
+    ).select(
+        FM.decode_snappy(F.col("c")).alias("p"),
+        F.octet_length("c").alias("clen"), "n",
+    ).collect()
+    assert bytes(out[0]["p"]) == _FOX
+    assert out[0]["clen"] == len(vec)  # literal-only case: byte-equal
+    assert bytes(out[1]["p"]) == rep
+    assert out[1]["clen"] < out[1]["n"] // 4  # actually compresses
+
+
+def test_lz4_reference_vector_and_roundtrip(spark):
+    """decode_lz4.rs doc vectors: prepended-size block (the encode
+    default) and the bare block, plus round-trip both ways and the
+    malformed -> NULL error branch."""
+    import base64
+
+    vec = base64.b64decode(
+        "LAAAAPAdVGhlIHF1aWNrIGJyb3duIGZveCBqdW1wcyBvdmVyIDEzIGxhenkgZG9ncy4="
+    )
+    df = spark.createDataFrame([(bytearray(vec),)], ["c"])
+    got = df.select(
+        FM.decode_lz4(F.col("c"), prepended_size=True).alias("p")
+    ).collect()[0]["p"]
+    assert bytes(got) == _FOX
+    bare = spark.createDataFrame([(bytearray(vec[4:]),)], ["c"])
+    assert bytes(bare.select(
+        FM.decode_lz4(F.col("c")).alias("p")).collect()[0]["p"]) == _FOX
+    rep = b"0123456789" * 500
+    enc = spark.createDataFrame([(bytearray(rep),)], ["t"])
+    both = enc.select(
+        FM.decode_lz4(FM.encode_lz4(F.col("t")), prepended_size=True)
+        .alias("a"),
+        FM.decode_lz4(FM.encode_lz4(F.col("t"), prepend_size=False))
+        .alias("b"),
+        F.octet_length(FM.encode_lz4(F.col("t"))).alias("clen"),
+    ).collect()[0]
+    assert bytes(both["a"]) == rep and bytes(both["b"]) == rep
+    assert both["clen"] < len(rep) // 4
+    bad = spark.createDataFrame([(bytearray(b"\x10"),)], ["c"])
+    assert bad.select(
+        FM.decode_lz4(F.col("c")).alias("p")).collect()[0]["p"] is None
 
 
 def test_seahash_reference_vectors(spark):
@@ -154,3 +220,44 @@ def test_parse_cbor_reference_shapes(spark):
                                              "boolean": False}}
     assert json.loads(got[3]) == [1, 2]
     assert got[4] is None
+
+
+def test_lzcodec_kernels_roundtrip_torture():
+    """Kernel-level: adversarial inputs round-trip through both
+    codecs — overlapping runs (off < len), long literals (multi-byte
+    length encodings), incompressible bytes, binary-ish low-entropy
+    streams — and truncated/garbage streams raise, never misdecode."""
+    import random
+
+    from vrl_spark.functions import lzcodecs as L
+
+    rng = random.Random(7)
+    cases = [
+        b"", b"x", b"abcd", b"a" * 300000,  # 2-byte literal lengths
+        b"ab" * 40000, b"abc" * 11, (b"xy" * 3) + b"z",
+        bytes(rng.randrange(256) for _ in range(20000)),
+        bytes(rng.randrange(3) for _ in range(70000)),
+        (b"The quick brown fox. " * 100) + bytes(range(256)) * 4,
+    ]
+    for i, c in enumerate(cases):
+        assert L.snappy_decompress(L.snappy_compress(c)) == c, i
+        assert L.lz4_decompress(L.lz4_compress(c)) == c, i
+        assert L.lz4_decompress_size_prepended(
+            L.lz4_compress_prepend_size(c)) == c, i
+    comp = L.snappy_compress(cases[4])
+    for cut in (1, len(comp) // 2, len(comp) - 1):
+        try:
+            out = L.snappy_decompress(comp[:cut])
+        except ValueError:
+            continue
+        assert out != cases[4]  # must not silently succeed
+    import pytest
+
+    with pytest.raises(ValueError):
+        L.lz4_decompress(b"\xf0")  # literal length extension truncated
+    with pytest.raises(ValueError):
+        L.lz4_decompress(b"\x04abcd\x09\x00\x00")  # offset beyond output
+    with pytest.raises(ValueError):
+        L.snappy_decompress(b"\x04\x09\x00")  # copy before any output
+    with pytest.raises(ValueError):
+        L.lz4_decompress(L.lz4_compress(b"a" * 5000), max_out=100)

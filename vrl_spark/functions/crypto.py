@@ -4,8 +4,11 @@
   :91-126, dispatch :129-175), src/stdlib/decrypt.rs. All AES modes
   the reference ships — CFB, OFB, CTR (LE default / BE), CBC with
   PKCS7 / ANSIX923 / ISO7816 / ISO10126 padding — plus AES-SIV and
-  CHACHA20-POLY1305. XCHACHA20/XSALSA20-POLY1305 need libsodium
-  (absent here) and raise at build time.
+  CHACHA20-POLY1305, and the extended-nonce pair XCHACHA20-POLY1305
+  (HChaCha20 subkey derivation from the RFC 8439 core, hand-rolled)
+  and XSALSA20-POLY1305 (NaCl secretbox: hand-rolled Salsa20/HSalsa20
+  keystream + cryptography's Poly1305) — byte-exact against the
+  reference's encrypt.rs:508-517 vectors.
 - encrypt_ip / decrypt_ip  src/stdlib/encrypt_ip.rs, decrypt_ip.rs:
   the public IPCrypt algorithms — 'aes128' = ipcrypt-deterministic
   (one AES-128 block over the 16-byte address), 'pfx' =
@@ -44,24 +47,21 @@ _AES_SIZES = {"128": 16, "192": 24, "256": 32}
 SUPPORTED_ALGORITHMS = tuple(
     [f"AES-{n}-{m}" for n in ("128", "192", "256") for m in ("CFB", "OFB", "CTR", "CTR-LE", "CTR-BE")]
     + [f"AES-{n}-CBC-{p}" for n in ("128", "192", "256") for p in _CBC_PADDINGS]
-    + ["AES-128-SIV", "AES-256-SIV", "CHACHA20-POLY1305"]
+    + ["AES-128-SIV", "AES-256-SIV", "CHACHA20-POLY1305",
+       "XCHACHA20-POLY1305", "XSALSA20-POLY1305"]
 )
-_LIB_ABSENT = ("XCHACHA20-POLY1305", "XSALSA20-POLY1305")
 
 
 def _check_algorithm(algorithm: str, key: bytes, iv: bytes) -> str:
     """Compile-time validation (encrypt.rs:289-296): unknown algorithm
     or wrong key/iv length raises HERE, while the plan is being built."""
     alg = algorithm.upper()
-    if alg in _LIB_ABSENT:
-        raise NotImplementedError(
-            f"{alg} requires libsodium primitives not present in this "
-            "environment (pip install pynacl)"
-        )
     if alg not in SUPPORTED_ALGORITHMS:
         raise ValueError(f"Invalid algorithm: {algorithm}")
     if alg == "CHACHA20-POLY1305":
         want_key, want_iv = 32, 12
+    elif alg in ("XCHACHA20-POLY1305", "XSALSA20-POLY1305"):
+        want_key, want_iv = 32, 24
     elif alg.endswith("-SIV"):
         want_key, want_iv = 2 * _AES_SIZES[alg.split("-")[1]], 16
     else:
@@ -95,6 +95,133 @@ def _ctr_keystream_xor(key: bytes, iv: bytes, data: bytes, little_endian: bool) 
     return bytes(out)
 
 
+# --- extended-nonce ChaCha / Salsa cores ------------------------------
+# Pure-stdlib implementations of the PUBLIC constructions (RFC 8439
+# quarter round; draft-irtf-cfrg-xchacha HChaCha20; Bernstein's
+# Salsa20/HSalsa20 + the NaCl secretbox layout). Only the key/nonce
+# derivation and the Salsa20 keystream are hand-rolled — the AEAD
+# fast paths reuse `cryptography`'s ChaCha20Poly1305 and Poly1305.
+# Byte-exactness is pinned against the reference's own encrypt test
+# vectors (encrypt.rs:508-517) in tests/test_crypto.py.
+
+_SIGMA = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+
+
+def _rotl32(x: int, n: int) -> int:
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def _chacha_rounds(state: list[int]) -> list[int]:
+    """20 ChaCha rounds, NO final add (the HChaCha20 variant)."""
+    x = list(state)
+
+    def qr(a, b, c, d):
+        x[a] = (x[a] + x[b]) & 0xFFFFFFFF
+        x[d] = _rotl32(x[d] ^ x[a], 16)
+        x[c] = (x[c] + x[d]) & 0xFFFFFFFF
+        x[b] = _rotl32(x[b] ^ x[c], 12)
+        x[a] = (x[a] + x[b]) & 0xFFFFFFFF
+        x[d] = _rotl32(x[d] ^ x[a], 8)
+        x[c] = (x[c] + x[d]) & 0xFFFFFFFF
+        x[b] = _rotl32(x[b] ^ x[c], 7)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12); qr(1, 5, 9, 13); qr(2, 6, 10, 14); qr(3, 7, 11, 15)
+        qr(0, 5, 10, 15); qr(1, 6, 11, 12); qr(2, 7, 8, 13); qr(3, 4, 9, 14)
+    return x
+
+
+def _hchacha20(key: bytes, nonce16: bytes) -> bytes:
+    import struct
+
+    st = (list(_SIGMA) + list(struct.unpack("<8L", key))
+          + list(struct.unpack("<4L", nonce16)))
+    x = _chacha_rounds(st)
+    return struct.pack("<8L", *(x[0:4] + x[12:16]))
+
+
+def _salsa_rounds(state: list[int]) -> list[int]:
+    """20 Salsa20 rounds, NO final add (the HSalsa20 variant)."""
+    x = list(state)
+
+    def qr(a, b, c, d):
+        x[b] ^= _rotl32((x[a] + x[d]) & 0xFFFFFFFF, 7)
+        x[c] ^= _rotl32((x[b] + x[a]) & 0xFFFFFFFF, 9)
+        x[d] ^= _rotl32((x[c] + x[b]) & 0xFFFFFFFF, 13)
+        x[a] ^= _rotl32((x[d] + x[c]) & 0xFFFFFFFF, 18)
+
+    for _ in range(10):
+        qr(0, 4, 8, 12); qr(5, 9, 13, 1); qr(10, 14, 2, 6); qr(15, 3, 7, 11)
+        qr(0, 1, 2, 3); qr(5, 6, 7, 4); qr(10, 11, 8, 9); qr(15, 12, 13, 14)
+    return x
+
+
+def _hsalsa20(key: bytes, nonce16: bytes) -> bytes:
+    import struct
+
+    k = struct.unpack("<8L", key)
+    n = struct.unpack("<4L", nonce16)
+    st = [_SIGMA[0], k[0], k[1], k[2], k[3], _SIGMA[1], n[0], n[1],
+          n[2], n[3], _SIGMA[2], k[4], k[5], k[6], k[7], _SIGMA[3]]
+    x = _salsa_rounds(st)
+    return struct.pack("<8L", *(x[i] for i in (0, 5, 10, 15, 6, 7, 8, 9)))
+
+
+def _salsa20_keystream(key: bytes, nonce8: bytes, n_bytes: int) -> bytes:
+    import struct
+
+    k = struct.unpack("<8L", key)
+    n = struct.unpack("<2L", nonce8)
+    out = bytearray()
+    for ctr in range(-(-n_bytes // 64)):
+        st = [_SIGMA[0], k[0], k[1], k[2], k[3], _SIGMA[1], n[0], n[1],
+              ctr & 0xFFFFFFFF, (ctr >> 32) & 0xFFFFFFFF,
+              _SIGMA[2], k[4], k[5], k[6], k[7], _SIGMA[3]]
+        x = _salsa_rounds(st)
+        out += struct.pack(
+            "<16L", *((a + b) & 0xFFFFFFFF for a, b in zip(x, st))
+        )
+    return bytes(out[:n_bytes])
+
+
+def _xchacha_ctx(key: bytes, iv: bytes):
+    """XChaCha20-Poly1305 = ChaCha20-Poly1305 under the HChaCha20
+    subkey with nonce 0^4 || iv[16:24] (draft-irtf-cfrg-xchacha)."""
+    from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
+
+    return ChaCha20Poly1305(_hchacha20(key, iv[:16])), b"\x00" * 4 + iv[16:]
+
+
+def _secretbox_encrypt_sub(pt: bytes, sub: bytes, nonce8: bytes) -> bytes:
+    """NaCl secretbox under a pre-derived HSalsa20 subkey: tag ||
+    ciphertext, with the Poly1305 one-time key taken from the first
+    32 keystream bytes."""
+    from cryptography.hazmat.primitives.poly1305 import Poly1305
+
+    ks = _salsa20_keystream(sub, nonce8, 32 + len(pt))
+    ct = bytes(a ^ b for a, b in zip(pt, ks[32:]))
+    return Poly1305.generate_tag(ks[:32], ct) + ct
+
+
+def _secretbox_decrypt_sub(boxed: bytes, sub: bytes, nonce8: bytes) -> bytes:
+    from cryptography.hazmat.primitives.poly1305 import Poly1305
+
+    if len(boxed) < 16:
+        raise ValueError("secretbox too short")
+    tag, ct = boxed[:16], boxed[16:]
+    ks = _salsa20_keystream(sub, nonce8, 32 + len(ct))
+    Poly1305.verify_tag(ks[:32], ct, tag)  # raises on mismatch
+    return bytes(a ^ b for a, b in zip(ct, ks[32:]))
+
+
+def _secretbox_encrypt(pt: bytes, key: bytes, iv: bytes) -> bytes:
+    return _secretbox_encrypt_sub(pt, _hsalsa20(key, iv[:16]), iv[16:24])
+
+
+def _secretbox_decrypt(boxed: bytes, key: bytes, iv: bytes) -> bytes:
+    return _secretbox_decrypt_sub(boxed, _hsalsa20(key, iv[:16]), iv[16:24])
+
+
 def _encrypt_one(pt: bytes, alg: str, key: bytes, iv: bytes) -> bytes:
     from cryptography.hazmat.primitives import padding as cpad
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
@@ -102,6 +229,11 @@ def _encrypt_one(pt: bytes, alg: str, key: bytes, iv: bytes) -> bytes:
 
     if alg == "CHACHA20-POLY1305":
         return ChaCha20Poly1305(key).encrypt(iv, pt, None)
+    if alg == "XCHACHA20-POLY1305":
+        ctx, nonce = _xchacha_ctx(key, iv)
+        return ctx.encrypt(nonce, pt, None)
+    if alg == "XSALSA20-POLY1305":
+        return _secretbox_encrypt(pt, key, iv)
     if alg.endswith("-SIV"):
         return AESSIV(key).encrypt(pt, [b"", iv])
     mode = alg.split("-", 2)[2]
@@ -138,6 +270,11 @@ def _decrypt_one(ct: bytes, alg: str, key: bytes, iv: bytes) -> bytes | None:
     try:
         if alg == "CHACHA20-POLY1305":
             return ChaCha20Poly1305(key).decrypt(iv, ct, None)
+        if alg == "XCHACHA20-POLY1305":
+            ctx, nonce = _xchacha_ctx(key, iv)
+            return ctx.decrypt(nonce, ct, None)
+        if alg == "XSALSA20-POLY1305":
+            return _secretbox_decrypt(ct, key, iv)
         if alg.endswith("-SIV"):
             return AESSIV(key).decrypt(ct, [b"", iv])
         mode = alg.split("-", 2)[2]
@@ -208,21 +345,41 @@ def encrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
         )
         return bind(jvm, lambda c: F.substring(c, F.lit(17), F.length(c) - 16))
 
-    if alg == "CHACHA20-POLY1305" or alg.endswith("-SIV"):
+    if alg in ("CHACHA20-POLY1305", "XCHACHA20-POLY1305") \
+            or alg.endswith("-SIV"):
         is_siv = alg.endswith("-SIV")
+        # extended nonce: derive the HChaCha20 subkey ONCE at plan
+        # build (key and iv are plan constants); workers receive bytes
+        if alg == "XCHACHA20-POLY1305":
+            aead_key, aead_iv = _hchacha20(key, iv[:16]), b"\x00" * 4 + iv[16:]
+        else:
+            aead_key, aead_iv = key, iv
 
         @pandas_udf(T.BinaryType())
         def _enc_aead(s: pd.Series) -> pd.Series:
-            ctx = _batch_aead(alg, key)
+            ctx = _batch_aead("CHACHA20-POLY1305" if not is_siv else alg,
+                              aead_key)
             if is_siv:
                 return s.map(
                     lambda v: ctx.encrypt(bytes(v), [b"", iv]) if v is not None else None
                 )
             return s.map(
-                lambda v: ctx.encrypt(iv, bytes(v), None) if v is not None else None
+                lambda v: ctx.encrypt(aead_iv, bytes(v), None) if v is not None else None
             )
 
         return _enc_aead(col.cast("binary"))
+
+    if alg == "XSALSA20-POLY1305":
+        sub, n8 = _hsalsa20(key, iv[:16]), iv[16:24]
+
+        @pandas_udf(T.BinaryType())
+        def _enc_box(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: _secretbox_encrypt_sub(bytes(v), sub, n8)
+                if v is not None else None
+            )
+
+        return _enc_box(col.cast("binary"))
 
     @pandas_udf(T.BinaryType())
     def _enc(s: pd.Series) -> pd.Series:
@@ -244,12 +401,18 @@ def decrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
             F.lit(key), F.lit("CBC"), F.lit("PKCS"),
         )
 
-    if alg == "CHACHA20-POLY1305" or alg.endswith("-SIV"):
+    if alg in ("CHACHA20-POLY1305", "XCHACHA20-POLY1305") \
+            or alg.endswith("-SIV"):
         is_siv = alg.endswith("-SIV")
+        if alg == "XCHACHA20-POLY1305":
+            aead_key, aead_iv = _hchacha20(key, iv[:16]), b"\x00" * 4 + iv[16:]
+        else:
+            aead_key, aead_iv = key, iv
 
         @pandas_udf(T.BinaryType())
         def _dec_aead(s: pd.Series) -> pd.Series:
-            ctx = _batch_aead(alg, key)
+            ctx = _batch_aead("CHACHA20-POLY1305" if not is_siv else alg,
+                              aead_key)
 
             def one(v):
                 if v is None:
@@ -257,13 +420,30 @@ def decrypt(col: Column, algorithm: str, key: bytes, iv: bytes) -> Column:
                 try:
                     if is_siv:
                         return ctx.decrypt(bytes(v), [b"", iv])
-                    return ctx.decrypt(iv, bytes(v), None)
+                    return ctx.decrypt(aead_iv, bytes(v), None)
                 except Exception:
                     return None  # bad tag -> error branch
 
             return s.map(one)
 
         return _dec_aead(col.cast("binary"))
+
+    if alg == "XSALSA20-POLY1305":
+        sub, n8 = _hsalsa20(key, iv[:16]), iv[16:24]
+
+        @pandas_udf(T.BinaryType())
+        def _dec_box(s: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    return _secretbox_decrypt_sub(bytes(v), sub, n8)
+                except Exception:
+                    return None  # bad tag -> error branch
+
+            return s.map(one)
+
+        return _dec_box(col.cast("binary"))
 
     @pandas_udf(T.BinaryType())
     def _dec(s: pd.Series) -> pd.Series:

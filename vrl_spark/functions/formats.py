@@ -2,7 +2,9 @@
 replace_with, json-schema validation, compression stubs.
 
 Availability-gated: yaml + jsonschema exist in this container and are
-used; zstd/lz4/snappy/cbor do not — their functions raise
+used; snappy and lz4 are implemented from scratch (the raw/block
+formats are public and small — vrl_spark.functions.lzcodecs); cbor
+has its own minimal RFC 8949 decoder below. Only zstd still raises
 NotImplementedError at CALL time (plan-build time, not executor time)
 with the exact pip name needed, keeping the API surface complete."""
 
@@ -229,6 +231,83 @@ def validate_json_schema(col: Column, schema_json: str) -> Column:
 
 
 # ---------------------------------------------------------------------
+# snappy / lz4 (from-scratch kernels in vrl_spark.functions.lzcodecs)
+# ---------------------------------------------------------------------
+# Reference parity: encode_snappy.rs / decode_snappy.rs (snap::raw),
+# encode_lz4.rs / decode_lz4.rs (lz4_flex::block; prepended u32-LE
+# size defaults: true on encode, false on decode). Decode failures
+# -> NULL (the error branch), like every other fallible codec here.
+
+
+def encode_snappy(col: Column) -> Column:
+    from vrl_spark.functions.lzcodecs import snappy_compress
+
+    @pandas_udf(T.BinaryType())
+    def _e(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: snappy_compress(bytes(v)) if v is not None else None
+        )
+
+    return _e(col.cast("binary"))
+
+
+def decode_snappy(col: Column) -> Column:
+    from vrl_spark.functions.lzcodecs import snappy_decompress
+
+    @pandas_udf(T.BinaryType())
+    def _d(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return snappy_decompress(bytes(v))
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return _d(col.cast("binary"))
+
+
+def encode_lz4(col: Column, prepend_size: bool = True) -> Column:
+    from vrl_spark.functions.lzcodecs import (
+        lz4_compress, lz4_compress_prepend_size,
+    )
+
+    fn = lz4_compress_prepend_size if prepend_size else lz4_compress
+
+    @pandas_udf(T.BinaryType())
+    def _e(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: fn(bytes(v)) if v is not None else None)
+
+    return _e(col.cast("binary"))
+
+
+def decode_lz4(
+    col: Column, buf_size: int = 1_000_000, prepended_size: bool = False
+) -> Column:
+    from vrl_spark.functions.lzcodecs import (
+        lz4_decompress, lz4_decompress_size_prepended,
+    )
+
+    @pandas_udf(T.BinaryType())
+    def _d(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                if prepended_size:
+                    return lz4_decompress_size_prepended(bytes(v))
+                return lz4_decompress(bytes(v), max_out=buf_size)
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return _d(col.cast("binary"))
+
+
+# ---------------------------------------------------------------------
 # compression stubs for absent codecs (API-complete, fail at build)
 # ---------------------------------------------------------------------
 
@@ -246,10 +325,6 @@ def _absent(fn_name: str, pip_name: str):
 
 encode_zstd = _absent("encode_zstd", "zstandard")
 decode_zstd = _absent("decode_zstd", "zstandard")
-encode_lz4 = _absent("encode_lz4", "lz4")
-decode_lz4 = _absent("decode_lz4", "lz4")
-encode_snappy = _absent("encode_snappy", "python-snappy")
-decode_snappy = _absent("decode_snappy", "python-snappy")
 
 
 # --- CBOR (src/stdlib/parse_cbor.rs) ----------------------------------

@@ -645,7 +645,15 @@ _CT_VECTORS = {
         "0F70FD81BB39AF69B973B60A95805466747368F4C5FCBD90270623FF0026D2CEA58EB8C0DACA81BB07F4BB23AAEB"),
     "ct_siv_hex": ("AES-256-SIV",
         "41C6313568300E8DE19E53E0642A3AA851F80A69589DB96ECBB619B0CDB846FD0D6FFE4A099333F2679E7EF1713C"),
+    # extended-nonce pair: these two hex strings are the REFERENCE'S
+    # OWN test vectors (encrypt.rs:508-517, plaintext
+    # "morethan1blockofdata"), not self-derived constants
+    "ct_xchacha_hex": ("XCHACHA20-POLY1305",
+        "84D0533C5C88013961D3A137DFC0E0D368BC6E2D9885401908C56B691810DD21542391CF"),
+    "ct_xsalsa_hex": ("XSALSA20-POLY1305",
+        "28C8B8881DC0C046A5C76EC8054209CE69528FAFC7A8EB2E952814E843805B7785F38D6E"),
 }
+_X_PLAINTEXT = "morethan1blockofdata"  # the reference vectors' input
 _CT_IP_ENC = "5f4:248:d921:d0d:ad4a:7f5:c5af:e994"  # ipcrypt-det of 192.168.10.32
 
 _CRYPTO_ORACLE = f"""
@@ -722,9 +730,13 @@ def vrl_crypto_codecs(spark, sf_dir):
                 *[
                     F.hex(
                         crypto.encrypt(
-                            F.lit(_CT_PLAINTEXT), alg,
+                            F.lit(_X_PLAINTEXT if alg.startswith("X")
+                                  else _CT_PLAINTEXT),
+                            alg,
                             (key32 + key32) if alg.endswith("-SIV") else key32,
-                            iv12 if alg == "CHACHA20-POLY1305" else iv16,
+                            b"24_bytes_" + b"x" * 15 if alg.startswith("X")
+                            else iv12 if alg == "CHACHA20-POLY1305"
+                            else iv16,
                         )
                     ).alias(name)
                     for name, (alg, _) in _CT_VECTORS.items()
