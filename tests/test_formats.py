@@ -72,8 +72,69 @@ def test_validate_json_schema(spark):
 
 
 def test_absent_codecs_raise_at_build(spark):
-    with pytest.raises(NotImplementedError, match="zstandard"):
-        FM.encode_zstd(F.lit("x"))
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        FM.parse_proto(F.lit("x"))
+
+
+def test_zstd_decoder_against_real_zstd(spark):
+    """The from-scratch RFC 8878 decoder must read frames produced by
+    the REAL zstd implementation (zstd-jni on Spark's classpath) —
+    levels 1/3/19 cover raw, RLE, Huffman (1- and 4-stream,
+    FSE-compressed weights), and FSE-coded sequence paths."""
+    import random
+
+    from vrl_spark.functions.zstdcodec import zstd_decompress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(99)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"zstd", b"spark"]
+    cases = [
+        b"", b"x", b"flat" * 2000,
+        b" ".join(rng.choice(words) for _ in range(8000)),
+        bytes(rng.randrange(256) for _ in range(20000)),
+        bytes(rng.randrange(3) for _ in range(50000)),
+    ]
+    for data in cases:
+        for lvl in (1, 3, 19):
+            comp = bytes(Z.compress(data, lvl))
+            assert zstd_decompress(comp) == data, (len(data), lvl)
+
+
+def test_zstd_column_path_and_cross_validation(spark):
+    """Full Spark path: decode real-zstd ciphertext columns; encode
+    store frames that BOTH our decoder and real zstd accept; NULL on
+    garbage (the error branch); multi-frame + skippable input."""
+    from vrl_spark.functions.zstdcodec import zstd_compress
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    payload = b"some zstd payload " * 300
+    comp = bytes(Z.compress(payload, 3))
+    df = spark.createDataFrame(
+        [(1, bytearray(comp)), (2, bytearray(b"\x00gar\xffbage"))],
+        ["i", "c"],
+    )
+    got = {r["i"]: r["p"] for r in df.select(
+        "i", FM.decode_zstd(F.col("c")).alias("p")).collect()}
+    assert bytes(got[1]) == payload
+    assert got[2] is None
+    enc = spark.createDataFrame([(bytearray(payload),)], ["t"])
+    mine = bytes(enc.select(
+        FM.encode_zstd(F.col("t"), 3).alias("c")).collect()[0]["c"])
+    assert bytes(Z.decompress(mine, len(payload))) == payload  # real zstd reads it
+    back = spark.createDataFrame([(bytearray(mine),)], ["c"]).select(
+        FM.decode_zstd(F.col("c")).alias("p")).collect()[0]["p"]
+    assert bytes(back) == payload
+    # concatenated frames + a skippable frame between them
+    skippable = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    multi = comp + skippable + zstd_compress(b"tail")
+    m = spark.createDataFrame([(bytearray(multi),)], ["c"]).select(
+        FM.decode_zstd(F.col("c")).alias("p")).collect()[0]["p"]
+    assert bytes(m) == payload + b"tail"
+    # corrupted checksum -> NULL, never wrong bytes
+    bad = bytearray(mine)
+    bad[-1] ^= 0xFF
+    assert spark.createDataFrame([(bad,)], ["c"]).select(
+        FM.decode_zstd(F.col("c")).alias("p")).collect()[0]["p"] is None
 
 
 _FOX = b"The quick brown fox jumps over 13 lazy dogs."

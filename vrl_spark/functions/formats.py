@@ -3,8 +3,10 @@ replace_with, json-schema validation, compression stubs.
 
 Availability-gated: yaml + jsonschema exist in this container and are
 used; snappy and lz4 are implemented from scratch (the raw/block
-formats are public and small — vrl_spark.functions.lzcodecs); cbor
-has its own minimal RFC 8949 decoder below. Only zstd still raises
+formats are public and small — vrl_spark.functions.lzcodecs), zstd
+has a full from-scratch RFC 8878 decoder + store-block encoder
+(vrl_spark.functions.zstdcodec), and cbor has its own minimal RFC
+8949 decoder below. Only parse_proto/encode_proto still raise
 NotImplementedError at CALL time (plan-build time, not executor time)
 with the exact pip name needed, keeping the API surface complete."""
 
@@ -308,23 +310,44 @@ def decode_lz4(
 
 
 # ---------------------------------------------------------------------
-# compression stubs for absent codecs (API-complete, fail at build)
+# zstd (from-scratch RFC 8878 codec in vrl_spark.functions.zstdcodec)
 # ---------------------------------------------------------------------
+# Reference parity: decode_zstd.rs / encode_zstd.rs (zstd::decode_all
+# / encode_all). The decoder handles the full format (validated
+# against real zstd-jni frames in tests); the encoder emits spec-
+# valid store-block frames — compression_level accepted for API
+# parity, see zstdcodec docstring.
 
 
-def _absent(fn_name: str, pip_name: str):
-    def raiser(*_a, **_k):
-        raise NotImplementedError(
-            f"{fn_name}: codec library not available in this environment "
-            f"(needs `pip install {pip_name}`); gzip/zlib variants in "
-            "vrl_spark.functions.codec are available."
+def encode_zstd(col: Column, compression_level: int = 0) -> Column:
+    from vrl_spark.functions.zstdcodec import zstd_compress
+
+    @pandas_udf(T.BinaryType())
+    def _e(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: zstd_compress(bytes(v), compression_level)
+            if v is not None else None
         )
 
-    return raiser
+    return _e(col.cast("binary"))
 
 
-encode_zstd = _absent("encode_zstd", "zstandard")
-decode_zstd = _absent("decode_zstd", "zstandard")
+def decode_zstd(col: Column) -> Column:
+    from vrl_spark.functions.zstdcodec import zstd_decompress
+
+    @pandas_udf(T.BinaryType())
+    def _d(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return zstd_decompress(bytes(v))
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return _d(col.cast("binary"))
 
 
 # --- CBOR (src/stdlib/parse_cbor.rs) ----------------------------------
@@ -458,5 +481,17 @@ def parse_cbor(col: Column) -> Column:
         return s.map(one)
 
     return _cb(col.cast("binary"))
+
+
+def _absent(fn_name: str, pip_name: str):
+    def raiser(*_a, **_k):
+        raise NotImplementedError(
+            f"{fn_name}: library not available in this environment "
+            f"(needs `pip install {pip_name}`)."
+        )
+
+    return raiser
+
+
 parse_proto = _absent("parse_proto", "protobuf")
 encode_proto = _absent("encode_proto", "protobuf")

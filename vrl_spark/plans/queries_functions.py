@@ -240,7 +240,17 @@ def vrl_strings_collections(spark, sf_dir):
 # hashes & codecs over documents
 # ---------------------------------------------------------------------
 
-_HASH_ORACLE = """
+# Frozen compressed-literal vectors for the from-scratch codecs
+# (deterministic encoders; the plaintext is _LZ_PLAINTEXT). A
+# both-directions kernel bug cannot round-trip green past these.
+_LZ_PLAINTEXT = "vrl-spark codec oracle vector " * 4
+_LZ_VECTORS = {
+    "snappy_hex": "787476726C2D737061726B20636F646563206F7261636C6520766563746F7220FE1E00661E00",
+    "lz4_hex": "78000000FF0F76726C2D737061726B20636F646563206F7261636C6520766563746F72201E00425063746F7220",
+    "zstd_hex": "28B52FFD2478C1030076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F72209BB7E971",
+}
+
+_HASH_ORACLE = f"""
 SELECT doc_id,
   md5(text) AS md5_hex,
   sha256(text) AS sha256_hex,
@@ -250,7 +260,11 @@ SELECT doc_id,
     lang := lang,
     n_chars := n_chars,
     source := source
-  )) AS doc_json
+  )) AS doc_json,
+  text AS snappy_roundtrip,
+  text AS lz4_roundtrip,
+  text AS zstd_roundtrip,
+  {','.join(f"'{hx}' AS {name}" for name, hx in _LZ_VECTORS.items())}
 FROM documents
 """
 
@@ -260,17 +274,40 @@ def vrl_hashes_encode(spark, sf_dir):
     """Hash/codec function vector + encode_json with BTreeMap
     (sorted-key) field order (reference src/stdlib/encode_json.rs +
     value.rs:34), one map-only select over documents (merged r3
-    queries vrl_hashes_codecs + vrl_encode_json)."""
+    queries vrl_hashes_codecs + vrl_encode_json), plus the
+    from-scratch snappy/lz4/zstd codecs: per-row round-trips and
+    frozen compressed-literal vectors (constants -> 1-row broadcast,
+    not per-row)."""
+    from vrl_spark.functions import formats as FM
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
     return docs.select(
         "doc_id",
-        codec.md5(F.col("text")).alias("md5_hex"),
-        codec.sha2(F.col("text"), 256).alias("sha256_hex"),
+        codec.md5(t).alias("md5_hex"),
+        codec.sha2(t, 256).alias("sha256_hex"),
         codec.encode_base16(F.col("source")).alias("hex_enc"),
         codec.encode_base64(F.col("source")).alias("b64_enc"),
         F.to_json(
             F.struct(F.col("lang"), F.col("n_chars"), F.col("source"))
         ).alias("doc_json"),
+        FM.decode_snappy(FM.encode_snappy(t)).cast("string")
+        .alias("snappy_roundtrip"),
+        FM.decode_lz4(FM.encode_lz4(t), prepended_size=True)
+        .cast("string").alias("lz4_roundtrip"),
+        FM.decode_zstd(FM.encode_zstd(t)).cast("string")
+        .alias("zstd_roundtrip"),
+    ).crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.hex(FM.encode_snappy(F.lit(_LZ_PLAINTEXT)))
+                .alias("snappy_hex"),
+                F.hex(FM.encode_lz4(F.lit(_LZ_PLAINTEXT)))
+                .alias("lz4_hex"),
+                F.hex(FM.encode_zstd(F.lit(_LZ_PLAINTEXT)))
+                .alias("zstd_hex"),
+            )
+        )
     )
 
 
