@@ -71,11 +71,6 @@ def test_validate_json_schema(spark):
     assert got == [True, False, False, None]
 
 
-def test_absent_codecs_raise_at_build(spark):
-    with pytest.raises(NotImplementedError, match="protobuf"):
-        FM.parse_proto(F.lit("x"))
-
-
 def test_zstd_decoder_against_real_zstd(spark):
     """The from-scratch RFC 8878 decoder must read frames produced by
     the REAL zstd implementation (zstd-jni on Spark's classpath) —

@@ -483,15 +483,68 @@ def parse_cbor(col: Column) -> Column:
     return _cb(col.cast("binary"))
 
 
-def _absent(fn_name: str, pip_name: str):
-    def raiser(*_a, **_k):
-        raise NotImplementedError(
-            f"{fn_name}: library not available in this environment "
-            f"(needs `pip install {pip_name}`)."
-        )
+# --- protobuf (src/stdlib/parse_proto.rs / encode_proto.rs) -----------
+# From-scratch wire-format + descriptor-set codec in
+# vrl_spark.functions.proto — validated against the same Person/maps
+# vectors the reference's own unit tests use. The descriptor is
+# loaded and resolved at PLAN time (desc_file/message_type are plan
+# constants, like the reference's compile-time descriptor check), so
+# a bad path or unknown message fails the build, not a task.
 
-    return raiser
+
+def parse_proto(col: Column, desc_file, message_type: str) -> Column:
+    """Proto message bytes -> JSON text (sorted keys; enums decoded
+    to their names, map keys stringified). NULL = the error branch."""
+    import json as _json
+
+    from vrl_spark.functions.proto import (
+        decode_message, load_descriptor, resolve_message,
+    )
+
+    registry = load_descriptor(desc_file)
+    msg = resolve_message(registry, message_type)
+
+    @pandas_udf(T.StringType())
+    def _pp(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(
+                    decode_message(bytes(v), msg, registry),
+                    sort_keys=True, separators=(",", ":"),
+                )
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return _pp(col.cast("binary"))
 
 
-parse_proto = _absent("parse_proto", "protobuf")
-encode_proto = _absent("encode_proto", "protobuf")
+def encode_proto(col: Column, desc_file, message_type: str) -> Column:
+    """JSON-text object -> proto message bytes (enum names or numbers
+    accepted, maps re-keyed per the schema). NULL = the error
+    branch."""
+    import json as _json
+
+    from vrl_spark.functions.proto import (
+        encode_message, load_descriptor, resolve_message,
+    )
+
+    registry = load_descriptor(desc_file)
+    msg = resolve_message(registry, message_type)
+
+    @pandas_udf(T.BinaryType())
+    def _ep(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return encode_message(_json.loads(v), msg, registry)
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return _ep(col)
