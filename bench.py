@@ -86,7 +86,9 @@ PREV_ROUND_REF = {
     "vrl_syslog_suite": 0.65,            # vrl_parse_syslog + vrl_syslog
     "vrl_math_ip_enrich": 1.86,          # vrl_math_ip + vrl_enrichment_range
     "vrl_strings_collections": 0.38,     # vrl_strings + vrl_collections
-    "vrl_hashes_encode": 0.16,           # vrl_hashes_codecs + vrl_encode_json
+    "vrl_hashes_encode": 2.2,            # + r4 snappy/lz4/zstd round-trips
+                                         # (per-row python codecs, measured
+                                         # clean 2.16; was 0.16 pre-codecs)
     "vrl_breadth": 3.55,                 # formats + presets_vendor + ddquery
     "text_stats_langid": 1.40,           # text_stats + text_lang_id
     "text_pii_entities": 0.77,           # text_pii_scrub + text_extract_entities
@@ -118,6 +120,8 @@ PREV_ROUND_REF = {
     "text_profile_stats": 0.25,
     "pipeline_log_templates": 0.33,
     "events_error_anomalies": 0.5,
+    "text_tfidf": 2.9,                   # r4 clean first measurement
+    "similarity_ivf_ann": 1.9,           # r4 clean first measurement
 }
 
 
