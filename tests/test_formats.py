@@ -116,6 +116,7 @@ def test_zstd_column_path_and_cross_validation(spark):
     mine = bytes(enc.select(
         FM.encode_zstd(F.col("t"), 3).alias("c")).collect()[0]["c"])
     assert bytes(Z.decompress(mine, len(payload))) == payload  # real zstd reads it
+    assert len(mine) < len(payload) // 3  # actually compresses
     back = spark.createDataFrame([(bytearray(mine),)], ["c"]).select(
         FM.decode_zstd(F.col("c")).alias("p")).collect()[0]["p"]
     assert bytes(back) == payload
@@ -317,3 +318,36 @@ def test_lzcodec_kernels_roundtrip_torture():
         L.snappy_decompress(b"\x04\x09\x00")  # copy before any output
     with pytest.raises(ValueError):
         L.lz4_decompress(L.lz4_compress(b"a" * 5000), max_out=100)
+
+
+def test_zstd_compressed_block_encoder_cross_validated(spark):
+    """The compressing encoder (LZ parse + predefined-FSE sequences)
+    must round-trip through BOTH our decoder and real zstd across
+    shapes that stress the sequence machinery: many sequences,
+    ll=0 runs, long matches, the nseq two-byte header form, and
+    incompressible data falling back to store blocks."""
+    import random
+
+    from vrl_spark.functions.zstdcodec import (
+        zstd_compress, zstd_decompress,
+    )
+
+    Z = spark._jvm.com.github.luben.zstd.Zstd
+    rng = random.Random(77)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"zstd"]
+    cases = [
+        b"", b"ab", b"z" * 5000,                       # store / 1-seq / RLE-ish
+        b" ".join(rng.choice(words) for _ in range(200)),   # nseq < 128
+        b" ".join(rng.choice(words) for _ in range(8000)),  # nseq 2-byte form
+        b"0123456789abcdef" * 3000,                    # long overlapping matches
+        bytes(rng.randrange(256) for _ in range(20000)),    # store fallback
+        b" ".join(rng.choice(words) for _ in range(150000)),  # multi-block
+    ]
+    for data in cases:
+        mine = zstd_compress(data)
+        assert zstd_decompress(mine) == data
+        if data:
+            assert bytes(Z.decompress(mine, len(data))) == data
+    # compressible text must actually shrink
+    text = b" ".join(rng.choice(words) for _ in range(8000))
+    assert len(zstd_compress(text)) < len(text) // 2

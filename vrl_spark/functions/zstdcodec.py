@@ -13,11 +13,14 @@ checksums. It is validated in tests against frames produced by the
 real zstd implementation (zstd-jni, reachable through Spark's JVM) at
 several levels and data shapes.
 
-The ENCODER emits spec-valid frames using raw blocks (magic + frame
-header + store blocks + checksum). Any conforming zstd decoder reads
-its output; the compression_level argument is accepted for API parity
-and ignored (store-only) — honest trade: real entropy/match ENCODING
-is the one part not reimplemented here.
+The ENCODER does real compression: a greedy LZ parse feeds
+compressed blocks whose sequences are FSE-coded with the predefined
+tables (the official encoder's exact state-machine construction and
+interleave order), literals stored raw; blocks that would not shrink
+fall back to store. Output is spec-valid and cross-validated against
+real zstd in tests. The compression_level argument is accepted for
+API parity (one strategy); the remaining ratio gap to libzstd is
+entropy-coded literals and optimal parsing, not format coverage.
 
 Bit-stream conventions (the part everyone gets wrong): FSE table
 descriptions read FORWARD, LSB-first; Huffman and sequence bitstreams
@@ -666,12 +669,217 @@ def zstd_decompress(src: bytes) -> bytes:
 
 
 _RAW_BLOCK_MAX = (1 << 17) - 1  # store blocks carry a 21-bit size
+_COMP_CHUNK = 100_000  # per-block matching window for the encoder
+
+
+# --- FSE encoding (the official encoder construction, public BSD) ----
+
+
+class _BitWriter:
+    """Forward little-endian bit accumulator; close() appends the
+    1-bit sentinel and pads — the exact dual of _BackBits."""
+
+    __slots__ = ("val", "nbits")
+
+    def __init__(self):
+        self.val = 0
+        self.nbits = 0
+
+    def add(self, value: int, nbits: int):
+        self.val |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+
+    def close(self) -> bytes:
+        self.val |= 1 << self.nbits  # sentinel
+        self.nbits += 1
+        return self.val.to_bytes((self.nbits + 7) // 8, "little")
+
+
+def _fse_build_ctable(probs: list[int], al: int):
+    """Encoding table: (next_state[], symbol_tt) with symbol_tt[s] =
+    (delta_nb_bits, delta_find_state), per FSE_buildCTable."""
+    size = 1 << al
+    # spread identical to the decoder's
+    spread = [0] * size
+    high = size
+    for s, p in enumerate(probs):
+        if p == -1:
+            high -= 1
+            spread[high] = s
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            spread[pos] = s
+            pos = (pos + step) & mask
+            while pos >= high:
+                pos = (pos + step) & mask
+    cumul = [0] * (len(probs) + 1)
+    for s, p in enumerate(probs):
+        cumul[s + 1] = cumul[s] + (1 if p == -1 else max(p, 0))
+    next_state = [0] * size
+    cur = list(cumul)
+    for i in range(size):
+        s = spread[i]
+        next_state[cur[s]] = size + i
+        cur[s] += 1
+    tt = [None] * len(probs)
+    for s, p in enumerate(probs):
+        if p == 0:
+            continue
+        if p in (-1, 1):
+            tt[s] = ((al << 16) - (1 << al), cumul[s] - 1)
+        else:
+            max_bits = al - ((p - 1).bit_length() - 1)  # al - highbit(p-1)
+            min_state_plus = p << max_bits
+            tt[s] = ((max_bits << 16) - min_state_plus, cumul[s] - p)
+    return next_state, tt
+
+
+class _FseEnc:
+    __slots__ = ("next_state", "tt", "state")
+
+    def __init__(self, ctable, first_symbol: int):
+        self.next_state, self.tt = ctable
+        dnb, dfs = self.tt[first_symbol]
+        nb = (dnb + (1 << 15)) >> 16
+        v = (nb << 16) - dnb
+        self.state = self.next_state[(v >> nb) + dfs]
+
+    def encode(self, bw: _BitWriter, symbol: int):
+        dnb, dfs = self.tt[symbol]
+        nb = (self.state + dnb) >> 16
+        bw.add(self.state, nb)
+        self.state = self.next_state[(self.state >> nb) + dfs]
+
+    def flush(self, bw: _BitWriter, al: int):
+        bw.add(self.state, al)
+
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    for code in range(35, 15, -1):
+        if ll >= _LL_TABLE[code][0]:
+            return code
+    return 16
+
+
+def _ml_code(ml: int) -> int:
+    if ml <= 34:
+        return ml - 3
+    for code in range(52, 31, -1):
+        if ml >= _ML_TABLE[code][0]:
+            return code
+    return 32
+
+
+_CTABLES: dict[str, tuple] = {}
+
+
+def _ctables():
+    if not _CTABLES:
+        _CTABLES["ll"] = _fse_build_ctable(*_LL_DEFAULTS)
+        _CTABLES["of"] = _fse_build_ctable(*_OF_DEFAULTS)
+        _CTABLES["ml"] = _fse_build_ctable(*_ML_DEFAULTS)
+    return _CTABLES
+
+
+def _lz_parse(chunk: bytes):
+    """Greedy hash matcher -> (sequences [(ll, offset_value, ml)],
+    literals bytes). Matches >= 4, offsets within the chunk."""
+    n = len(chunk)
+    seqs = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = chunk[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and chunk[cand : cand + 4] == key:
+            ml = 4
+            while i + ml < n and chunk[cand + ml] == chunk[i + ml]:
+                ml += 1
+            ll = i - lit_start
+            lits += chunk[lit_start:i]
+            seqs.append((ll, (i - cand) + 3, ml))  # ov = offset + 3
+            i += ml
+            lit_start = i
+            continue
+        i += 1
+    lits += chunk[lit_start:]
+    return seqs, bytes(lits)
+
+
+def _compress_block(chunk: bytes) -> bytes | None:
+    """One compressed block body (literals + sequences sections with
+    predefined FSE tables), or None when it wouldn't shrink."""
+    seqs, lits = _lz_parse(chunk)
+    if not seqs:
+        return None
+    # literals section header: raw literals, explicit size format
+    nl = len(lits)
+    if nl < (1 << 12):
+        lit_hdr = bytes([(nl << 4 | 0x4) & 0xFF, nl >> 4])  # sf=01
+    else:
+        lit_hdr = bytes([(nl << 4 | 0xC) & 0xFF, (nl >> 4) & 0xFF,
+                         nl >> 12])  # sf=11, 20-bit
+    body = bytearray(lit_hdr)
+    body += lits
+    nseq = len(seqs)
+    if nseq < 128:
+        body.append(nseq)
+    elif nseq < 0x7F00:
+        body.append((nseq >> 8) + 128)
+        body.append(nseq & 0xFF)
+    else:
+        return None  # would need the 3-byte form; chunks keep us under
+    body.append(0)  # modes: predefined x3
+    ct = _ctables()
+    bw = _BitWriter()
+    codes = [(_ll_code(ll), of.bit_length() - 1, _ml_code(ml))
+             for ll, of, ml in seqs]
+    if max(c[1] for c in codes) > 28:
+        return None  # beyond the predefined offset distribution
+    # official interleave: init states with the LAST sequence's codes,
+    # write its extras, then for n-2..0 encode of/ml/ll and extras,
+    # finally flush ml, of, ll (the decoder reads the exact reverse)
+    lc, oc, mc = codes[-1]
+    ll, ov, ml = seqs[-1]
+    ll_s = _FseEnc(ct["ll"], lc)
+    of_s = _FseEnc(ct["of"], oc)
+    ml_s = _FseEnc(ct["ml"], mc)
+    bw.add(ll - _LL_TABLE[lc][0], _LL_TABLE[lc][1])
+    bw.add(ml - _ML_TABLE[mc][0], _ML_TABLE[mc][1])
+    bw.add(ov - (1 << oc), oc)
+    for i in range(nseq - 2, -1, -1):
+        lc, oc, mc = codes[i]
+        ll, ov, ml = seqs[i]
+        of_s.encode(bw, oc)
+        ml_s.encode(bw, mc)
+        ll_s.encode(bw, lc)
+        bw.add(ll - _LL_TABLE[lc][0], _LL_TABLE[lc][1])
+        bw.add(ml - _ML_TABLE[mc][0], _ML_TABLE[mc][1])
+        bw.add(ov - (1 << oc), oc)
+    ml_s.flush(bw, _ML_DEFAULTS[1])
+    of_s.flush(bw, _OF_DEFAULTS[1])
+    ll_s.flush(bw, _LL_DEFAULTS[1])
+    body += bw.close()
+    if len(body) >= len(chunk) or len(body) > _RAW_BLOCK_MAX:
+        return None
+    return bytes(body)
 
 
 def zstd_compress(src: bytes, level: int = 0) -> bytes:
-    """Spec-valid single-frame encoding with raw (store) blocks and a
-    content checksum. ``level`` accepted for API parity (store-only).
-    Output decodes with any conforming zstd implementation."""
+    """Single-frame encoding with REAL compression: greedy LZ parse +
+    predefined-FSE sequence coding (raw literals), falling back to
+    store blocks where that wouldn't shrink. ``level`` accepted for
+    API parity (one strategy). Output decodes with any conforming
+    zstd implementation (cross-validated against zstd-jni in tests).
+    """
     del level
     out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
     n = len(src)
@@ -686,11 +894,16 @@ def zstd_compress(src: bytes, level: int = 0) -> bytes:
     out += fcs
     pos = 0
     while True:
-        chunk = src[pos : pos + _RAW_BLOCK_MAX]
+        chunk = src[pos : pos + _COMP_CHUNK]
         pos += len(chunk)
         last = 1 if pos >= n else 0
-        out += ((len(chunk) << 3) | last).to_bytes(3, "little")
-        out += chunk
+        comp = _compress_block(chunk) if chunk else None
+        if comp is not None:
+            out += ((len(comp) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += comp
+        else:
+            out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+            out += chunk
         if last:
             break
     out += (_xxh64(src) & 0xFFFFFFFF).to_bytes(4, "little")

@@ -247,7 +247,7 @@ _LZ_PLAINTEXT = "vrl-spark codec oracle vector " * 4
 _LZ_VECTORS = {
     "snappy_hex": "787476726C2D737061726B20636F646563206F7261636C6520766563746F7220FE1E00661E00",
     "lz4_hex": "78000000FF0F76726C2D737061726B20636F646563206F7261636C6520766563746F72201E00425063746F7220",
-    "zstd_hex": "28B52FFD2478C1030076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F722076726C2D737061726B20636F646563206F7261636C6520766563746F72209BB7E971",
+    "zstd_hex": "28B52FFD2478350100E40176726C2D737061726B20636F646563206F7261636C6520766563746F722001005E9894139BB7E971",
 }
 
 _HASH_ORACLE = f"""
