@@ -310,13 +310,24 @@ def main() -> None:
             import glob as _glob
             import re as _re
 
-            seen = [
+            # round = one past the last driver-written record, but
+            # never behind our own full records: re-runs within a
+            # round keep the same number, and if the driver ever
+            # stops writing BENCH_r{N}.json the counter still cannot
+            # fall back and clobber an older round's full record
+            legacy = [
                 int(m.group(1))
                 for f in _glob.glob(os.path.join(
                     os.path.dirname(bench_dir), "BENCH_r*.json"))
                 if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
             ]
-            rnd = f"{max(seen, default=0) + 1:02d}"
+            full = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(bench_dir,
+                                                 "r*_full.json"))
+                if (m := _re.search(r"r(\d+)_full\.json$", f))
+            ]
+            rnd = f"{max(max(legacy, default=0) + 1, max(full, default=1)):02d}"
         full_path = os.path.join(bench_dir, f"r{rnd}_full.json")
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)

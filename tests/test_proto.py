@@ -230,3 +230,20 @@ def test_parse_and_encode_proto_spark_path(spark):
     # bad message type fails at PLAN build, not in a task
     with pytest.raises(ProtoError):
         FM.parse_proto(F.col("t"), DESC, "t.Nope")
+
+
+def test_singular_message_field_merge_semantics():
+    """Repeated wire occurrences of a SINGULAR message field merge
+    (spec/prost behavior): nested singulars recurse, repeated fields
+    concatenate, scalars take the last occurrence."""
+    reg = load_descriptor(DESC)
+    msg = resolve_message(reg, "t.All")
+    # two fragments of field 17 (sub): {x: 1} then {x: 2}
+    frag1 = encode_message({"sub": {"x": 1}}, msg, reg)
+    frag2 = encode_message({"sub": {"x": 2}}, msg, reg)
+    assert decode_message(frag1 + frag2, msg, reg) == {"sub": {"x": 2}}
+    # repeated field inside the merged message concatenates at the
+    # top level too: nums split across two fragments
+    a = encode_message({"nums": [1, 2]}, msg, reg)
+    b = encode_message({"nums": [3]}, msg, reg)
+    assert decode_message(a + b, msg, reg) == {"nums": [1, 2, 3]}

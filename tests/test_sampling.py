@@ -65,16 +65,25 @@ def test_pack_documents_string_ids(spark):
 
 
 def test_pack_documents_unpartitioned_guard(spark):
+    """The no-part_col OOM guard is LAZY (in-plan raise_error, no
+    plan-build-time count pass) and fires at action time; a string id
+    column exercises the dynamic accumulator/guard element type."""
     import pytest as _pytest
 
     df = spark.createDataFrame(
-        [(i, 10) for i in range(20)], ["doc_id", "n_tokens"]
+        [(f"d{i:02d}", 10) for i in range(20)], ["doc_id", "n_tokens"]
     )
-    with _pytest.raises(ValueError, match="part_col"):
-        sampling.pack_documents(df, budget=1000, max_group_rows=10)
+    plan = sampling.pack_documents(df, budget=1000, max_group_rows=10)
+    with _pytest.raises(Exception, match="part_col"):
+        plan.collect()
+    # under the threshold: same plan shape, no raise
+    ok = sampling.pack_documents(df, budget=1000, max_group_rows=50)
+    assert ok.count() == 20
     # with part_col the guard never engages, whatever the size
     out = sampling.pack_documents(
-        df, budget=1000, part_col=F.col("doc_id") % 2, max_group_rows=10
+        df, budget=1000,
+        part_col=F.substring("doc_id", 2, 1).cast("int") % 2,
+        max_group_rows=10,
     )
     assert out.count() == 20
 

@@ -292,6 +292,11 @@ def decode_message(data: bytes, msg: dict, registry: dict) -> dict:
             item = decode_message(payload, sub, registry)
             if repeated:
                 out.setdefault(name, []).append(item)
+            elif name in out:
+                # spec: repeated occurrences of a singular message
+                # field MERGE (nested singulars recurse, repeated
+                # fields concatenate, scalars take the last value)
+                out[name] = _merge_messages(out[name], item)
             else:
                 out[name] = item
             continue
@@ -321,6 +326,18 @@ def decode_message(data: bytes, msg: dict, registry: dict) -> dict:
         else:
             out[name] = _scalar_from_wire(
                 ftype, wt, payload, registry, f["type_name"])
+    return out
+
+
+def _merge_messages(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge_messages(out[k], v)
+        elif k in out and isinstance(out[k], list) and isinstance(v, list):
+            out[k] = out[k] + v
+        else:
+            out[k] = v
     return out
 
 

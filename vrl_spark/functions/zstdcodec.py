@@ -306,19 +306,21 @@ def _huffman_decode_stream(table, max_bits: int, data: bytes,
 
 def _decode_literals(block: bytes, ctx: dict):
     """-> (literals, bytes_used)."""
+    if not block:
+        raise ZstdError("empty compressed block")
     b0 = block[0]
     ltype = b0 & 3
     sf = (b0 >> 2) & 3
     if ltype in (0, 1):  # raw / RLE
+        hdr = 1 if sf in (0, 2) else 2 if sf == 1 else 3
+        if len(block) < hdr:
+            raise ZstdError("truncated literals header")
         if sf in (0, 2):
             rs = b0 >> 3
-            hdr = 1
         elif sf == 1:
             rs = (b0 >> 4) | (block[1] << 4)
-            hdr = 2
         else:
             rs = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
-            hdr = 3
         if ltype == 0:
             return bytes(block[hdr : hdr + rs]), hdr + rs
         return bytes([block[hdr]]) * rs, hdr + 1
@@ -390,6 +392,8 @@ def _seq_table(mode: int, src: bytes, kind: str, ctx: dict):
         ctx[f"tab_{kind}"] = tab
         return tab, 0
     if mode == 1:
+        if not src:
+            raise ZstdError("truncated RLE table byte")
         tab = ("rle", src[0])
         ctx[f"tab_{kind}"] = tab
         return tab, 1
@@ -439,9 +443,15 @@ def _decode_sequences(src: bytes, literals: bytes, out: bytearray,
     if b0 < 128:
         nseq, pos = b0, 1
     elif b0 < 255:
+        if len(src) < 2:
+            raise ZstdError("truncated sequence count")
         nseq, pos = ((b0 - 128) << 8) + src[1], 2
     else:
+        if len(src) < 3:
+            raise ZstdError("truncated sequence count")
         nseq, pos = src[1] + (src[2] << 8) + 0x7F00, 3
+    if pos >= len(src):
+        raise ZstdError("missing sequence modes byte")
     modes = src[pos]
     pos += 1
     if modes & 3:
@@ -609,6 +619,8 @@ def zstd_decompress(src: bytes) -> bytes:
         if magic != ZSTD_MAGIC:
             raise ZstdError("bad magic")
         # frame header
+        if pos >= n:
+            raise ZstdError("truncated frame header")
         fhd = src[pos]
         pos += 1
         fcs_flag = fhd >> 6
@@ -623,11 +635,15 @@ def zstd_decompress(src: bytes) -> bytes:
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         content_size = None
         if fcs_size:
+            if pos + fcs_size > n:
+                raise ZstdError("truncated frame content size")
             content_size = int.from_bytes(src[pos : pos + fcs_size],
                                           "little")
             if fcs_size == 2:
                 content_size += 256
             pos += fcs_size
+        if pos > n:
+            raise ZstdError("truncated frame header fields")
         frame_out = bytearray()
         ctx: dict = {}
         while True:
@@ -639,9 +655,13 @@ def zstd_decompress(src: bytes) -> bytes:
             btype = (bh >> 1) & 3
             bsize = bh >> 3
             if btype == 0:  # raw
+                if pos + bsize > n:
+                    raise ZstdError("truncated raw block")
                 frame_out += src[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ZstdError("truncated RLE block")
                 frame_out += src[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:  # compressed

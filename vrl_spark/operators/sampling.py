@@ -87,14 +87,6 @@ def pack_documents(
     ``id_col`` may be any orderable atomic type (long, string, ...);
     packing order is ascending by id within the group.
     """
-    if part_col is None:
-        n_rows = df.count()
-        if n_rows > max_group_rows:
-            raise ValueError(
-                f"pack_documents without part_col folds all {n_rows} rows "
-                f"in one task (> max_group_rows={max_group_rows}); pass "
-                "part_col (e.g. a shard/date column) to bound the group"
-            )
     part = part_col if part_col is not None else F.lit(0)
     tok = F.col(token_col).cast("long")
     capped = F.least(tok, F.lit(budget))  # oversize docs: own pack
@@ -108,6 +100,27 @@ def pack_documents(
             ).alias("docs")
         )
     )
+    if part_col is None:
+        # lazy guard, folded INTO the plan (no extra plan-build-time
+        # count pass): the single global group raises in-task before
+        # the fold materializes an unboundedly large list
+        grouped = grouped.select(
+            "_part",
+            F.when(
+                F.size("docs") > max_group_rows,
+                F.raise_error(F.concat(
+                    F.lit("pack_documents without part_col folds all "),
+                    F.size("docs").cast("string"),
+                    F.lit(f" rows in one task (> max_group_rows="
+                          f"{max_group_rows}); pass part_col (e.g. a "
+                          "shard/date column) to bound the group"),
+                )).cast(
+                    "array<struct<_id:"
+                    f"{df.schema[id_col].dataType.simpleString()},"
+                    "_tok_c:bigint>>"
+                ),
+            ).otherwise(F.col("docs")).alias("docs"),
+        )
     # fold: carry (pack_id, used); emit (doc, pack_id) pairs
     packed = grouped.select(
         "_part",

@@ -242,21 +242,23 @@ def ivf_assign(
     partition-pruned scans. Cosines are rounded to 1e-6 before the
     argmax so the assignment (and its tie-breaks) is identical across
     engines."""
+    # min over (-cosine, centroid_id): max cosine, then SMALLEST
+    # centroid id — negating the (always-numeric) score instead of the
+    # id keeps the tie-break correct for string/any-typed centroid ids
     scored = corpus.join(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.struct(
-            F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6)
-            .alias("cs"),
-            (-F.col("centroid_id")).alias("neg_id"),
+            (-F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6))
+            .alias("neg_cs"),
             F.col("centroid_id").alias("cid"),
         ).alias("_key"),
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.max_by(F.col(vec_col), F.col("_key")).alias(vec_col),
-            F.max(F.col("_key")).getField("cid").alias("list_id"),
+            F.min_by(F.col(vec_col), F.col("_key")).alias(vec_col),
+            F.min(F.col("_key")).getField("cid").alias("list_id"),
         )
     )
 
