@@ -474,3 +474,90 @@ def resolve_message(registry: dict, message_type: str) -> dict:
     if msg is None or "fields" not in msg:
         raise ProtoError(f"message type {message_type} not found")
     return msg
+
+
+# ---------------------------------------------------------------------
+# descriptor-set construction (no protoc needed): the descriptor
+# schema below is the same public descriptor.proto subset the parser
+# reads, expressed as a ready-made registry for encode_message
+# ---------------------------------------------------------------------
+
+def _d_field(name, number, ftype, type_name="", label=1):
+    return {"name": name, "number": number, "label": label,
+            "type": ftype, "type_name": type_name}
+
+
+_DESCRIPTOR_REGISTRY = {
+    ".g.FileDescriptorSet": {
+        "name": "FileDescriptorSet", "map_entry": False, "nested": [],
+        "enums": [],
+        "fields": [_d_field("file", 1, _T_MESSAGE,
+                            ".g.FileDescriptorProto", _LABEL_REPEATED)],
+    },
+    ".g.FileDescriptorProto": {
+        "name": "FileDescriptorProto", "map_entry": False, "nested": [],
+        "enums": [],
+        "fields": [
+            _d_field("name", 1, _T_STRING),
+            _d_field("package", 2, _T_STRING),
+            _d_field("message_type", 4, _T_MESSAGE, ".g.DescriptorProto",
+                     _LABEL_REPEATED),
+            _d_field("enum_type", 5, _T_MESSAGE, ".g.EnumDescriptorProto",
+                     _LABEL_REPEATED),
+        ],
+    },
+    ".g.DescriptorProto": {
+        "name": "DescriptorProto", "map_entry": False, "nested": [],
+        "enums": [],
+        "fields": [
+            _d_field("name", 1, _T_STRING),
+            _d_field("field", 2, _T_MESSAGE, ".g.FieldDescriptorProto",
+                     _LABEL_REPEATED),
+            _d_field("nested_type", 3, _T_MESSAGE, ".g.DescriptorProto",
+                     _LABEL_REPEATED),
+            _d_field("enum_type", 4, _T_MESSAGE, ".g.EnumDescriptorProto",
+                     _LABEL_REPEATED),
+            _d_field("options", 7, _T_MESSAGE, ".g.MessageOptions"),
+        ],
+    },
+    ".g.MessageOptions": {
+        "name": "MessageOptions", "map_entry": False, "nested": [],
+        "enums": [], "fields": [_d_field("map_entry", 7, _T_BOOL)],
+    },
+    ".g.FieldDescriptorProto": {
+        "name": "FieldDescriptorProto", "map_entry": False, "nested": [],
+        "enums": [],
+        "fields": [
+            _d_field("name", 1, _T_STRING),
+            _d_field("number", 3, _T_INT32),
+            _d_field("label", 4, _T_INT32),
+            _d_field("type", 5, _T_INT32),
+            _d_field("type_name", 6, _T_STRING),
+        ],
+    },
+    ".g.EnumDescriptorProto": {
+        "name": "EnumDescriptorProto", "map_entry": False, "nested": [],
+        "enums": [],
+        "fields": [_d_field("name", 1, _T_STRING),
+                   _d_field("value", 2, _T_MESSAGE,
+                            ".g.EnumValueDescriptorProto",
+                            _LABEL_REPEATED)],
+    },
+    ".g.EnumValueDescriptorProto": {
+        "name": "EnumValueDescriptorProto", "map_entry": False,
+        "nested": [], "enums": [],
+        "fields": [_d_field("name", 1, _T_STRING),
+                   _d_field("number", 2, _T_INT32)],
+    },
+}
+
+
+def build_descriptor_set(files: list[dict]) -> bytes:
+    """Encode FileDescriptorProto-shaped dicts ({name, package,
+    message_type: [...], enum_type: [...]}) into compiled descriptor
+    set bytes — the same artifact protoc's --descriptor_set_out
+    produces, built with the module's own wire writer. load_descriptor
+    reads it straight back."""
+    return encode_message({"file": files},
+                          _DESCRIPTOR_REGISTRY[".g.FileDescriptorSet"],
+                          _DESCRIPTOR_REGISTRY)

@@ -211,21 +211,21 @@ class _FseState:
 
 
 def _huffman_from_weights(weights: list[int]):
-    """Weights (last one implicit, appended by caller as needed) ->
-    lookup table (size 2^max_bits) of (symbol, nbits)."""
+    """Explicit weights (the last symbol's weight is ALWAYS implicit:
+    tableLog = highbit(sum)+1 per the reference HUF_readStats, so the
+    implied weight exists even when the partial sum is already a
+    power of two) -> lookup table (size 2^max_bits) of (symbol,
+    nbits)."""
     total = sum(1 << (w - 1) for w in weights if w > 0)
     if total == 0:
         raise ZstdError("empty huffman table")
-    p2 = 1 << (total - 1).bit_length()
-    if p2 < total:
-        p2 <<= 1
+    p2 = 1 << total.bit_length()  # strictly greater power of two
     missing = p2 - total
-    if missing > 0:
-        mw = missing.bit_length()  # missing must be a power of 2
-        if (1 << (mw - 1)) != missing:
-            raise ZstdError("huffman weights don't sum to pow2 - pow")
-        weights = weights + [mw]
-        total = p2
+    mw = missing.bit_length()
+    if (1 << (mw - 1)) != missing:  # must itself be a power of two
+        raise ZstdError("huffman weights don't sum to pow2 - pow")
+    weights = weights + [mw]
+    total = p2
     max_bits = total.bit_length() - 1
     table = [None] * (1 << max_bits)
     cur = 0
@@ -806,6 +806,121 @@ def _ctables():
     return _CTABLES
 
 
+# --- Huffman literals encoding ---------------------------------------
+
+
+def _huffman_build_weights(freqs: dict[int, int]) -> list[int] | None:
+    """Byte frequencies -> zstd weight list (index = symbol, 0 =
+    absent), or None when Huffman coding isn't applicable (fewer than
+    2 symbols, or code lengths exceeding the format's 11-bit cap)."""
+    import heapq
+
+    if len(freqs) < 2:
+        return None
+    heap = [(f, [s]) for s, f in freqs.items()]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(freqs, 0)
+    while len(heap) > 1:
+        fa, sa = heapq.heappop(heap)
+        fb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, sa + sb))
+    max_len = max(depth.values())
+    if max_len > 11:
+        return None  # rare (very skewed 100 KB chunk); raw fallback
+    # kraft sum of a full huffman tree is exactly 1, so scaling by
+    # 2^max_len satisfies the sum-to-power-of-2 weight invariant
+    weights = [0] * (max(freqs) + 1)
+    for s, d in depth.items():
+        weights[s] = max_len + 1 - d
+    return weights
+
+
+def _huffman_encode_desc_and_table(weights: list[int]):
+    """-> (description bytes [direct form], code table {sym: (code,
+    nbits)}, max_bits) matching the decoder's canonical layout."""
+    # direct description: 4-bit weights for symbols 0..last-1; the
+    # last present symbol's weight is implied by the decoder
+    last = max(s for s, w in enumerate(weights) if w > 0)
+    n = last  # weights emitted for symbols 0..last-1
+    if n > 127:
+        return None  # direct form caps at 128 emitted weights
+    desc = bytearray([127 + n])
+    for i in range(0, n, 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < n else 0
+        desc.append(hi | lo)
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    max_bits = (total - 1).bit_length()
+    # canonical assignment: ascending weight, then symbol order —
+    # identical to _huffman_from_weights
+    table = {}
+    cur = 0
+    for w in range(1, max_bits + 1):
+        nb = max_bits + 1 - w
+        for sym, ws in enumerate(weights):
+            if ws == w:
+                table[sym] = (cur >> (max_bits - nb), nb)
+                cur += 1 << (w - 1)
+    return bytes(desc), table, max_bits
+
+
+def _huffman_encode_stream(lits: bytes, table) -> bytes:
+    """One backward Huffman bitstream (symbols encoded in reverse, so
+    the decoder emits them forward)."""
+    bw = _BitWriter()
+    for b in reversed(lits):
+        code, nb = table[b]
+        bw.add(code, nb)
+    return bw.close()
+
+
+def _compress_literals(lits: bytes) -> bytes | None:
+    """Compressed-literals section (type 2, direct tree description,
+    1 or 4 streams), or None when raw is smaller/required."""
+    rs = len(lits)
+    if rs < 32 or rs >= (1 << 18):
+        return None
+    from collections import Counter
+
+    freqs = dict(Counter(lits))
+    built = _huffman_build_weights(freqs)
+    if built is None:
+        return None
+    enc = _huffman_encode_desc_and_table(built)
+    if enc is None:
+        return None
+    desc, table, _mb = enc
+    if rs <= 1023:  # single stream, size_format 00
+        stream = _huffman_encode_stream(lits, table)
+        cs = len(desc) + len(stream)
+        if cs > 1023:
+            return None
+        hdr = (2 | (0 << 2) | (rs << 4) | (cs << 14)).to_bytes(3, "little")
+        out = hdr + desc + stream
+    else:  # 4 streams, size_format 10 (14-bit) or 11 (18-bit)
+        per = (rs + 3) // 4
+        parts = [lits[0:per], lits[per : 2 * per],
+                 lits[2 * per : 3 * per], lits[3 * per :]]
+        streams = [_huffman_encode_stream(p, table) for p in parts]
+        jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+        if any(len(s) > 0xFFFF for s in streams[:3]):
+            return None
+        payload = desc + jump + b"".join(streams)
+        cs = len(payload)
+        if rs < (1 << 14) and cs < (1 << 14):
+            hdr = (2 | (2 << 2) | (rs << 4) | (cs << 18)).to_bytes(
+                4, "little")
+        elif cs < (1 << 18):
+            hdr = (2 | (3 << 2) | (rs << 4) | (cs << 22)).to_bytes(
+                5, "little")
+        else:
+            return None
+        out = hdr + payload
+    return out if len(out) < rs + 3 else None
+
+
 def _lz_parse(chunk: bytes):
     """Greedy hash matcher -> (sequences [(ll, offset_value, ml)],
     literals bytes). Matches >= 4, offsets within the chunk."""
@@ -840,15 +955,19 @@ def _compress_block(chunk: bytes) -> bytes | None:
     seqs, lits = _lz_parse(chunk)
     if not seqs:
         return None
-    # literals section header: raw literals, explicit size format
-    nl = len(lits)
-    if nl < (1 << 12):
-        lit_hdr = bytes([(nl << 4 | 0x4) & 0xFF, nl >> 4])  # sf=01
+    comp_lits = _compress_literals(lits)
+    if comp_lits is not None:
+        body = bytearray(comp_lits)
     else:
-        lit_hdr = bytes([(nl << 4 | 0xC) & 0xFF, (nl >> 4) & 0xFF,
-                         nl >> 12])  # sf=11, 20-bit
-    body = bytearray(lit_hdr)
-    body += lits
+        # raw literals, explicit size format
+        nl = len(lits)
+        if nl < (1 << 12):
+            lit_hdr = bytes([(nl << 4 | 0x4) & 0xFF, nl >> 4])  # sf=01
+        else:
+            lit_hdr = bytes([(nl << 4 | 0xC) & 0xFF, (nl >> 4) & 0xFF,
+                             nl >> 12])  # sf=11, 20-bit
+        body = bytearray(lit_hdr)
+        body += lits
     nseq = len(seqs)
     if nseq < 128:
         body.append(nseq)

@@ -281,20 +281,90 @@ def _ddquery_cols():
 # value-checked)
 # ---------------------------------------------------------------------
 
-_BREADTH_ORACLE = (
-    "SELECT doc_id, "
-    + _FORMATS_COLS_SQL.strip().rstrip(",")
-    + ", "
-    + _VENDOR_COLS_SQL.strip().rstrip(",")
-    + ", "
-    + _DDQUERY_COLS_SQL.strip().rstrip(",")
-    + " FROM documents"
-)
+def _breadth_oracle() -> str:
+    return (
+        "SELECT doc_id, "
+        + _FORMATS_COLS_SQL.strip().rstrip(",")
+        + ", "
+        + _VENDOR_COLS_SQL.strip().rstrip(",")
+        + ", "
+        + _DDQUERY_COLS_SQL.strip().rstrip(",")
+        + ", "
+        + _PROTO_COLS_SQL.strip().rstrip(",")
+        + " FROM documents"
+    )
 
 
-@register("vrl_breadth", _BREADTH_ORACLE)
 def vrl_breadth(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
-        "doc_id", *_formats_cols(), *_vendor_cols(), *_ddquery_cols()
+        "doc_id", *_formats_cols(), *_vendor_cols(), *_ddquery_cols(),
+        *_proto_cols(),
     )
+
+
+# ---------------------------------------------------------------------
+# parse_proto / encode_proto columns (r4): a per-row round-trip
+# through the wire format plus a frozen wire-bytes vector. The
+# descriptor set is built by proto.build_descriptor_set (the same
+# FileDescriptorSet artifact protoc emits); the oracle constructs the
+# expected sorted-key JSON analytically and carries the frozen hex.
+# ---------------------------------------------------------------------
+
+def _proto_desc():
+    from vrl_spark.functions.proto import build_descriptor_set
+
+    return build_descriptor_set([{
+        "name": "ev.proto", "package": "ev",
+        "message_type": [{"name": "Ev", "field": [
+            {"name": "s", "number": 1, "type": 9},
+            {"name": "nums", "number": 2, "type": 5, "label": 3},
+            {"name": "color", "number": 3, "type": 14,
+             "type_name": ".ev.Color"},
+        ]}],
+        "enum_type": [{"name": "Color", "value": [
+            {"name": "RED", "number": 0}, {"name": "BLUE", "number": 1},
+        ]}],
+    }])
+
+
+_PROTO_VECTOR_HEX = "0A0C70726F746F2D766563746F72100710011801"
+_PROTO_VECTOR_JSON = '{"color":"BLUE","nums":[7,1],"s":"proto-vector"}'
+
+_PROTO_COLS_SQL = """
+  '{"color":"' || CASE WHEN doc_id % 2 = 0 THEN 'RED' ELSE 'BLUE' END
+    || '","nums":[' || CAST(doc_id % 5 AS VARCHAR) || '],"s":"ev'
+    || CAST(doc_id AS VARCHAR) || '"}' AS proto_roundtrip,
+  '{PROTO_HEX}' AS proto_vector_hex
+""".replace("{PROTO_HEX}", _PROTO_VECTOR_HEX)
+
+
+def _proto_cols():
+    from vrl_spark.functions import formats as FM
+
+    desc = _proto_desc()
+    d = F.col("doc_id")
+    src_json = F.concat(
+        F.lit('{"s":"ev'), d.cast("string"),
+        F.lit('","nums":['), (d % 5).cast("string"),
+        F.lit('],"color":"'),
+        F.when(d % 2 == 0, "RED").otherwise("BLUE"),
+        F.lit('"}'),
+    )
+    return [
+        FM.parse_proto(
+            FM.encode_proto(src_json, desc, "ev.Ev"), desc, "ev.Ev"
+        ).alias("proto_roundtrip"),
+        # the frozen wire-bytes vector is COMPUTED by encode_proto on
+        # a constant (tiny message — cheaper than a broadcast join
+        # would be); a one-sided encoder/decoder bug cannot hide
+        # behind the round-trip column
+        F.hex(
+            FM.encode_proto(F.lit(_PROTO_VECTOR_JSON), desc, "ev.Ev")
+        ).alias("proto_vector_hex"),
+    ]
+
+
+# registration happens here, after every column family (including the
+# proto columns above) is defined, keeping the registry order stable
+register("vrl_breadth", _breadth_oracle())(vrl_breadth)
