@@ -89,7 +89,8 @@ PREV_ROUND_REF = {
     "vrl_hashes_encode": 2.2,            # + r4 snappy/lz4/zstd round-trips
                                          # (per-row python codecs, measured
                                          # clean 2.16; was 0.16 pre-codecs)
-    "vrl_breadth": 3.55,                 # formats + presets_vendor + ddquery
+    "vrl_breadth": 5.9,                  # + r4 proto roundtrip/vector cols
+                                         # (measured clean 5.85; was 3.55)
     "text_stats_langid": 1.40,           # text_stats + text_lang_id
     "text_pii_entities": 0.77,           # text_pii_scrub + text_extract_entities
     "text_bm25_nll": 1.70,               # text_bm25 + text_unigram_nll + join
