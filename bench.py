@@ -123,6 +123,7 @@ PREV_ROUND_REF = {
     "events_error_anomalies": 0.5,
     "text_tfidf": 2.9,                   # r4 clean first measurement
     "similarity_ivf_ann": 1.9,           # r4 clean first measurement
+    "multimodal_features": 1.0,          # r4 clean first measurement
 }
 
 

@@ -2071,3 +2071,93 @@ def similarity_ivf_ann(spark, sf_dir):
         F.round(F.col("cos_sim") * 1000000).cast("long").alias("cos_x1m"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------
+# multimodal: planted solid-color BMPs, FULL oracle (r4)
+# ---------------------------------------------------------------------
+# The media bytes are constructed IN-PLAN (JVM concat/unhex — only the
+# decode itself is Python), as solid 4x4 24-bit BMPs whose color comes
+# from doc_id residues over the {0,51,...,255} palette. Every emitted
+# feature is then analytically derivable: header metadata, the byte length of
+# the identical blob construction (DuckDB's sha256 is varchar-only,
+# so the sha stays pytest-covered), and the visual-descriptor elements (luminance + channel
+# means), whose palette values have short decimal expansions so the
+# round(.,6)*1e6 quantization is boundary-safe on both engines.
+
+_BMP_HEADER_HEX = (
+    "424D660000000000000036000000280000000400000004000000010018000000"
+    "000030000000130B0000130B00000000000000000000"
+)
+
+_MM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+    (doc_id % 6) * 51 AS r,
+    ((doc_id // 6) % 6) * 51 AS g,
+    ((doc_id // 36) % 6) * 51 AS b
+  FROM documents
+),
+blob AS (
+  SELECT doc_id, r, g, b,
+    from_hex('{_BMP_HEADER_HEX}' ||
+      repeat(lpad(to_hex(b), 2, '0') || lpad(to_hex(g), 2, '0')
+             || lpad(to_hex(r), 2, '0'), 16)) AS bmp
+  FROM t
+)
+SELECT doc_id,
+  4 AS width, 4 AS height, 'bmp' AS format,
+  CAST(102 AS BIGINT) AS byte_len,
+  octet_length(bmp) AS built_len,
+  CAST(ROUND(ROUND((0.299 * r + 0.587 * g + 0.114 * b) / 255.0, 6)
+             * 1000000) AS BIGINT) AS lum_x1m,
+  CAST(ROUND(ROUND(r / 255.0, 6) * 1000000) AS BIGINT) AS r_x1m,
+  CAST(ROUND(ROUND(g / 255.0, 6) * 1000000) AS BIGINT) AS g_x1m,
+  CAST(ROUND(ROUND(b / 255.0, 6) * 1000000) AS BIGINT) AS b_x1m
+FROM blob
+"""
+
+
+@register("multimodal_features", _MM_ORACLE)
+def multimodal_features(spark, sf_dir):
+    """Real raster decode oracle-checked end-to-end: in-plan BMP
+    construction -> mapInPandas decode_images -> metadata + visual
+    descriptor vs the analytic DuckDB derivation."""
+    from vrl_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    d = F.col("doc_id")
+    r = (d % 6) * 51
+    g = ((d / 6).cast("long") % 6) * 51
+    b = ((d / 36).cast("long") % 6) * 51
+
+    def hx(c):
+        return F.lpad(F.lower(F.hex(c)), 2, "0")
+
+    bmp = F.unhex(F.concat(
+        F.lit(_BMP_HEADER_HEX),
+        F.repeat(F.concat(hx(b), hx(g), hx(r)), 16),
+    ))
+    media = docs.select("doc_id", bmp.alias("media"))
+    feats = multimodal.decode_images(media)
+    e = F.col("embedding")
+    return feats.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.byte_len").alias("byte_len"),
+        # the oracle's built_len = octet_length of ITS blob; the
+        # decoder's measured length checks against both
+        F.col("meta.byte_len").alias("built_len"),
+        F.round(F.element_at(e, 1).cast("double") * 1000000)
+        .cast("long").alias("lum_x1m"),
+        F.round(F.element_at(e, 5).cast("double") * 1000000)
+        .cast("long").alias("r_x1m"),
+        F.round(F.element_at(e, 6).cast("double") * 1000000)
+        .cast("long").alias("g_x1m"),
+        F.round(F.element_at(e, 7).cast("double") * 1000000)
+        .cast("long").alias("b_x1m"),
+    )
