@@ -16,11 +16,13 @@ several levels and data shapes.
 The ENCODER does real compression: a greedy LZ parse feeds
 compressed blocks whose sequences are FSE-coded with the predefined
 tables (the official encoder's exact state-machine construction and
-interleave order), literals stored raw; blocks that would not shrink
-fall back to store. Output is spec-valid and cross-validated against
-real zstd in tests. The compression_level argument is accepted for
-API parity (one strategy); the remaining ratio gap to libzstd is
-entropy-coded literals and optimal parsing, not format coverage.
+interleave order) and whose literals are Huffman-coded (direct tree
+description, 1- or 4-stream) when that shrinks them, raw otherwise;
+blocks that would not shrink fall back to store. Output is spec-valid
+and cross-validated against real zstd in tests. The compression_level
+argument is accepted for API parity (one strategy); the remaining
+ratio gap to libzstd is FSE-described Huffman trees and optimal
+parsing, not format coverage.
 
 Bit-stream conventions (the part everyone gets wrong): FSE table
 descriptions read FORWARD, LSB-first; Huffman and sequence bitstreams
@@ -844,8 +846,8 @@ def _huffman_encode_desc_and_table(weights: list[int]):
     # last present symbol's weight is implied by the decoder
     last = max(s for s, w in enumerate(weights) if w > 0)
     n = last  # weights emitted for symbols 0..last-1
-    if n > 127:
-        return None  # direct form caps at 128 emitted weights
+    if n > 128:
+        return None  # direct form caps at 128 emitted weights (h=255)
     desc = bytearray([127 + n])
     for i in range(0, n, 2):
         hi = weights[i] << 4
@@ -904,9 +906,9 @@ def _compress_literals(lits: bytes) -> bytes | None:
         parts = [lits[0:per], lits[per : 2 * per],
                  lits[2 * per : 3 * per], lits[3 * per :]]
         streams = [_huffman_encode_stream(p, table) for p in parts]
-        jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
         if any(len(s) > 0xFFFF for s in streams[:3]):
-            return None
+            return None  # must check BEFORE the 2-byte jump encoding
+        jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
         payload = desc + jump + b"".join(streams)
         cs = len(payload)
         if rs < (1 << 14) and cs < (1 << 14):
@@ -1014,11 +1016,11 @@ def _compress_block(chunk: bytes) -> bytes | None:
 
 def zstd_compress(src: bytes, level: int = 0) -> bytes:
     """Single-frame encoding with REAL compression: greedy LZ parse +
-    predefined-FSE sequence coding (raw literals), falling back to
-    store blocks where that wouldn't shrink. ``level`` accepted for
-    API parity (one strategy). Output decodes with any conforming
-    zstd implementation (cross-validated against zstd-jni in tests).
-    """
+    predefined-FSE sequence coding + Huffman-coded literals where
+    they shrink, falling back to store blocks where compression
+    wouldn't. ``level`` accepted for API parity (one strategy).
+    Output decodes with any conforming zstd implementation
+    (cross-validated against zstd-jni in tests)."""
     del level
     out = bytearray(ZSTD_MAGIC.to_bytes(4, "little"))
     n = len(src)
