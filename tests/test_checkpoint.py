@@ -69,3 +69,42 @@ def test_manifest_metrics(spark, tmp_path):
     assert m["rows"] == 25
     committed = run.committed_keys(spark)
     assert committed == {"0"}
+
+
+def test_manifest_lineage_fingerprint(spark, tmp_path):
+    """Opt-in bytes + fingerprint land in the manifest; the
+    fingerprint is order-independent and re-run-stable, and matches
+    an independent lineage_metrics() recompute over the output."""
+    from vrl_spark.operators.checkpoint import lineage_metrics
+
+    df = make_df(spark).withColumn("txt", F.concat(F.lit("row-"), F.col("id")))
+    run = CheckpointedRun(str(tmp_path / "out"))
+    m = run.run_partition(
+        spark, df, 0, payload_col="txt", fp_cols=["id", "v", "txt"]
+    )
+    assert m["rows"] == 25
+    # payload bytes: ids 0,4,...,96 → 'row-0'..'row-96' (5 or 6 chars)
+    exp_bytes = sum(len(f"row-{i}") for i in range(0, 100, 4))
+    assert m["bytes"] == exp_bytes
+    # independent recompute over what landed on disk
+    out = read_output(spark, run.out_dir).where(F.col("part") == 0)
+    lm = lineage_metrics(
+        out, [F.col("part")], F.col("txt"),
+        [F.col("id"), F.col("v"), F.col("txt")],
+    ).collect()[0]
+    assert lm["fingerprint"] == m["fingerprint"]
+    assert lm["n_bytes"] == m["bytes"]
+    # order-independence: shuffled input, same partition content
+    m2 = CheckpointedRun(str(tmp_path / "out2")).run_partition(
+        spark, df.repartition(7).sortWithinPartitions(F.col("v").desc()),
+        0, payload_col="txt", fp_cols=["id", "v", "txt"],
+    )
+    assert m2["fingerprint"] == m["fingerprint"]
+    # sensitivity: a single changed row flips the fingerprint
+    df3 = df.withColumn(
+        "v", F.when(F.col("id") == 4, F.lit(999)).otherwise(F.col("v"))
+    )
+    m3 = CheckpointedRun(str(tmp_path / "out3")).run_partition(
+        spark, df3, 0, payload_col="txt", fp_cols=["id", "v", "txt"]
+    )
+    assert m3["fingerprint"] != m["fingerprint"]

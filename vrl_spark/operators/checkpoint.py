@@ -28,8 +28,42 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def lineage_fingerprint(*cols: Column) -> Column:
+    """Per-row 60-bit content fingerprint: conv(md5-prefix) of the
+    NULL-safe field concatenation. NULL and '' stay distinct (coalesce
+    to \\x00 before the \\x1f join — concat_ws silently drops NULLs)."""
+    parts = [F.coalesce(c.cast("string"), F.lit("\x00")) for c in cols]
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
+def lineage_metrics(
+    df: DataFrame,
+    keys: list[str | Column],
+    payload: Column,
+    fp_cols: list[Column],
+) -> DataFrame:
+    """Per-partition lineage manifest row (north_rule: "per-partition
+    lineage + metrics"): row count, payload bytes, and an
+    order-independent content fingerprint.
+
+    The fingerprint is a bit_xor fold of per-row md5-derived 60-bit
+    values — commutative and overflow-free, so it is identical no
+    matter how Spark orders or re-partitions the rows, and two runs
+    (or a run and its resume) agree iff they wrote the same row set.
+    One map-side-combined shuffle on the partition keys; nothing here
+    grows with corpus size except the scan."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.octet_length(payload)).cast("long").alias("n_bytes"),
+        F.bit_xor(lineage_fingerprint(*fp_cols)).alias("fingerprint"),
+    )
 
 
 @dataclass
@@ -64,21 +98,46 @@ class CheckpointedRun:
         done = self.committed_keys(spark)
         return [k for k in all_keys if str(k) not in done]
 
-    def run_partition(self, spark: SparkSession, df: DataFrame, key) -> dict:
+    def run_partition(
+        self, spark: SparkSession, df: DataFrame, key,
+        payload_col: str | None = None,
+        fp_cols: list[str] | None = None,
+    ) -> dict:
         """Process one partition idempotently: overwrite its data dir,
-        then commit the manifest row with lineage metrics."""
+        then commit the manifest row with lineage metrics.
+
+        ``payload_col``/``fp_cols`` opt into byte counts and the
+        order-independent content fingerprint (one extra aggregation
+        over the partition just written — reading back what landed on
+        disk, not what the plan intended, is the point: the manifest
+        certifies the output)."""
         part_df = df.where(F.col(self.partition_col) == key)
         data_dir = os.path.join(self.out_dir, f"{self.partition_col}={key}")
         t0 = time.time()
         part_df.write.mode("overwrite").parquet(data_dir)
         written = spark.read.parquet(data_dir)
-        n_rows = written.count()
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if payload_col is not None:
+            aggs.append(
+                F.sum(F.octet_length(F.col(payload_col)))
+                .cast("long").alias("bytes")
+            )
+        if fp_cols:
+            aggs.append(
+                F.bit_xor(lineage_fingerprint(*[F.col(c) for c in fp_cols]))
+                .alias("fingerprint")
+            )
+        stats = written.agg(*aggs).collect()[0].asDict()
         metrics = {
             "part_key": str(key),
-            "rows": n_rows,
+            "rows": stats["rows"],
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if "bytes" in stats:
+            metrics["bytes"] = stats["bytes"]
+        if "fingerprint" in stats:
+            metrics["fingerprint"] = stats["fingerprint"]
         os.makedirs(self.manifest_dir, exist_ok=True)
         # one json file per partition: commit is the atomic rename the
         # filesystem gives us; Iceberg swaps this for a snapshot commit
@@ -91,10 +150,17 @@ class CheckpointedRun:
         os.replace(tmp, path)
         return metrics
 
-    def run(self, spark: SparkSession, df: DataFrame, all_keys: list) -> dict:
+    def run(
+        self, spark: SparkSession, df: DataFrame, all_keys: list,
+        payload_col: str | None = None,
+        fp_cols: list[str] | None = None,
+    ) -> dict:
         """Process all pending partitions; returns run summary."""
         todo = self.pending(all_keys, spark)
-        results = [self.run_partition(spark, df, k) for k in todo]
+        results = [
+            self.run_partition(spark, df, k, payload_col, fp_cols)
+            for k in todo
+        ]
         return {
             "partitions_total": len(all_keys),
             "partitions_ran": len(todo),

@@ -113,6 +113,52 @@ def pipeline_via_builder(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# checkpoint lineage manifest: per-(route, hour) rows/bytes/fingerprint
+# ---------------------------------------------------------------------
+# The exact aggregation CheckpointedRun commits per partition
+# (operators/checkpoint.py — north_rule "per-partition lineage +
+# metrics"). The fingerprint is a bit_xor fold of per-row md5-derived
+# 60-bit values: order-independent, overflow-free, so two runs agree
+# iff they routed the same row set — the resumability certificate.
+
+_LINEAGE_ORACLE = weblog.parsed_cte_sql() + """
+SELECT route, date_trunc('hour', warc_ts) AS hour,
+  COUNT(*) AS n_rows,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+  bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+    COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
+    COALESCE(url, chr(0)),
+    COALESCE(route, chr(0)),
+    COALESCE(CAST(status_int AS VARCHAR), chr(0)),
+    COALESCE(CAST(bytes_int AS VARCHAR), chr(0)),
+    COALESCE(error, chr(0)))), 1, 15)) AS BIGINT)) AS fingerprint
+FROM routed
+GROUP BY route, hour
+"""
+
+
+@register("pipeline_lineage_metrics", _LINEAGE_ORACLE)
+def pipeline_lineage_metrics(spark, sf_dir):
+    """Checkpoint-manifest lineage metrics over the routed pipeline:
+    per (route, hour) partition — row count, payload bytes, and the
+    order-independent content fingerprint used for idempotent-resume
+    verification (operators/checkpoint.py:lineage_metrics)."""
+    from vrl_spark.operators.checkpoint import lineage_metrics
+
+    df = weblog.load_pages(spark, sf_dir)
+    df = weblog.parse_stage(df)
+    df = weblog.enrich_stage(spark, df)
+    df = weblog.route_stage(df)
+    return lineage_metrics(
+        df,
+        [F.col("route"), F.date_trunc("hour", F.col("warc_ts")).alias("hour")],
+        F.col("text"),
+        [F.col(c) for c in
+         ("doc_id", "url", "route", "status_int", "bytes_int", "error")],
+    )
+
+
+# ---------------------------------------------------------------------
 # as-of enrichment: latest config version at-or-before each event
 # ---------------------------------------------------------------------
 # dim = 10 config versions per user (deterministic: version k goes
