@@ -328,3 +328,80 @@ def test_random_bytes(spark):
         misc.random_bytes(-1)
     with _pt.raises(ValueError):
         misc.random_bytes(64 * 1024 + 1)
+
+
+def test_tag_types_externally_static(spark):
+    """tag_types_externally.rs examples: nested scalars wrap in
+    {"<type>": value}; objects/arrays keep shape; null stays null."""
+    from pyspark.sql import types as T
+
+    from vrl_spark.functions import misc
+
+    df = spark.createDataFrame(
+        [
+            (123, "Hello world", 67.9, True,
+             ["foo", "bar"], {"k": 5}, ("inner", None)),
+            (None, None, None, None, None, None, (None, 2.5)),
+        ],
+        "i bigint, s string, f double, b boolean, arr array<string>, "
+        "m map<string,bigint>, st struct<a:string,d:double>",
+    )
+    out = df.select(
+        *[
+            misc.tag_types_externally(F.col(c), df.schema[c].dataType)
+            .alias(c)
+            for c in df.columns
+        ]
+    )
+    # output schema is the tagged shape, statically
+    assert (
+        out.schema["st"].dataType.simpleString()
+        == "struct<a:struct<string:string>,d:struct<float:double>>"
+    )
+    r0, r1 = out.orderBy(F.col("i").asc_nulls_last()).collect()
+    assert r0["i"].asDict() == {"integer": 123}
+    assert r0["s"].asDict() == {"string": "Hello world"}
+    assert r0["f"].asDict() == {"float": 67.9}
+    assert r0["b"].asDict() == {"boolean": True}
+    assert [x.asDict() for x in r0["arr"]] == [
+        {"string": "foo"}, {"string": "bar"}
+    ]
+    assert r0["m"]["k"].asDict() == {"integer": 5}
+    assert r0["st"]["a"].asDict() == {"string": "inner"}
+    assert r0["st"]["d"] is None          # null scalar stays null
+    assert r1["i"] is None and r1["arr"] is None and r1["m"] is None
+    assert r1["st"]["a"] is None
+    assert r1["st"]["d"].asDict() == {"float": 2.5}
+    # unsupported scalar (binary) rejects loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        misc.tag_types_externally(F.col("x"), T.BinaryType())
+
+
+def test_tag_types_externally_json(spark):
+    """Dynamic lane over JSON strings (reference examples verbatim)."""
+    from vrl_spark.functions import misc
+
+    rows = [
+        ('123', '{"integer":123}'),
+        ('{"message":"Hello world","request":{"duration_ms":67.9}}',
+         '{"message":{"string":"Hello world"},'
+         '"request":{"duration_ms":{"float":67.9}}}'),
+        ('["foo","bar"]', '[{"string":"foo"},{"string":"bar"}]'),
+        ('null', 'null'),
+        ('true', '{"boolean":true}'),
+        ('not json', None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rows)], "i int, j string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", misc.tag_types_externally_json(F.col("j")).alias("t")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(rows):
+        assert got[i] == want, (i, got[i], want)

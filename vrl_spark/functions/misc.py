@@ -103,6 +103,96 @@ def is_ipv6(col: Column) -> Column:
     return col.rlike(r"^(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}$")
 
 
+# --- tag_types_externally (src/stdlib/tag_types_externally.rs) --------
+
+_TAG_NAME = {
+    T.StringType: "string", T.LongType: "integer", T.IntegerType: "integer",
+    T.ShortType: "integer", T.ByteType: "integer",
+    T.DoubleType: "float", T.FloatType: "float", T.BooleanType: "boolean",
+    T.TimestampType: "timestamp",
+}
+
+
+def tag_types_externally(col: Column, dtype: T.DataType) -> Column:
+    """Static-schema tag_types_externally
+    (src/stdlib/tag_types_externally.rs:105-138): every nested scalar
+    becomes a one-field struct keyed by its VRL type name; objects and
+    arrays keep their shape with tagged members; null stays null.
+
+    Pure Column recursion over the Catalyst type — structs rebuild
+    field-wise, arrays via ``transform``, maps via ``transform_values``
+    — so the whole rewrite stays in whole-stage codegen (zero Python).
+    The output type is itself static: e.g. ``struct<a:string>`` maps to
+    ``struct<a:struct<string:string>>``."""
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                tag_types_externally(col.getField(f.name), f.dataType)
+                .alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        elem = dtype.elementType
+        return F.transform(col, lambda x: tag_types_externally(x, elem))
+    if isinstance(dtype, T.MapType):
+        val = dtype.valueType
+        return F.transform_values(
+            col, lambda _k, v: tag_types_externally(v, val)
+        )
+    if isinstance(dtype, T.NullType):
+        return col
+    tag = _TAG_NAME.get(type(dtype))
+    if tag is None:
+        raise ValueError(
+            f"tag_types_externally: unsupported scalar type {dtype}"
+        )
+    # a NULL scalar is VRL Null — untagged (reference :130), not
+    # {tag: null}; F.when projects the same struct type either way
+    return F.when(col.isNotNull(), F.struct(col.alias(tag)))
+
+
+def tag_types_externally_json(col: Column) -> Column:
+    """Dynamic (JSON-string lane) tag_types_externally: walk a parsed
+    JSON document of unknown shape and wrap every scalar in its
+    ``{"<type>": value}`` tag, preserving key order. Arrow-batched —
+    the per-row Python walk is the cost of true dynamism; schema-known
+    inputs should use the static lane above."""
+    import json
+
+    @F.pandas_udf("string")
+    def _tag(s: pd.Series) -> pd.Series:
+        def walk(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return {"boolean": v}
+            if isinstance(v, int):
+                return {"integer": v}
+            if isinstance(v, float):
+                return {"float": v}
+            if isinstance(v, str):
+                return {"string": v}
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            return {k: walk(x) for k, x in v.items()}
+
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                doc = json.loads(txt)
+            except ValueError:
+                return None  # fallible expression: error lane is NULL
+            return json.dumps(
+                walk(doc), separators=(",", ":"), ensure_ascii=False
+            )
+
+        return s.map(one)
+
+    return _tag(col)
+
+
 # --- ids ---------------------------------------------------------------
 
 

@@ -45,7 +45,19 @@ SELECT event_id,
   -- VRL to_string(float): trailing .0 normalized away
   regexp_replace(CAST(f AS VARCHAR), '\\.0$', '') AS str_val,
   -- parse_json field extraction on events.props
-  TRY_CAST(props->>'$.k' AS BIGINT) AS k
+  TRY_CAST(props->>'$.k' AS BIGINT) AS k,
+  -- tag_types_externally, static lane: the tagged struct serialized
+  -- to JSON; the oracle CONSTRUCTS the byte-exact string
+  '{"id":{"integer":' || event_id || '},"name":{"string":"ev-'
+    || event_id || '"},"flag":{"boolean":'
+    || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+    || '},"score":{"float":' || (event_id % 4)
+    || '.5},"tags":[{"string":"a"},{"string":"b' || (event_id % 3)
+    || '"}],"missing":null}' AS tagged_json,
+  -- tag_types_externally, dynamic lane over a derived JSON doc
+  '{"a":{"integer":' || (event_id % 50)
+    || '},"b":[{"string":"x"},{"boolean":true}],"c":null}'
+    AS tagged_dyn
 FROM derived
 """
 
@@ -53,9 +65,12 @@ FROM derived
 @register("vrl_coercions_json", _COERCE_ORACLE)
 def vrl_coercions_json(spark, sf_dir):
     """Coercion cascade (to_int/to_bool/to_float/to_string) +
-    parse_json field extraction, one map-only select over events
-    (merged r3 queries vrl_coercions + vrl_parse_json — the driver's
-    correctness check covers at most 50 registry entries)."""
+    parse_json field extraction + tag_types_externally (both lanes),
+    one map-only select over events (merged r3 queries vrl_coercions +
+    vrl_parse_json — the driver's correctness check covers at most 50
+    registry entries)."""
+    from vrl_spark.functions import misc
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = F.col("event_id")
     s = (
@@ -65,6 +80,27 @@ def vrl_coercions_json(spark, sf_dir):
     b = F.when(e % 4 == 0, "yes").when(e % 4 == 1, "0").when(e % 4 == 2, "banana")
     from pyspark.sql import types as T
 
+    payload = F.struct(
+        e.alias("id"),
+        F.concat(F.lit("ev-"), e).alias("name"),
+        (e % 2 == 0).alias("flag"),
+        ((e % 4).cast("double") + 0.5).alias("score"),
+        F.array(F.lit("a"), F.concat(F.lit("b"), e % 3)).alias("tags"),
+        F.lit(None).cast("string").alias("missing"),
+    )
+    payload_t = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("missing", T.StringType()),
+        ]
+    )
+    dyn_doc = F.concat(
+        F.lit('{"a":'), e % 50, F.lit(',"b":["x",true],"c":null}')
+    )
     return ev.select(
         e.alias("event_id"),
         coerce.to_int(s, T.StringType()).alias("int_val"),
@@ -72,6 +108,11 @@ def vrl_coercions_json(spark, sf_dir):
         coerce.to_float(F.col("value"), T.DoubleType()).alias("float_val"),
         coerce.to_string(F.col("value"), T.DoubleType()).alias("str_val"),
         P.parse_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+        F.to_json(
+            misc.tag_types_externally(payload, payload_t),
+            {"ignoreNullFields": "false"},
+        ).alias("tagged_json"),
+        misc.tag_types_externally_json(dyn_doc).alias("tagged_dyn"),
     )
 
 
