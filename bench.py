@@ -81,7 +81,11 @@ PREV_ROUND_REF = {
     "events_sessionize": 0.46,
     "events_windowed": 0.36,
     "similarity_topk": 1.23,
-    "vrl_coercions_json": 0.52,          # vrl_coercions + vrl_parse_json
+    "vrl_coercions_json": 2.2,           # vrl_coercions + vrl_parse_json
+                                         # + r4 tag_types_externally cols
+                                         # (dynamic lane = per-row json
+                                         # walk; measured clean 2.18,
+                                         # was 0.52 pre-tagging)
     "vrl_parse_url_etld": 1.55,          # vrl_parse_url + vrl_parse_etld
     "vrl_syslog_suite": 0.65,            # vrl_parse_syslog + vrl_syslog
     "vrl_math_ip_enrich": 1.86,          # vrl_math_ip + vrl_enrichment_range
@@ -124,6 +128,9 @@ PREV_ROUND_REF = {
     "text_tfidf": 2.9,                   # r4 clean first measurement
     "similarity_ivf_ann": 1.9,           # r4 clean first measurement
     "multimodal_features": 1.0,          # r4 clean first measurement
+    "pipeline_lineage_metrics": 2.5,     # r4 clean first measurement
+                                         # (oracle pins the md5 engine;
+                                         # production xxh64 is cheaper)
 }
 
 

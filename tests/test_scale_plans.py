@@ -216,3 +216,37 @@ def test_new_textops_plan_shapes(spark, sf_dir):
     # line dedup: bounded relational pipeline, no Python
     plan = plan_of(qs["text_line_dedup"](spark, sf_dir))
     assert plan.count("Exchange") <= 5 and "EvalPython" not in plan
+
+
+def test_lineage_metrics_plan_shape(spark, sf_dir):
+    """Lineage manifest aggregation: exactly one shuffle (map-side
+    partial agg on the route/hour keys), zero Python, and the
+    xxh64 production fingerprint stays a native JVM expression."""
+    from vrl_spark import registry
+    from vrl_spark.operators.checkpoint import lineage_metrics
+    from vrl_spark.plans import weblog
+
+    qs = registry.queries()
+    plan = plan_of(qs["pipeline_lineage_metrics"](spark, sf_dir))
+    # one shuffle exchange; the second Exchange is the broadcast of
+    # the 15-row enrichment dim
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert plan.count("BroadcastExchange") == 1
+    assert "EvalPython" not in plan
+    assert "partial_bit_xor" in plan or "bit_xor" in plan
+    # production engine: xxhash64 directly over typed columns
+    df = weblog.route_stage(
+        weblog.enrich_stage(
+            spark, weblog.parse_stage(weblog.load_pages(spark, sf_dir))
+        )
+    )
+    from pyspark.sql import functions as F
+
+    prod = lineage_metrics(
+        df, [F.col("route")], F.col("text"),
+        [F.col("doc_id"), F.col("url")],
+    )
+    pplan = plan_of(prod)
+    assert "xxhash64" in pplan and "md5" not in pplan
+    assert pplan.count("Exchange") - pplan.count("BroadcastExchange") == 1
+    assert "EvalPython" not in pplan

@@ -155,6 +155,9 @@ def pipeline_lineage_metrics(spark, sf_dir):
         F.col("text"),
         [F.col(c) for c in
          ("doc_id", "url", "route", "status_int", "bytes_int", "error")],
+        # the oracle pins the portable md5 engine; production default
+        # is JVM-native xxh64 (see lineage_fingerprint)
+        engine="md5",
     )
 
 
