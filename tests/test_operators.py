@@ -158,6 +158,25 @@ def test_ivf_topk_recall_and_exactness(spark, sf_dir):
     assert full_set == set(exact_map)
     with pytest.raises(ValueError):
         similarity.ivf_topk(emb, q, n_lists=4, nprobe=5)
+    # trained quantizer (k-means-refined lists): hits stay exact-
+    # scored, recall clears the same floor, and because the lists
+    # still PARTITION the corpus, nprobe=n_lists stays exhaustive
+    trained = similarity.ivf_topk(
+        emb, q, n_lists=8, nprobe=3, k=3, train_iterations=2
+    ).collect()
+    hit_t = 0
+    for r in trained:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_map:
+            hit_t += 1
+            assert r["cos_sim"] == pytest.approx(exact_map[key], abs=1e-6)
+    assert hit_t >= len(exact_map) // 3
+    full_t = similarity.ivf_topk(
+        emb, q, n_lists=8, nprobe=8, k=3, train_iterations=2
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full_t} == set(
+        exact_map
+    )
 
 
 def test_textstats(spark):

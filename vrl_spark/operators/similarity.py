@@ -271,6 +271,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k cosine neighbors: corpus vectors are
     bucketed into ``n_lists`` inverted lists by nearest sampled
@@ -285,10 +286,26 @@ def ivf_topk(
     Inverted lists are disjoint, so probed candidates need no dedup.
     Skewed lists (a hot centroid) bound per-task work at
     corpus/n_lists x skew — raise n_lists with corpus size exactly
-    like LSH band count."""
+    like LSH band count.
+
+    ``train_iterations > 0`` refines the sampled centroids with that
+    many Lloyd k-means rounds before building the lists (FAISS trains
+    its coarse quantizer exactly this way) — lists get balanced and
+    recall at a given nprobe improves; the oracle path keeps the
+    training-free sample (0) which DuckDB can replicate."""
     if not 1 <= nprobe <= n_lists:
         raise ValueError(f"need 1 <= nprobe <= n_lists, got {nprobe}")
-    cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    if train_iterations > 0:
+        from vrl_spark.operators.clustering import kmeans
+
+        stats: dict = {}
+        kmeans(
+            corpus, n_lists, iterations=train_iterations,
+            id_col=id_col, vec_col=vec_col, stats=stats,
+        )
+        cents = stats["centroids"]
+    else:
+        cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
