@@ -1168,3 +1168,53 @@ def test_hits_zero_iterations_rejected(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         hits(edges, iterations=0)
+
+
+def test_embedding_quantization_roundtrip(spark, sf_dir):
+    """int8 quantization: bounded reconstruction error (half-step =
+    scale/2 per element), cosine on int arrays tracks float cosine,
+    and the whole path is JVM-only."""
+    from vrl_spark.operators.similarity import (
+        cosine, dequantize_embedding, quantize_embedding,
+        quantized_cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    q = emb.select(
+        "vec_id", "embedding",
+        quantize_embedding(F.col("embedding")).alias("qe"),
+    )
+    # every element's reconstruction error <= scale/2 (+eps)
+    bad = q.select(
+        F.zip_with(
+            F.col("embedding"), dequantize_embedding(F.col("qe")),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+        F.col("qe").getField("scale").alias("s"),
+    ).select(
+        F.array_max(F.col("err")).alias("maxerr"), "s"
+    ).where(F.col("maxerr") > F.col("s") / 2 + 1e-6)
+    assert bad.count() == 0
+    # quantized cosine approximates float cosine closely
+    pairs = (
+        q.alias("a").join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .limit(500)
+        .select(
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cf"),
+            quantized_cosine(
+                F.col("a.qe").getField("q"), F.col("b.qe").getField("q")
+            ).alias("cq"),
+        )
+    )
+    maxdiff = pairs.agg(
+        F.max(F.abs(F.col("cf") - F.col("cq")))
+    ).collect()[0][0]
+    assert maxdiff < 0.02, maxdiff
+    # all-JVM: no Python evaluation anywhere in the quantized plan
+    from tests.test_scale_plans import plan_of
+
+    assert "EvalPython" not in plan_of(pairs)
+    # zero vector: scale guard yields q of zeros, scale 1
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id int, embedding array<float>")
+    r = z.select(quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
+    assert list(r["q"]) == [0, 0, 0] and r["scale"] == 1.0

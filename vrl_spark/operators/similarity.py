@@ -194,6 +194,73 @@ def cosine_dedup_pairs(
 
 
 # ---------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------
+
+
+def quantize_embedding(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: returns
+    struct(q: array<tinyint>, scale: float) with
+    ``value ~= q * scale`` and scale = max|v| / 127.
+
+    The 100 TB lever for embedding columns: 4x less parquet IO and
+    shuffle width than float32, and cosine is SCALE-INVARIANT, so
+    similarity search runs directly on the int8 arrays with no
+    dequantization (see ``quantized_cosine``). Pure JVM expressions;
+    ``bind`` keeps the max|v| subexpression from re-evaluating per
+    element inside the transform lambda."""
+    from vrl_spark.functions.parse import bind
+
+    def body(v: Column) -> Column:
+        mx = F.array_max(F.transform(v, F.abs))
+        scale = bind(
+            F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0)),
+            lambda s: F.struct(
+                F.transform(
+                    v, lambda x: F.round(x / s).cast("tinyint")
+                ).alias("q"),
+                s.cast("float").alias("scale"),
+            ),
+        )
+        return scale
+
+    return bind(vec, body)
+
+
+def dequantize_embedding(qstruct: Column) -> Column:
+    """Inverse of ``quantize_embedding`` (lossy): q * scale as
+    array<float>."""
+    from vrl_spark.functions.parse import bind
+
+    return bind(
+        qstruct,
+        lambda qs: F.transform(
+            qs.getField("q"),
+            lambda x: (x.cast("float") * qs.getField("scale")),
+        ),
+    )
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over two int8 arrays (the ``q`` field of quantized
+    embeddings). Scales cancel: cos(s_a*qa, s_b*qb) = cos(qa, qb) —
+    integer dot products, no dequantization, no float arrays."""
+    from vrl_spark.functions.parse import bind
+    from vrl_spark.operators.similarity import dot, norm
+
+    def body(a: Column) -> Column:
+        def inner(b: Column) -> Column:
+            af = F.transform(a, lambda x: x.cast("double"))
+            bf = F.transform(b, lambda x: x.cast("double"))
+            return dot(af, bf) / (norm(af) * norm(bf))
+
+        return bind(qb, inner)
+
+    return bind(qa, body)
+
+
+
+# ---------------------------------------------------------------------
 # IVF-Flat approximate nearest neighbors
 # ---------------------------------------------------------------------
 
