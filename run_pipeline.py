@@ -61,7 +61,14 @@ def main() -> int:
 
         shutil.rmtree(run.manifest_dir, ignore_errors=True)
     hours = [r["part"] for r in routed.select("part").distinct().collect()]
-    summary = run.run(spark, routed, sorted(hours))
+    # manifest rows carry bytes + the order-independent xxh64 content
+    # fingerprint: a resumed run re-certifies identical partitions
+    summary = run.run(
+        spark, routed, sorted(hours),
+        payload_col="url",
+        fp_cols=["doc_id", "url", "route", "status_int", "bytes_int",
+                 "error"],
+    )
 
     # per-sink aggregates (idempotent overwrite)
     agg = weblog.aggregate_stage(df)
