@@ -85,6 +85,56 @@ def test_stream_fanout_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_in
 
 
+def test_stream_fanout_lineage_manifest(spark, sf_dir, tmp_path):
+    """lineage=True commits per-(batch, route) rows/bytes/fingerprint
+    manifests that exactly match an independent recompute over what
+    landed on disk — the streaming mirror of CheckpointedRun."""
+    import glob
+    import json
+    import os
+
+    from vrl_spark.operators.checkpoint import lineage_metrics
+
+    pages_path = _prep_pages(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    fp_cols = ["doc_id", "route", "bytes_int"]
+
+    stream = stream_from_directory(spark, pages_path, max_files_per_trigger=3)
+    routed = stream_pipeline(spark, stream).select(
+        "doc_id", "route", "bytes_int", "warc_ts"
+    )
+    q = write_fanout(routed, out, ckpt, lineage=True, fp_cols=fp_cols).start()
+    q.awaitTermination(120)
+
+    manifests = sorted(glob.glob(os.path.join(out, "_lineage", "*.json")))
+    assert manifests, "no lineage manifests committed"
+    total_rows = 0
+    written = spark.read.parquet(out)
+    for mpath in manifests:
+        m = json.load(open(mpath))
+        part = written.where(F.col("batch_id") == m["batch_id"])
+        recomputed = {
+            r["route"]: r
+            for r in lineage_metrics(
+                part,
+                [F.col("route")],
+                F.concat_ws(
+                    "", *[F.col(c).cast("string") for c in fp_cols]
+                ),
+                [F.col(c) for c in fp_cols],
+            ).collect()
+        }
+        assert set(recomputed) == set(m["routes"])
+        for route, want in m["routes"].items():
+            got = recomputed[route]
+            assert got["n_rows"] == want["rows"]
+            assert got["n_bytes"] == want["bytes"]
+            assert got["fingerprint"] == want["fingerprint"]
+            total_rows += want["rows"]
+    assert total_rows == spark.read.parquet(pages_path).count()
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions emitted
     across micro-batches match the batch gap-sessionization on the

@@ -63,7 +63,10 @@ def windowed_counts(
     )
 
 
-def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
+def write_fanout(
+    routed: DataFrame, out_dir: str, checkpoint_dir: str,
+    lineage: bool = False, fp_cols: list[str] | None = None,
+):
     """Multi-sink fan-out, idempotent under micro-batch REPLAY.
 
     foreachBatch is at-least-once: after a failure the same batch_id
@@ -72,7 +75,17 @@ def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
     (batch_id, route) with DYNAMIC partition overwrite: a replayed
     batch overwrites exactly its own batch_id partitions and leaves
     every other batch untouched — the classic exactly-once-effect
-    recipe for foreachBatch file sinks."""
+    recipe for foreachBatch file sinks.
+
+    ``lineage=True`` additionally commits one manifest row per
+    (batch_id, route) — rows, payload bytes, and the order-independent
+    xxh64 content fingerprint over ``fp_cols`` — AFTER the data write,
+    mirroring the batch CheckpointedRun contract: a replayed batch
+    overwrites its own manifest file with identical content (same
+    input rows -> same fingerprint), so the manifest stays truthful
+    under at-least-once delivery."""
+    import json as _json
+    import os as _os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -82,6 +95,38 @@ def write_fanout(routed: DataFrame, out_dir: str, checkpoint_dir: str):
             .partitionBy("batch_id", "route")
             .parquet(out_dir)
         )
+        if lineage:
+            from vrl_spark.operators.checkpoint import lineage_metrics
+
+            cols = fp_cols or [
+                c for c in batch_df.columns if c != "route"
+            ]
+            rows = lineage_metrics(
+                batch_df,
+                [F.col("route")],
+                F.concat_ws("", *[F.col(c).cast("string") for c in cols]),
+                [F.col(c) for c in cols],
+            ).collect()
+            mdir = _os.path.join(out_dir, "_lineage")
+            _os.makedirs(mdir, exist_ok=True)
+            path = _os.path.join(mdir, f"batch-{batch_id}.json")
+            tmp = _os.path.join(mdir, f".batch-{batch_id}.json.tmp")
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {
+                        "batch_id": batch_id,
+                        "routes": {
+                            r["route"]: {
+                                "rows": r["n_rows"],
+                                "bytes": r["n_bytes"],
+                                "fingerprint": r["fingerprint"],
+                            }
+                            for r in rows
+                        },
+                    },
+                    f,
+                )
+            _os.replace(tmp, path)
 
     return (
         routed.writeStream.foreachBatch(write_batch)
