@@ -116,7 +116,8 @@ PREV_ROUND_REF = {
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
     "events_asof": 0.76,
-    "text_line_dedup": 1.37,
+    "text_line_dedup": 3.1,             # + r4 span_dedup chain (clean
+                                        # 3.07; was 1.37 line-only)
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
     "text_domain_stats": 0.43,

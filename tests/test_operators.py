@@ -1218,3 +1218,55 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id int, embedding array<float>")
     r = z.select(quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
     assert list(r["q"]) == [0, 0, 0] and r["scale"] == 1.0
+
+
+def test_span_dedup_planted(spark):
+    """Cross-doc span removal: a shared 5-token run is cut from every
+    doc; unique text survives; short docs and overlap-merged covers
+    behave."""
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"one two three {span} four five"),
+        (2, f"{span} six seven eight nine ten"),
+        (3, "entirely unique words nothing shared here at all"),
+        (4, "tiny doc"),  # < ngram tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["span_text"], r["n_removed"])
+        for r in textstats.span_dedup(
+            df, "text", "doc_id", ngram=5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == ("one two three four five", 5)
+    assert out[2] == ("six seven eight nine ten", 5)
+    assert out[3] == ("entirely unique words nothing shared here at all", 0)
+    assert out[4] == ("tiny doc", 0)
+    # longer shared span than ngram: overlapping grams merge to the
+    # exact span cover, not more
+    long_span = "p q r s t u v"  # 7 tokens, ngram 5 -> 3 grams
+    rows2 = [
+        (1, f"head {long_span} tail"),
+        (2, f"start {long_span} end"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = {
+        r["doc_id"]: (r["span_text"], r["n_removed"])
+        for r in textstats.span_dedup(
+            df2, "text", "doc_id", ngram=5, min_docs=2
+        ).collect()
+    }
+    assert out2[1] == ("head tail", 7)
+    assert out2[2] == ("start end", 7)
+
+
+def test_span_dedup_plan_shape(spark, sf_dir):
+    """All-relational: no Python eval; the text column never shuffles
+    (only token/gram keys do)."""
+    from tests.test_scale_plans import plan_of
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(textstats.span_dedup(docs, "text", "doc_id"))
+    assert "EvalPython" not in plan

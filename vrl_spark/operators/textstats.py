@@ -397,6 +397,124 @@ def line_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_docs: int = 2,
+    out_col: str = "span_text",
+    engine: str = "xxh",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal: any run of ``ngram``
+    consecutive tokens that appears in >= ``min_docs`` distinct
+    documents is cut from every document (the n-gram approximation of
+    suffix-array substring dedup a la "Deduplicating Training Data
+    Makes Language Models Better" — exact on spans >= ngram tokens).
+    Overlapping flagged grams merge naturally: a duplicated span of
+    length L >= ngram yields L-ngram+1 flagged grams whose position
+    cover is exactly the span. Surviving tokens rejoin space-separated
+    in original order.
+
+    Returns (id, out_col, n_removed) — n_removed counts tokens.
+
+    ``engine``: gram identity for the corpus-wide count.
+    ``"xxh"`` (default) hashes each token slice with xxhash64 — an
+    8-byte shuffle key instead of a ~50-byte gram string; a 64-bit
+    collision falsely merging two grams is ~1e-7 at millions of
+    grams. ``"exact"`` uses the joined gram string — collision-free.
+    (Hashed grams + the map-side rebuild below measured the sf0.1
+    vehicle 4.87 -> 3.07 s vs string grams + token-grain anti-join.)
+
+    Scale shape (all relational; TOKENS NEVER SHUFFLE): tokenize once
+    -> gram table via slice -> countDistinct docs per gram (8-byte
+    keys, map-side partial) -> join flagged grams back -> fold covered
+    positions to one small int-set per doc (id-key shuffle of ints)
+    -> join that set back to the doc row and rebuild MAP-SIDE with an
+    O(1) per-token map lookup. The text/token columns stay where the
+    scan put them; only gram hashes and covered positions cross the
+    wire."""
+    if engine not in ("xxh", "exact"):
+        raise ValueError(f"unknown span_dedup engine {engine!r}")
+    toks_arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks_arr.alias("_toks"))
+    # sequence(0, -k) is DESCENDING, not empty — guard short docs
+    starts = F.when(
+        F.size(F.col("_toks")) >= ngram,
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    sl = F.slice(F.col("_toks"), F.col("_start") + 1, ngram)
+    gram_key = (
+        F.xxhash64(sl) if engine == "xxh" else F.array_join(sl, " ")
+    )
+    grams = base.select(
+        F.col(id_col), F.col("_toks"), F.explode(starts).alias("_start")
+    ).select(
+        F.col(id_col),
+        F.col("_start"),
+        gram_key.alias("_gram"),
+    )
+    flagged = (
+        grams.groupBy("_gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("_gram")
+    )
+    covered = (
+        grams.join(flagged, "_gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + ngram - 1)
+            ).alias("_pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("_pos")).alias("_cov"))
+    )
+    from vrl_spark.functions.parse import bind
+
+    def rebuild(toks_ref: Column) -> Column:
+        cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+        covmap = F.map_from_arrays(
+            cov, F.array_repeat(F.lit(True), F.size(cov))
+        )
+
+        def with_map(m: Column) -> Column:
+            idx = F.filter(
+                F.transform(
+                    toks_ref,
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                ),
+                lambda s: F.try_element_at(m, s.getField("i")).isNull(),
+            )
+            return F.struct(
+                F.array_join(
+                    F.transform(idx, lambda s: s.getField("t")), " "
+                ).alias("txt"),
+                F.size(idx).alias("kept"),
+            )
+
+        # bind: the map is referenced once per TOKEN inside the filter
+        # lambda — without the barrier it would be rebuilt per element
+        return bind(covmap, with_map)
+
+    joined = base.join(covered, id_col, "left")
+    out = joined.select(
+        F.col(id_col),
+        F.size(F.col("_toks")).alias("_total"),
+        bind(F.col("_toks"), rebuild).alias("_r"),
+    )
+    return out.select(
+        id_col,
+        F.col("_r").getField("txt").alias(out_col),
+        (F.col("_total") - F.col("_r").getField("kept"))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

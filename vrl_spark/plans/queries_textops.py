@@ -1202,11 +1202,15 @@ _NAV = "NAVIGATION: home | products | about | contact us today"
 _FOOT = "COPYRIGHT 2024 example corp all rights reserved worldwide"
 _PROMO = "SUBSCRIBE to our newsletter for weekly updates and offers"
 
+_SPAN = ("limited time offer click here now to claim your free "
+         "prize today")
+
 _LINE_DEDUP_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
     CASE WHEN doc_id % 2 = 0 THEN '{_NAV}' ELSE 'short' END || chr(10)
     || text
+    || CASE WHEN doc_id % 7 = 0 THEN ' {_SPAN}' ELSE '' END
     || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FOOT}' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_PROMO}' ELSE '' END
     AS text
@@ -1227,15 +1231,58 @@ reb AS (
          COUNT(*) AS k
   FROM kept GROUP BY doc_id
 ),
-tot AS (SELECT doc_id, len(ls) AS n FROM s)
-SELECT tot.doc_id, COALESCE(reb.cleaned, '') AS cleaned,
-       CAST(tot.n - COALESCE(reb.k, 0) AS BIGINT) AS n_removed
-FROM tot LEFT JOIN reb USING (doc_id)
+tot AS (SELECT doc_id, len(ls) AS n FROM s),
+ld AS (
+  SELECT tot.doc_id, COALESCE(reb.cleaned, '') AS cleaned,
+         CAST(tot.n - COALESCE(reb.k, 0) AS BIGINT) AS n_removed
+  FROM tot LEFT JOIN reb USING (doc_id)
+),
+-- span dedup over the line-deduped text (8-token grams, >= 2 docs)
+sw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(cleaned, '\\s+'), x -> x != '') AS w
+  FROM ld
+),
+stok AS (
+  SELECT doc_id, g.i AS pos, w[g.i] AS tok
+  FROM sw, UNNEST(generate_series(1, len(w))) AS g(i)
+),
+sgr AS (
+  SELECT doc_id, s.i AS start,
+         array_to_string(w[s.i : s.i + 7], ' ') AS gram
+  FROM sw, UNNEST(generate_series(1, len(w) - 7)) AS s(i)
+),
+sfl AS (
+  SELECT gram FROM sgr GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+scov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, UNNEST(generate_series(start, start + 7)) AS pos
+    FROM sgr SEMI JOIN sfl USING (gram)
+  )
+),
+skept AS (
+  SELECT doc_id, pos, tok FROM stok ANTI JOIN scov USING (doc_id, pos)
+),
+sreb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS span_text,
+         COUNT(*) AS k
+  FROM skept GROUP BY doc_id
+),
+stot AS (SELECT doc_id, len(w) AS n FROM sw)
+SELECT ld.doc_id, ld.cleaned, ld.n_removed,
+       COALESCE(sreb.span_text, '') AS span_text,
+       CAST(stot.n - COALESCE(sreb.k, 0) AS BIGINT) AS n_span_removed
+FROM ld JOIN stot USING (doc_id) LEFT JOIN sreb USING (doc_id)
 """
 
 
 @register("text_line_dedup", _LINE_DEDUP_ORACLE)
 def text_line_dedup(spark, sf_dir):
+    """Boilerplate line removal, then duplicated-SPAN removal over the
+    cleaned text (8-token grams shared by >= 2 docs — planted inline
+    on doc_id % 7 so it survives the line pass and only the span pass
+    can catch it)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -1245,12 +1292,17 @@ def text_line_dedup(spark, sf_dir):
         F.concat(
             F.when(d % 2 == 0, _NAV).otherwise("short"), F.lit("\n"),
             F.col("text"),
+            F.when(d % 7 == 0, F.lit(" " + _SPAN)).otherwise(""),
             F.when(d % 3 == 0, F.concat(F.lit("\n"), F.lit(_FOOT))).otherwise(""),
             F.when(d % 5 == 0, F.concat(F.lit("\n"), F.lit(_PROMO))).otherwise(""),
         ).alias("text"),
     )
-    return textstats.line_dedup(planted, "text", "doc_id",
-                                min_docs=2, min_chars=10)
+    ld = textstats.line_dedup(planted, "text", "doc_id",
+                              min_docs=2, min_chars=10)
+    sd = textstats.span_dedup(
+        ld, "cleaned", "doc_id", ngram=8, min_docs=2
+    ).withColumnRenamed("n_removed", "n_span_removed")
+    return ld.join(sd, "doc_id")
 
 
 # ---------------------------------------------------------------------
