@@ -750,6 +750,26 @@ def test_curate_corpus_optional_scrub_stages(spark):
         minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
     )
     assert gated.count() == 0
+    # span stage: an inline shared 6-token tail survives the line pass
+    # (each line is unique) but the span pass cuts it before counting
+    spanned = curate_corpus(
+        df.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" shared inline promo span appears everywhere"),
+            ).alias("text"),
+        ),
+        min_tokens=5, max_tokens=5000,
+        strip_boilerplate_min_docs=2, strip_spans_ngram=6, scrub_pii=True,
+        minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
+    ).collect()
+    assert len(spanned) == 8
+    # the span pass removes the entire shared tail: 'mail me at
+    # bob@example.com' (already identical across docs) + the planted
+    # 6-token promo = 10 tokens, leaving the 30 unique body words.
+    # (overlapping 6-grams chain through the whole shared suffix)
+    assert all(r["n_tokens"] == 30 for r in spanned)
 
 
 def test_gopher_rules_vectors(spark):

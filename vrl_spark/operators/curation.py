@@ -42,6 +42,7 @@ def curate_corpus(
     pack_budget: int = 512,
     minhash_kwargs: dict | None = None,
     strip_boilerplate_min_docs: int | None = None,
+    strip_spans_ngram: int | None = None,
     scrub_pii: bool = False,
     gopher_filter: bool = False,
 ) -> DataFrame:
@@ -61,6 +62,14 @@ def curate_corpus(
             df, text_col, id_col, min_docs=strip_boilerplate_min_docs,
             out_col="_cleaned",
         ).withColumnRenamed("_cleaned", text_col)
+    if strip_spans_ngram is not None:
+        # cross-doc duplicated-span removal AFTER line stripping (the
+        # line pass catches whole-line boilerplate cheaply; the span
+        # pass catches inline duplication the line pass can't see)
+        df = textstats.span_dedup(
+            df, text_col, id_col, ngram=strip_spans_ngram,
+            out_col="_spanned",
+        ).withColumnRenamed("_spanned", text_col)
     if scrub_pii:
         from vrl_spark.operators import pii as _pii
 
