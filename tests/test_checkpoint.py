@@ -108,3 +108,13 @@ def test_manifest_lineage_fingerprint(spark, tmp_path):
         spark, df3, 0, payload_col="txt", fp_cols=["id", "v", "txt"]
     )
     assert m3["fingerprint"] != m["fingerprint"]
+    # duplicate-pair sensitivity (the reason the fold is a modular
+    # SUM, not bit_xor, where h XOR h = 0 would cancel): adding two
+    # identical copies of a row must change the fingerprint
+    dup_rows = df.where(F.col("id") == 4)
+    df4 = df.union(dup_rows).union(dup_rows)
+    m4 = CheckpointedRun(str(tmp_path / "out4")).run_partition(
+        spark, df4, 0, payload_col="txt", fp_cols=["id", "v", "txt"]
+    )
+    assert m4["rows"] == 27
+    assert m4["fingerprint"] != m["fingerprint"]

@@ -101,3 +101,26 @@ def test_assignment_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+
+def test_spherical_kmeans_unit_centroids(spark):
+    """spherical=True: centroids stay on the unit sphere and the
+    assignment matches cosine argmax (magnitude is ignored)."""
+    import math
+
+    # same directions, wildly different magnitudes
+    rows = [
+        (1, [10.0, 0.0]), (2, [0.1, 0.0]), (3, [700.0, 7.0]),
+        (4, [0.0, 3.0]), (5, [0.0, 0.02]), (6, [0.3, 30.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    stats = {}
+    out = kmeans(df, k=2, iterations=8, spherical=True, stats=stats)
+    labels = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # x-direction vectors cluster together regardless of magnitude
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[4] == labels[5] == labels[6]
+    assert labels[1] != labels[4]
+    for r in stats["centroids"].collect():
+        n = math.sqrt(sum(x * x for x in r["centroid_vec"]))
+        assert n == pytest.approx(1.0, abs=1e-5)

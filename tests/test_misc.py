@@ -372,6 +372,17 @@ def test_tag_types_externally_static(spark):
     assert r1["i"] is None and r1["arr"] is None and r1["m"] is None
     assert r1["st"]["a"] is None
     assert r1["st"]["d"].asDict() == {"float": 2.5}
+    # a NULL struct column stays null (VRL Null), never a struct of
+    # tagged nulls
+    ndf = spark.createDataFrame(
+        [(None,)], "st struct<a:string,d:double>"
+    )
+    nr = ndf.select(
+        misc.tag_types_externally(
+            F.col("st"), ndf.schema["st"].dataType
+        ).alias("st")
+    ).collect()[0]
+    assert nr["st"] is None
     # unsupported scalar (binary) rejects loudly
     import pytest as _pt
 

@@ -1234,10 +1234,21 @@ def test_embedding_quantization_roundtrip(spark, sf_dir):
     from tests.test_scale_plans import plan_of
 
     assert "EvalPython" not in plan_of(pairs)
-    # zero vector: scale guard yields q of zeros, scale 1
-    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id int, embedding array<float>")
-    r = z.select(quantize_embedding(F.col("embedding")).alias("qe")).collect()[0]["qe"]
+    # zero vector: scale guard yields q of zeros, scale 1; and
+    # quantized_cosine must not DIVIDE_BY_ZERO under ANSI on it
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    qz = z.select("vec_id", quantize_embedding(F.col("embedding")).alias("qe"))
+    r = qz.where(F.col("vec_id") == 1).collect()[0]["qe"]
     assert list(r["q"]) == [0, 0, 0] and r["scale"] == 1.0
+    zc = qz.alias("a").join(qz.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        quantized_cosine(
+            F.col("a.qe").getField("q"), F.col("b.qe").getField("q")
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert zc == 0.0
 
 
 def test_span_dedup_planted(spark):

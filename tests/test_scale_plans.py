@@ -213,9 +213,12 @@ def test_new_textops_plan_shapes(spark, sf_dir):
     plan = plan_of(qs["events_asof"](spark, sf_dir))
     assert plan.count("Exchange") == 2 and "EvalPython" not in plan
     assert "Join" not in plan
-    # line dedup: bounded relational pipeline, no Python
+    # line+span dedup chain: bounded relational pipeline, no Python.
+    # The span pass adds the gram count/join/cover subplans on top of
+    # the line pass (ld feeds the span base and rides keep_cols — no
+    # self-join re-execution of the line subplan).
     plan = plan_of(qs["text_line_dedup"](spark, sf_dir))
-    assert plan.count("Exchange") <= 5 and "EvalPython" not in plan
+    assert plan.count("Exchange") <= 22 and "EvalPython" not in plan
 
 
 def test_lineage_metrics_plan_shape(spark, sf_dir):
@@ -233,7 +236,6 @@ def test_lineage_metrics_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert plan.count("BroadcastExchange") == 1
     assert "EvalPython" not in plan
-    assert "partial_bit_xor" in plan or "bit_xor" in plan
     # production engine: xxhash64 directly over typed columns
     df = weblog.route_stage(
         weblog.enrich_stage(

@@ -105,11 +105,11 @@ def is_ipv6(col: Column) -> Column:
 
 # --- tag_types_externally (src/stdlib/tag_types_externally.rs) --------
 
+# scalar tag names derive from the one kind table above; the narrow
+# int types VRL also calls "integer" are added here only
 _TAG_NAME = {
-    T.StringType: "string", T.LongType: "integer", T.IntegerType: "integer",
+    **{k: v for k, v in _KIND_OF.items() if k is not T.NullType},
     T.ShortType: "integer", T.ByteType: "integer",
-    T.DoubleType: "float", T.FloatType: "float", T.BooleanType: "boolean",
-    T.TimestampType: "timestamp",
 }
 
 
@@ -125,12 +125,17 @@ def tag_types_externally(col: Column, dtype: T.DataType) -> Column:
     The output type is itself static: e.g. ``struct<a:string>`` maps to
     ``struct<a:struct<string:string>>``."""
     if isinstance(dtype, T.StructType):
-        return F.struct(
-            *[
-                tag_types_externally(col.getField(f.name), f.dataType)
-                .alias(f.name)
-                for f in dtype.fields
-            ]
+        # a NULL object is VRL Null and must STAY null — without the
+        # guard the rebuild yields a non-null struct of tagged nulls
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[
+                    tag_types_externally(col.getField(f.name), f.dataType)
+                    .alias(f.name)
+                    for f in dtype.fields
+                ]
+            ),
         )
     if isinstance(dtype, T.ArrayType):
         elem = dtype.elementType

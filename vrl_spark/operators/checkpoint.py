@@ -54,6 +54,36 @@ def lineage_fingerprint(*cols: Column, engine: str = "xxh64") -> Column:
     )
 
 
+# largest prime below 2^63: the modulus of the multiset fingerprint
+_FP_PRIME = 9223372036854775783
+
+
+def _lineage_aggs(payload: Column, fp_cols: list[Column], engine: str):
+    """The ONE definition of the manifest metrics (shared by
+    ``lineage_metrics``, ``CheckpointedRun.run_partition``, and the
+    streaming fan-out — keep them from drifting).
+
+    The fingerprint is a MODULAR SUM of per-row hashes (AdHash-style
+    multiset hash): commutative, so partitioning/order never matter,
+    and — unlike a bit_xor fold, where a duplicated row pair cancels
+    to zero — every copy of a row moves the sum, so multisets that
+    differ by duplicate pairs get different fingerprints (collision
+    odds ~1/2^63 per comparison). The sum runs in decimal(38,0)
+    (10^12 rows x 2^63 < 10^32, no overflow even under ANSI), then
+    reduces mod the largest sub-2^63 prime back to a long."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.octet_length(payload)).cast("long").alias("n_bytes"),
+        F.pmod(
+            F.sum(
+                lineage_fingerprint(*fp_cols, engine=engine)
+                .cast("decimal(38,0)")
+            ),
+            F.lit(_FP_PRIME).cast("decimal(38,0)"),
+        ).cast("long").alias("fingerprint"),
+    ]
+
+
 def lineage_metrics(
     df: DataFrame,
     keys: list[str | Column],
@@ -63,22 +93,11 @@ def lineage_metrics(
 ) -> DataFrame:
     """Per-partition lineage manifest row (north_rule: "per-partition
     lineage + metrics"): row count, payload bytes, and an
-    order-independent content fingerprint.
-
-    The fingerprint is a bit_xor fold of per-row hashes (see
-    ``lineage_fingerprint`` for the engines) — commutative and
-    overflow-free, so it is identical no matter how Spark orders or
-    re-partitions the rows, and two runs (or a run and its resume)
-    agree iff they wrote the same row set.
-    One map-side-combined shuffle on the partition keys; nothing here
-    grows with corpus size except the scan."""
-    return df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.octet_length(payload)).cast("long").alias("n_bytes"),
-        F.bit_xor(
-            lineage_fingerprint(*fp_cols, engine=engine)
-        ).alias("fingerprint"),
-    )
+    order-independent content fingerprint (see ``_lineage_aggs`` for
+    the multiset-hash construction). One map-side-combined shuffle on
+    the partition keys; nothing here grows with corpus size except
+    the scan."""
+    return df.groupBy(*keys).agg(*_lineage_aggs(payload, fp_cols, engine))
 
 
 @dataclass
@@ -132,27 +151,28 @@ class CheckpointedRun:
         t0 = time.time()
         part_df.write.mode("overwrite").parquet(data_dir)
         written = spark.read.parquet(data_dir)
-        aggs = [F.count(F.lit(1)).alias("rows")]
-        if payload_col is not None:
-            aggs.append(
-                F.sum(F.octet_length(F.col(payload_col)))
-                .cast("long").alias("bytes")
+        if payload_col is not None or fp_cols:
+            full = _lineage_aggs(
+                F.col(payload_col) if payload_col else F.lit(""),
+                [F.col(c) for c in (fp_cols or [])] or [F.lit(0)],
+                fp_engine,
             )
-        if fp_cols:
-            aggs.append(
-                F.bit_xor(lineage_fingerprint(
-                    *[F.col(c) for c in fp_cols], engine=fp_engine
-                )).alias("fingerprint")
-            )
+            aggs = [full[0]]
+            if payload_col is not None:
+                aggs.append(full[1])
+            if fp_cols:
+                aggs.append(full[2])
+        else:
+            aggs = [F.count(F.lit(1)).alias("n_rows")]
         stats = written.agg(*aggs).collect()[0].asDict()
         metrics = {
             "part_key": str(key),
-            "rows": stats["rows"],
+            "rows": stats["n_rows"],
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        if "bytes" in stats:
-            metrics["bytes"] = stats["bytes"]
+        if "n_bytes" in stats:
+            metrics["bytes"] = stats["n_bytes"]
         if "fingerprint" in stats:
             metrics["fingerprint"] = stats["fingerprint"]
         os.makedirs(self.manifest_dir, exist_ok=True)

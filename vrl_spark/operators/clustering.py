@@ -34,6 +34,26 @@ from pyspark.sql import functions as F
 from vrl_spark.operators.similarity import ivf_centroids
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a float array (zero vectors pass through).
+    ``bind`` keeps the norm from re-evaluating once per element."""
+    from vrl_spark.functions.parse import bind
+    from vrl_spark.operators.similarity import norm
+
+    def body(v: Column) -> Column:
+        n = norm(v)
+
+        def with_n(nn: Column) -> Column:
+            return F.when(
+                nn > 0,
+                F.transform(v, lambda x: (x / nn).cast("float")),
+            ).otherwise(v)
+
+        return bind(n, with_n)
+
+    return bind(vec, body)
+
+
 def l2_sq(a: Column, b: Column) -> Column:
     """Squared L2 distance between two float arrays (JVM fold)."""
     return F.aggregate(
@@ -74,11 +94,14 @@ def _update_centroids(
     assigned: DataFrame,
     old_centroids: DataFrame,
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> DataFrame:
     """Mean of member vectors per cluster; a cluster that lost all
     members keeps its previous centroid (standard empty-cluster
     guard). Output carries ``n_members`` and the per-centroid
-    ``shift`` (L2^2 vs the old position) for convergence checks."""
+    ``shift`` (L2^2 vs the old position) for convergence checks.
+    ``normalize`` re-projects each new centroid onto the unit sphere
+    BEFORE the shift is measured (spherical k-means update)."""
     dims = (
         assigned.select(
             F.col("cluster_id"),
@@ -98,6 +121,8 @@ def _update_centroids(
         .alias("new_vec"),
         "n_members",
     )
+    if normalize:
+        means = means.withColumn("new_vec", l2_normalize(F.col("new_vec")))
     return (
         old_centroids.join(
             means, F.col("centroid_id") == F.col("cluster_id"), "left"
@@ -122,6 +147,7 @@ def kmeans(
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spherical: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column; returns the final
@@ -129,19 +155,32 @@ def kmeans(
     dedup_clusters) receives {"iterations", "converged",
     "max_shift", "centroids": DataFrame}.
 
+    ``spherical=True`` runs SPHERICAL k-means: inputs are unit-
+    normalized up front and centroids re-normalized every update, so
+    the L2 argmin the loop optimizes is exactly the cosine argmax —
+    the right training objective for a cosine-probed IVF index (FAISS
+    does the same for IP/cosine indexes). The returned assignment's
+    ``vec_col`` is then the normalized vector.
+
     Early-stops when every centroid moved < ``tol`` (squared L2).
     Eager loop: runs one Spark job per iteration at call time."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if spherical:
+        corpus = corpus.select(
+            F.col(id_col), l2_normalize(F.col(vec_col)).alias(vec_col)
+        )
     centroids = ivf_centroids(corpus, k, id_col, vec_col).localCheckpoint()
     it, max_shift, converged = 0, None, False
     for it in range(1, iterations + 1):
         assigned = assign_clusters(corpus, centroids, id_col, vec_col)
         # checkpoint materializes the corpus-sized job; shift rides
         # along so convergence needs no second corpus pass
-        centroids = _update_centroids(assigned, centroids, vec_col).select(
+        centroids = _update_centroids(
+            assigned, centroids, vec_col, normalize=spherical
+        ).select(
             "centroid_id", "centroid_vec", "shift"
         ).localCheckpoint()
         # k-row action on the checkpointed frame — trivial

@@ -244,19 +244,11 @@ def dequantize_embedding(qstruct: Column) -> Column:
 def quantized_cosine(qa: Column, qb: Column) -> Column:
     """Cosine over two int8 arrays (the ``q`` field of quantized
     embeddings). Scales cancel: cos(s_a*qa, s_b*qb) = cos(qa, qb) —
-    integer dot products, no dequantization, no float arrays."""
-    from vrl_spark.functions.parse import bind
-    from vrl_spark.operators.similarity import dot, norm
-
-    def body(a: Column) -> Column:
-        def inner(b: Column) -> Column:
-            af = F.transform(a, lambda x: x.cast("double"))
-            bf = F.transform(b, lambda x: x.cast("double"))
-            return dot(af, bf) / (norm(af) * norm(bf))
-
-        return bind(qb, inner)
-
-    return bind(qa, body)
+    integer dot products, no dequantization, no float arrays.
+    ``cosine`` already widens elements to double and guards the
+    zero-norm case (an all-zero embedding quantizes to q = 0s, and a
+    bare division would throw DIVIDE_BY_ZERO under ANSI mode)."""
+    return cosine(qa, qb)
 
 
 
@@ -365,10 +357,14 @@ def ivf_topk(
     if train_iterations > 0:
         from vrl_spark.operators.clustering import kmeans
 
+        # SPHERICAL training: the lists are probed by cosine, so the
+        # training objective must be cosine too (plain L2 k-means on
+        # unnormalized embeddings would balance Voronoi cells the
+        # cosine assignment never uses)
         stats: dict = {}
         kmeans(
             corpus, n_lists, iterations=train_iterations,
-            id_col=id_col, vec_col=vec_col, stats=stats,
+            id_col=id_col, vec_col=vec_col, spherical=True, stats=stats,
         )
         cents = stats["centroids"]
     else:

@@ -405,6 +405,8 @@ def span_dedup(
     min_docs: int = 2,
     out_col: str = "span_text",
     engine: str = "xxh",
+    keep_cols: list[str] | None = None,
+    n_col: str = "n_removed",
 ) -> DataFrame:
     """Cross-document duplicated-SPAN removal: any run of ``ngram``
     consecutive tokens that appears in >= ``min_docs`` distinct
@@ -416,7 +418,11 @@ def span_dedup(
     cover is exactly the span. Surviving tokens rejoin space-separated
     in original order.
 
-    Returns (id, out_col, n_removed) — n_removed counts tokens.
+    Returns (id, *keep_cols, out_col, n_col) — ``n_col`` counts
+    removed tokens. ``keep_cols`` ride through map-side (they join on
+    the id-key shuffle the rebuild already pays), so a caller chaining
+    passes does NOT need a self-join that would re-execute this
+    operator's input plan twice.
 
     ``engine``: gram identity for the corpus-wide count.
     ``"xxh"`` (default) hashes each token slice with xxhash64 — an
@@ -439,7 +445,11 @@ def span_dedup(
     toks_arr = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda x: x != ""
     )
-    base = df.select(F.col(id_col), toks_arr.alias("_toks"))
+    keep = keep_cols or []
+    base = df.select(
+        F.col(id_col), toks_arr.alias("_toks"),
+        *[F.col(c) for c in keep],
+    )
     # sequence(0, -k) is DESCENDING, not empty — guard short docs
     starts = F.when(
         F.size(F.col("_toks")) >= ngram,
@@ -503,15 +513,17 @@ def span_dedup(
     joined = base.join(covered, id_col, "left")
     out = joined.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.size(F.col("_toks")).alias("_total"),
         bind(F.col("_toks"), rebuild).alias("_r"),
     )
     return out.select(
         id_col,
+        *keep,
         F.col("_r").getField("txt").alias(out_col),
         (F.col("_total") - F.col("_r").getField("kept"))
         .cast("long")
-        .alias("n_removed"),
+        .alias(n_col),
     )
 
 

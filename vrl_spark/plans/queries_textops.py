@@ -1299,10 +1299,13 @@ def text_line_dedup(spark, sf_dir):
     )
     ld = textstats.line_dedup(planted, "text", "doc_id",
                               min_docs=2, min_chars=10)
-    sd = textstats.span_dedup(
-        ld, "cleaned", "doc_id", ngram=8, min_docs=2
-    ).withColumnRenamed("n_removed", "n_span_removed")
-    return ld.join(sd, "doc_id")
+    # keep_cols carries the line-pass output through span_dedup
+    # map-side — a self-join here would re-execute the whole
+    # line_dedup subplan a second time inside the join's lineage
+    return textstats.span_dedup(
+        ld, "cleaned", "doc_id", ngram=8, min_docs=2,
+        keep_cols=["cleaned", "n_removed"], n_col="n_span_removed",
+    )
 
 
 # ---------------------------------------------------------------------

@@ -117,21 +117,25 @@ def pipeline_via_builder(spark, sf_dir):
 # ---------------------------------------------------------------------
 # The exact aggregation CheckpointedRun commits per partition
 # (operators/checkpoint.py — north_rule "per-partition lineage +
-# metrics"). The fingerprint is a bit_xor fold of per-row md5-derived
-# 60-bit values: order-independent, overflow-free, so two runs agree
-# iff they routed the same row set — the resumability certificate.
+# metrics"). The fingerprint is a MODULAR SUM of per-row md5-derived
+# 60-bit values (multiset hash): order-independent, duplicate-
+# sensitive, so two runs agree iff they routed the same row multiset
+# — the resumability certificate.
 
 _LINEAGE_ORACLE = weblog.parsed_cte_sql() + """
 SELECT route, date_trunc('hour', warc_ts) AS hour,
   COUNT(*) AS n_rows,
   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
-  bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+  -- multiset fingerprint: modular SUM of per-row 60-bit md5 hashes
+  -- (a bit_xor fold would cancel duplicated row pairs)
+  CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws(chr(31),
     COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
     COALESCE(url, chr(0)),
     COALESCE(route, chr(0)),
     COALESCE(CAST(status_int AS VARCHAR), chr(0)),
     COALESCE(CAST(bytes_int AS VARCHAR), chr(0)),
-    COALESCE(error, chr(0)))), 1, 15)) AS BIGINT)) AS fingerprint
+    COALESCE(error, chr(0)))), 1, 15)) AS BIGINT) AS HUGEINT))
+    % 9223372036854775783 AS BIGINT) AS fingerprint
 FROM routed
 GROUP BY route, hour
 """

@@ -101,8 +101,16 @@ def write_fanout(
             cols = fp_cols or [
                 c for c in batch_df.columns if c != "route"
             ]
+            # read BACK the partition just written (like the batch
+            # CheckpointedRun): the manifest certifies what landed on
+            # disk, and the micro-batch plan is not executed a second
+            # time to compute it
+            written = (
+                batch_df.sparkSession.read.parquet(out_dir)
+                .where(F.col("batch_id") == batch_id)
+            )
             rows = lineage_metrics(
-                batch_df,
+                written,
                 [F.col("route")],
                 F.concat_ws("", *[F.col(c).cast("string") for c in cols]),
                 [F.col(c) for c in cols],
