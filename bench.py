@@ -81,10 +81,10 @@ PREV_ROUND_REF = {
     "events_sessionize": 0.46,
     "events_windowed": 0.36,
     "similarity_topk": 1.23,
-    "vrl_coercions_json": 2.2,           # vrl_coercions + vrl_parse_json
+    "vrl_coercions_json": 1.4,           # vrl_coercions + vrl_parse_json
                                          # + r4 tag_types_externally cols
                                          # (dynamic lane = per-row json
-                                         # walk; measured clean 2.18,
+                                         # walk; in-harness clean 1.37,
                                          # was 0.52 pre-tagging)
     "vrl_parse_url_etld": 1.55,          # vrl_parse_url + vrl_parse_etld
     "vrl_syslog_suite": 0.65,            # vrl_parse_syslog + vrl_syslog
@@ -116,8 +116,9 @@ PREV_ROUND_REF = {
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
     "events_asof": 0.76,
-    "text_line_dedup": 3.1,             # + r4 span_dedup chain (clean
-                                        # 3.07; was 1.37 line-only)
+    "text_line_dedup": 2.1,             # + r4 span_dedup chain
+                                        # (in-harness clean 2.09; was
+                                        # 1.37 line-only)
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
     "text_domain_stats": 0.43,
@@ -129,8 +130,8 @@ PREV_ROUND_REF = {
     "text_tfidf": 2.9,                   # r4 clean first measurement
     "similarity_ivf_ann": 1.9,           # r4 clean first measurement
     "multimodal_features": 1.0,          # r4 clean first measurement
-    "pipeline_lineage_metrics": 2.5,     # r4 clean first measurement
-                                         # (oracle pins the md5 engine;
+    "pipeline_lineage_metrics": 1.2,     # r4 in-harness clean (oracle
+                                         # pins the md5 engine;
                                          # production xxh64 is cheaper)
 }
 
