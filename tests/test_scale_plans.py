@@ -236,6 +236,19 @@ def test_lineage_metrics_plan_shape(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert plan.count("BroadcastExchange") == 1
     assert "EvalPython" not in plan
+    # the multiset fingerprint (sum mod prime) must actually be in
+    # the aggregate, not optimized away or moved driver-side (the
+    # executed-plan string truncates long function lists, so check
+    # the untruncated optimized logical plan)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "500")
+    try:
+        full = (
+            qs["pipeline_lineage_metrics"](spark, sf_dir)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+    assert "pmod" in full
     # production engine: xxhash64 directly over typed columns
     df = weblog.route_stage(
         weblog.enrich_stage(

@@ -265,3 +265,39 @@ def test_dedup_stream_drops_watermark_window_dupes(spark, tmp_path):
     got = spark.sql("SELECT * FROM dedup_out").collect()
     keys = [r["content_key"] for r in got]
     assert sorted(keys) == ["k1", "k2", "k3"]  # one survivor per key
+
+
+def test_stream_fanout_lineage_empty_batch(spark, sf_dir, tmp_path):
+    """An all-empty micro-batch writes no partition dir; the lineage
+    pass must commit an empty manifest, not crash the stream with an
+    unreadable-parquet error."""
+    import glob
+    import json
+    import os
+
+    pages_path = _prep_pages(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sinks")
+    stream = stream_from_directory(spark, pages_path, max_files_per_trigger=3)
+    routed = stream_pipeline(spark, stream).select(
+        "doc_id", "route", "bytes_int"
+    ).where(F.lit(False))
+    q = write_fanout(
+        routed, out, str(tmp_path / "ckpt"), lineage=True,
+        fp_cols=["doc_id", "route"],
+    ).start()
+    q.awaitTermination(120)
+    assert q.exception() is None
+    manifests = glob.glob(os.path.join(out, "_lineage", "*.json"))
+    assert manifests
+    for m in manifests:
+        assert json.load(open(m))["routes"] == {}
+
+
+def test_span_dedup_keep_cols_clash(spark):
+    from vrl_spark.operators.textstats import span_dedup
+
+    df = spark.createDataFrame([(1, "a b", "x")], ["doc_id", "text", "n_removed"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        span_dedup(df, "text", "doc_id", keep_cols=["n_removed"])

@@ -442,6 +442,13 @@ def span_dedup(
     wire."""
     if engine not in ("xxh", "exact"):
         raise ValueError(f"unknown span_dedup engine {engine!r}")
+    clash = set(keep_cols or []) & {id_col, out_col, n_col, "_toks", "_cov"}
+    if clash:
+        raise ValueError(
+            f"keep_cols {sorted(clash)} collide with span_dedup's own "
+            f"output/internal columns; rename them or change "
+            f"out_col/n_col"
+        )
     toks_arr = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda x: x != ""
     )

@@ -104,17 +104,29 @@ def write_fanout(
             # read BACK the partition just written (like the batch
             # CheckpointedRun): the manifest certifies what landed on
             # disk, and the micro-batch plan is not executed a second
-            # time to compute it
-            written = (
-                batch_df.sparkSession.read.parquet(out_dir)
-                .where(F.col("batch_id") == batch_id)
-            )
-            rows = lineage_metrics(
-                written,
-                [F.col("route")],
-                F.concat_ws("", *[F.col(c).cast("string") for c in cols]),
-                [F.col(c) for c in cols],
-            ).collect()
+            # time to compute it. Read the batch's own partition dir
+            # (basePath keeps the partition columns) so the listing
+            # cost never grows with the number of past batches; an
+            # empty batch writes no partition dir at all -> empty
+            # manifest, not an UNABLE_TO_INFER_SCHEMA crash. (On a
+            # remote FS, swap the isdir probe for the FS client's
+            # exists() — the local convention matches read_output.)
+            part_dir = _os.path.join(out_dir, f"batch_id={batch_id}")
+            if _os.path.isdir(part_dir):
+                written = (
+                    batch_df.sparkSession.read
+                    .option("basePath", out_dir).parquet(part_dir)
+                )
+                rows = lineage_metrics(
+                    written,
+                    [F.col("route")],
+                    F.concat_ws(
+                        "", *[F.col(c).cast("string") for c in cols]
+                    ),
+                    [F.col(c) for c in cols],
+                ).collect()
+            else:
+                rows = []
             mdir = _os.path.join(out_dir, "_lineage")
             _os.makedirs(mdir, exist_ok=True)
             path = _os.path.join(mdir, f"batch-{batch_id}.json")
