@@ -106,3 +106,47 @@ def test_lossy_decode_matches_cpython(spark, blobs):
     got = [r["s"] for r in df.select(lossy_utf8_decode(F.col("b")).alias("s")).collect()]
     want = [b.decode("utf-8", errors="replace") for b in blobs]
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(  # a corpus of small docs over a tiny vocab so shared
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),  # ngram
+)
+def test_span_dedup_matches_bruteforce(spark, corpora, ngram):
+    """span_dedup == the obvious O(n^2) Python reference on random
+    tiny-vocab corpora (tiny vocab forces real cross-doc gram
+    collisions, boundary overlaps, and whole-doc covers)."""
+    from vrl_spark.operators.textstats import span_dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+
+    # reference implementation
+    def ref():
+        toks = {i: [t for t in txt.split() if t] for i, txt in docs}
+        gram_docs: dict[tuple, set] = {}
+        for i, ts in toks.items():
+            for s in range(len(ts) - ngram + 1):
+                gram_docs.setdefault(tuple(ts[s:s + ngram]), set()).add(i)
+        flagged = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        out = {}
+        for i, ts in toks.items():
+            cov = set()
+            for s in range(len(ts) - ngram + 1):
+                if tuple(ts[s:s + ngram]) in flagged:
+                    cov.update(range(s, s + ngram))
+            kept = [t for p, t in enumerate(ts) if p not in cov]
+            out[i] = (" ".join(kept), len(ts) - len(kept))
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_text"], r["n_removed"])
+        for r in span_dedup(
+            df, "text", "doc_id", ngram=ngram, min_docs=2
+        ).collect()
+    }
+    assert got == ref()
