@@ -118,3 +118,24 @@ def test_manifest_lineage_fingerprint(spark, tmp_path):
     )
     assert m4["rows"] == 27
     assert m4["fingerprint"] != m["fingerprint"]
+
+
+def test_verify_recertifies_partitions(spark, tmp_path):
+    """verify() passes on untouched partitions and pinpoints the one
+    whose data was tampered with after its manifest committed."""
+    import shutil
+
+    df = make_df(spark).withColumn("txt", F.concat(F.lit("row-"), F.col("id")))
+    run = CheckpointedRun(str(tmp_path / "out"))
+    run.run(spark, df, [0, 1], payload_col="txt", fp_cols=["id", "v", "txt"])
+    ok = run.verify(spark, payload_col="txt", fp_cols=["id", "v", "txt"])
+    assert [r["ok"] for r in ok] == [True, True]
+    # tamper: swap partition 1's data for partition 0's rows
+    p0 = os.path.join(run.out_dir, "part=0")
+    p1 = os.path.join(run.out_dir, "part=1")
+    shutil.rmtree(p1)
+    shutil.copytree(p0, p1)
+    res = {r["part_key"]: r["ok"] for r in run.verify(
+        spark, payload_col="txt", fp_cols=["id", "v", "txt"]
+    )}
+    assert res == {"0": True, "1": False}

@@ -150,3 +150,39 @@ def test_span_dedup_matches_bruteforce(spark, corpora, ngram):
         ).collect()
     }
     assert got == ref()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.one_of(st.none(), st.text(alphabet="abc \x00", max_size=6)),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_lineage_fingerprint_matches_hashlib(spark, rows):
+    """The md5-engine multiset fingerprint == an independent pure-
+    Python reference (hashlib md5, 15-hex prefix, sum mod prime) —
+    the same arithmetic the DuckDB oracle performs."""
+    import hashlib
+
+    from vrl_spark.operators.checkpoint import _FP_PRIME, lineage_metrics
+
+    def ref():
+        total = 0
+        for i, s in rows:
+            parts = [str(i), s if s is not None else "\x00"]
+            h = hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+            total += int(h[:15], 16)
+        return total % _FP_PRIME
+
+    df = spark.createDataFrame(rows, "i bigint, s string")
+    got = lineage_metrics(
+        df.withColumn("g", F.lit(1)), [F.col("g")],
+        F.coalesce(F.col("s"), F.lit("")),
+        [F.col("i"), F.col("s")], engine="md5",
+    ).collect()[0]
+    assert got["fingerprint"] == ref()
+    assert got["n_rows"] == len(rows)
