@@ -1301,3 +1301,34 @@ def test_span_dedup_plan_shape(spark, sf_dir):
     )
     plan = plan_of(textstats.span_dedup(docs, "text", "doc_id"))
     assert "EvalPython" not in plan
+
+
+def test_cosine_dedup_quantized_matches_exact(spark, sf_dir):
+    """quantized=True candidate generation + exact verify returns the
+    SAME pair set as the exact path (the shuffle just gets 4x
+    narrower)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # near-dup plant: jittered copies of the first 10 vectors
+    near = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.union(near)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["cos"], 6))
+        for r in similarity.cosine_dedup_pairs(
+            corpus, threshold=0.99
+        ).collect()
+    }
+    quant = {
+        (r["id_a"], r["id_b"], round(r["cos"], 6))
+        for r in similarity.cosine_dedup_pairs(
+            corpus, threshold=0.99, quantized=True
+        ).collect()
+    }
+    assert exact  # the planted copies must be found at all
+    assert quant == exact

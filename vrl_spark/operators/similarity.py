@@ -157,6 +157,8 @@ def cosine_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     block_bits: int = 4,
+    quantized: bool = False,
+    quant_margin: float = 0.02,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked-exact.
 
@@ -167,30 +169,72 @@ def cosine_dedup_pairs(
     buckets bound the per-bucket pair count — raise it with corpus
     size exactly like LSH band count. Exact cosine verifies inside
     blocks; the self-join is shuffle_hash-hinted so Spark never tries
-    to broadcast the (expensive) bucketed subplan."""
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
-    )
+    to broadcast the (expensive) bucketed subplan.
+
+    ``quantized=True`` is the 100 TB shuffle-width lever: the
+    self-join ships int8 arrays (4x narrower than float32) and scores
+    candidates with the scale-free int cosine at ``threshold -
+    quant_margin`` (int8 cosine drift is bounded well under 0.02 —
+    see test_embedding_quantization_roundtrip), then the surviving
+    candidate ids join their float vectors back for an EXACT verify
+    at ``threshold`` — output pairs are identical to the exact path,
+    only the wide self-join got cheaper. The sign bucket always comes
+    from the float vector (a near-zero negative dimension quantizes
+    to 0, which would flip its sign bit)."""
     from vrl_spark.functions.parse import materialize
 
+    if not quantized:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
+        )
+        a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
+        joined = a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        # materialize: the filter would otherwise push through the
+        # projection and re-run the 3 cosine folds a second time per pair
+        scored = materialize(
+            joined, cos=cosine(F.col("a._vec"), F.col("b._vec"))
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("cos"),
+        )
+        return scored.where(F.col("cos") >= threshold)
+
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        quantize_embedding(F.col(vec_col)).getField("q").alias("_q"),
+        sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
+    )
     a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
     joined = a.join(
         b,
         (F.col("a._bucket") == F.col("b._bucket"))
         & (F.col("a._id") < F.col("b._id")),
     )
-    # materialize: the filter would otherwise push through the
-    # projection and re-run the 3 cosine folds a second time per pair
-    scored = materialize(
-        joined, cos=cosine(F.col("a._vec"), F.col("b._vec"))
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.col("cos"),
+    cand = materialize(
+        joined, qcos=cosine(F.col("a._q"), F.col("b._q"))
+    ).where(F.col("qcos") >= threshold - quant_margin).select(
+        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
     )
-    return scored.where(F.col("cos") >= threshold)
+    # exact verify: only candidate ids pull their float vectors
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    verified = materialize(
+        cand.join(va, "id_a").join(vb, "id_b"),
+        cos=cosine(F.col("_va"), F.col("_vb")),
+    ).select("id_a", "id_b", "cos")
+    return verified.where(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------
