@@ -195,3 +195,90 @@ def kmeans(
         stats["max_shift"] = max_shift
         stats["centroids"] = centroids.select("centroid_id", "centroid_vec")
     return final
+
+
+def cluster_topics(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 128,
+    iterations: int = 8,
+    top_terms: int = 5,
+):
+    """Topic discovery by composition: dense TF-IDF document vectors
+    over the corpus's top-``vocab_size`` terms (by document frequency,
+    term-ordered ties), SPHERICAL k-means over them, and the top
+    ``top_terms`` vocabulary terms of each centroid as the cluster's
+    topic label. Returns (assignments, topics):
+
+    - assignments: (id_col, cluster_id)
+    - topics: (cluster_id, n_docs, terms array<string> — centroid's
+      heaviest vocab dimensions, weight desc then term asc)
+
+    Scale shape: the TF-IDF pipeline is relational
+    (operators/retrieval.py); the dense projection is a broadcast of
+    the tiny vocab + one map-side map_from_entries assembly per doc
+    (vector width = vocab_size, a constant); k-means iterates as in
+    ``kmeans``; topic extraction works on k centroids — driver-scale
+    data."""
+    from pyspark.sql import Window
+
+    from vrl_spark.operators.retrieval import _tfidf_weights
+
+    if top_terms < 1 or vocab_size < 1:
+        raise ValueError("vocab_size and top_terms must be >= 1")
+    w = _tfidf_weights(df, text_col, id_col).where(F.col("w") > 0)
+    vocab = (
+        w.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .withColumn(
+            "_vix",
+            F.row_number().over(
+                Window.orderBy(F.col("_df").desc(), F.col("term"))
+            ) - 1,
+        )
+        .where(F.col("_vix") < vocab_size)
+        .select("term", "_vix")
+    )
+    entries = w.join(F.broadcast(vocab), "term").groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_vix"), F.col("w_hat")))
+        ).alias("_m")
+    )
+    dense = entries.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(vocab_size - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_m"), i), F.lit(0.0)
+            ).cast("float"),
+        ).alias("_vec"),
+    )
+    stats: dict = {}
+    assigned = kmeans(
+        dense, k, iterations=iterations, id_col=id_col, vec_col="_vec",
+        spherical=True, stats=stats,
+    ).select(id_col, "cluster_id")
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cdims = stats["centroids"].select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.posexplode(F.col("centroid_vec")).alias("_vix", "_wt"),
+    ).where(F.col("_wt") > 0)
+    ranked = cdims.join(F.broadcast(vocab), "_vix").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("_wt").desc(), F.col("term")
+            )
+        ),
+    ).where(F.col("_rk") <= top_terms)
+    topics = ranked.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_rk", "term"))),
+            lambda s: s.getField("term"),
+        ).alias("terms")
+    ).join(sizes, "cluster_id")
+    return assigned, topics
