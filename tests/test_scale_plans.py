@@ -265,3 +265,37 @@ def test_lineage_metrics_plan_shape(spark, sf_dir):
     assert "xxhash64" in pplan and "md5" not in pplan
     assert pplan.count("Exchange") - pplan.count("BroadcastExchange") == 1
     assert "EvalPython" not in pplan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Storage bucketing = the pre-shuffle you pay once: two tables
+    bucketed by the join key on the same bucket count join with ZERO
+    exchanges (the 100 TB recipe for repeated fact-fact joins —
+    Iceberg bucket partition transforms give the same property)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    other = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_other")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test proves the BUCKETED path, not
+        # the small-table path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable("b_docs"))
+        (other.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable("b_other"))
+        joined = spark.table("b_docs").join(spark.table("b_other"), "doc_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the right thing
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_other")
