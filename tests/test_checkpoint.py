@@ -139,3 +139,25 @@ def test_verify_recertifies_partitions(spark, tmp_path):
         spark, payload_col="txt", fp_cols=["id", "v", "txt"]
     )}
     assert res == {"0": True, "1": False}
+    # deletion (the most basic tamper): the audit reports it and
+    # still certifies the intact partition instead of crashing
+    shutil.rmtree(p1)
+    res2 = {r["part_key"]: r for r in run.verify(
+        spark, payload_col="txt", fp_cols=["id", "v", "txt"]
+    )}
+    assert res2["0"]["ok"] is True
+    assert res2["1"]["ok"] is False and "error" in res2["1"]
+    # payload tampering alone (fingerprint cols unchanged) is caught
+    # by the byte comparison
+    run3 = CheckpointedRun(str(tmp_path / "out5"))
+    run3.run_partition(spark, df, 0, payload_col="txt", fp_cols=["id"])
+    df_t = df.withColumn(
+        "txt", F.when(F.col("id") == 4, F.lit("TAMPERED-LONGER"))
+        .otherwise(F.col("txt"))
+    )
+    df_t.where(F.col("part") == 0).write.mode("overwrite").parquet(
+        os.path.join(run3.out_dir, "part=0")
+    )
+    v3 = run3.verify(spark, payload_col="txt", fp_cols=["id"])[0]
+    assert v3["ok"] is False
+    assert v3["bytes_actual"] != v3["bytes_expected"]

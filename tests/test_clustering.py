@@ -155,3 +155,24 @@ def test_cluster_topics_separates_vocabularies(spark):
     t_code, n_code = tp[lab[10]]
     assert n_cook == 6 and n_code == 6
     assert t_cook <= cook_terms and t_code <= code_terms
+
+
+def test_cluster_topics_keeps_out_of_vocab_docs(spark):
+    """A doc with no in-vocabulary terms appears in the assignments
+    with cluster_id NULL — never silently dropped."""
+    rows = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "alpha beta gamma gamma"),
+        (3, "alpha gamma beta beta"),
+        (4, "zzz"),  # below the vocab cutoff with vocab_size=3? no —
+    ]
+    # force doc 4 out of vocab: vocab_size=3 keeps the 3 frequent
+    # terms; 'zzz' (df=1) falls outside
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from vrl_spark.operators.clustering import cluster_topics
+
+    assigned, _ = cluster_topics(df, k=2, vocab_size=3, top_terms=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4] is None
+    assert all(got[i] is not None for i in (1, 2, 3))

@@ -84,6 +84,24 @@ def _lineage_aggs(payload: Column, fp_cols: list[Column], engine: str):
     ]
 
 
+def _manifest_aggs(
+    payload_col: str | None, fp_cols: list[str] | None, engine: str
+):
+    """Column-level agg assembly shared by run_partition and verify —
+    ONE definition of which expressions feed the manifest."""
+    full = _lineage_aggs(
+        F.col(payload_col) if payload_col else F.lit(""),
+        [F.col(c) for c in (fp_cols or [])] or [F.lit(0)],
+        engine,
+    )
+    aggs = [full[0]]
+    if payload_col is not None:
+        aggs.append(full[1])
+    if fp_cols:
+        aggs.append(full[2])
+    return aggs
+
+
 def lineage_metrics(
     df: DataFrame,
     keys: list[str | Column],
@@ -152,16 +170,7 @@ class CheckpointedRun:
         part_df.write.mode("overwrite").parquet(data_dir)
         written = spark.read.parquet(data_dir)
         if payload_col is not None or fp_cols:
-            full = _lineage_aggs(
-                F.col(payload_col) if payload_col else F.lit(""),
-                [F.col(c) for c in (fp_cols or [])] or [F.lit(0)],
-                fp_engine,
-            )
-            aggs = [full[0]]
-            if payload_col is not None:
-                aggs.append(full[1])
-            if fp_cols:
-                aggs.append(full[2])
+            aggs = _manifest_aggs(payload_col, fp_cols, fp_engine)
         else:
             aggs = [F.count(F.lit(1)).alias("n_rows")]
         stats = written.agg(*aggs).collect()[0].asDict()
@@ -220,6 +229,8 @@ class CheckpointedRun:
         values — the audit a resumed run (or a suspicious operator)
         uses to prove untouched partitions still hold the exact row
         multiset their manifest certified."""
+        from pyspark.errors import AnalysisException
+
         results = []
         for key in sorted(self.committed_keys(spark)):
             with open(os.path.join(self.manifest_dir, f"{key}.json")) as f:
@@ -227,16 +238,25 @@ class CheckpointedRun:
             data_dir = os.path.join(
                 self.out_dir, f"{self.partition_col}={key}"
             )
-            written = spark.read.parquet(data_dir)
-            aggs = _lineage_aggs(
-                F.col(payload_col) if payload_col else F.lit(""),
-                [F.col(c) for c in (fp_cols or [])] or [F.lit(0)],
-                fp_engine,
-            )
-            stats = written.agg(*aggs).collect()[0].asDict()
-            row = {"part_key": key, "rows_expected": committed["rows"],
-                   "rows_actual": stats["n_rows"]}
+            row = {"part_key": key, "rows_expected": committed["rows"]}
+            try:
+                written = spark.read.parquet(data_dir)
+                stats = written.agg(
+                    *_manifest_aggs(payload_col, fp_cols, fp_engine)
+                ).collect()[0].asDict()
+            except AnalysisException as e:
+                # a committed partition with no readable data dir IS
+                # the tamper verify() exists to catch — report it,
+                # keep auditing the rest
+                row.update({"ok": False, "error": str(e)[:200]})
+                results.append(row)
+                continue
+            row["rows_actual"] = stats["n_rows"]
             ok = stats["n_rows"] == committed["rows"]
+            if payload_col is not None and "bytes" in committed:
+                row["bytes_expected"] = committed["bytes"]
+                row["bytes_actual"] = stats["n_bytes"]
+                ok = ok and stats["n_bytes"] == committed["bytes"]
             if fp_cols and "fingerprint" in committed:
                 row["fingerprint_expected"] = committed["fingerprint"]
                 row["fingerprint_actual"] = stats["fingerprint"]

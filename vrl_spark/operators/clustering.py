@@ -212,7 +212,10 @@ def cluster_topics(
     ``top_terms`` vocabulary terms of each centroid as the cluster's
     topic label. Returns (assignments, topics):
 
-    - assignments: (id_col, cluster_id)
+    - assignments: (id_col, cluster_id) for EVERY input document;
+      a document with no in-vocabulary terms (all terms below the
+      vocab_size df cutoff, or zero idf) gets cluster_id NULL —
+      unclusterable, not silently dropped
     - topics: (cluster_id, n_docs, terms array<string> — centroid's
       heaviest vocab dimensions, weight desc then term asc)
 
@@ -229,18 +232,24 @@ def cluster_topics(
     if top_terms < 1 or vocab_size < 1:
         raise ValueError("vocab_size and top_terms must be >= 1")
     w = _tfidf_weights(df, text_col, id_col).where(F.col("w") > 0)
-    vocab = (
+    # top-vocab_size terms by df: orderBy().limit() lowers to a
+    # parallel TakeOrderedAndProject; the row_number runs on the
+    # RESULTING vocab_size-row frame only (a global Window over the
+    # full corpus vocabulary would funnel every distinct term through
+    # one task). _tfidf_weights is distinct per (doc, term), so a
+    # plain count is the document frequency.
+    top = (
         w.groupBy("term")
-        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
-        .withColumn(
-            "_vix",
-            F.row_number().over(
-                Window.orderBy(F.col("_df").desc(), F.col("term"))
-            ) - 1,
-        )
-        .where(F.col("_vix") < vocab_size)
-        .select("term", "_vix")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .orderBy(F.col("_df").desc(), F.col("term"))
+        .limit(vocab_size)
     )
+    vocab = top.withColumn(
+        "_vix",
+        F.row_number().over(
+            Window.orderBy(F.col("_df").desc(), F.col("term"))
+        ) - 1,
+    ).select("term", "_vix")
     entries = w.join(F.broadcast(vocab), "term").groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_vix"), F.col("w_hat")))
@@ -260,6 +269,8 @@ def cluster_topics(
         dense, k, iterations=iterations, id_col=id_col, vec_col="_vec",
         spherical=True, stats=stats,
     ).select(id_col, "cluster_id")
+    # every input doc appears in the output; no-vocab docs get NULL
+    assigned = df.select(id_col).join(assigned, id_col, "left")
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -158,7 +158,7 @@ def cosine_dedup_pairs(
     threshold: float = 0.99,
     block_bits: int = 4,
     quantized: bool = False,
-    quant_margin: float = 0.02,
+    quant_margin: float = 0.05,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked-exact.
 
@@ -174,13 +174,21 @@ def cosine_dedup_pairs(
     ``quantized=True`` is the 100 TB shuffle-width lever: the
     self-join ships int8 arrays (4x narrower than float32) and scores
     candidates with the scale-free int cosine at ``threshold -
-    quant_margin`` (int8 cosine drift is bounded well under 0.02 —
-    see test_embedding_quantization_roundtrip), then the surviving
-    candidate ids join their float vectors back for an EXACT verify
-    at ``threshold`` — output pairs are identical to the exact path,
-    only the wide self-join got cheaper. The sign bucket always comes
-    from the float vector (a near-zero negative dimension quantizes
-    to 0, which would flip its sign bit)."""
+    quant_margin``, then the surviving candidate ids join their float
+    vectors back for an EXACT verify at ``threshold``. The exact
+    verify means NO false pairs ever; a true pair can only be missed
+    if its int8-cosine drift exceeds ``quant_margin`` — drift measures
+    well under 0.02 on typical dense embeddings (see
+    test_embedding_quantization_roundtrip) but the worst case grows
+    ~sqrt(dim)/127 for outlier-heavy vectors, so raise the margin (at
+    the cost of more candidates to verify) when dimensions are large
+    or magnitudes are spiky. The sign bucket always comes from the
+    float vector (a near-zero negative dimension quantizes to 0,
+    which would flip its sign bit). The verify joins are shuffle-
+    hinted so Spark never broadcasts the (possibly expensive) input
+    subplan; persist ``df`` first if it is not a cheap scan — the
+    quantized path scans it four times (join sides + two id fetches).
+    """
     from vrl_spark.functions.parse import materialize
 
     if not quantized:
@@ -231,7 +239,8 @@ def cosine_dedup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
     verified = materialize(
-        cand.join(va, "id_a").join(vb, "id_b"),
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b"),
         cos=cosine(F.col("_va"), F.col("_vb")),
     ).select("id_a", "id_b", "cos")
     return verified.where(F.col("cos") >= threshold)

@@ -442,7 +442,9 @@ def span_dedup(
     wire."""
     if engine not in ("xxh", "exact"):
         raise ValueError(f"unknown span_dedup engine {engine!r}")
-    clash = set(keep_cols or []) & {id_col, out_col, n_col, "_toks", "_cov"}
+    clash = set(keep_cols or []) & {
+        id_col, out_col, n_col, "_toks", "_cov", "_total", "_r",
+    }
     if clash:
         raise ValueError(
             f"keep_cols {sorted(clash)} collide with span_dedup's own "
