@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions already committed in the manifest")
+    ap.add_argument("--verify", action="store_true",
+                    help="audit committed partitions against their "
+                         "manifest lineage (rows/bytes/fingerprint) and "
+                         "exit non-zero on any mismatch; no data is "
+                         "written")
     args = ap.parse_args()
 
     from vrl_spark.operators.checkpoint import CheckpointedRun
@@ -55,6 +60,19 @@ def main() -> int:
     )
 
     run = CheckpointedRun(os.path.join(args.output, "routed"))
+    if args.verify:
+        results = run.verify(
+            spark, payload_col="url",
+            fp_cols=["doc_id", "url", "route", "status_int",
+                     "bytes_int", "error"],
+        )
+        bad = [r for r in results if not r["ok"]]
+        print(json.dumps({
+            "partitions_audited": len(results),
+            "partitions_ok": len(results) - len(bad),
+            "failures": bad,
+        }))
+        return 0 if not bad else 1
     if not args.resume:
         # fresh run: clear any previous manifest so all partitions run
         import shutil
