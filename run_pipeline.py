@@ -4,7 +4,7 @@
     python -m zipfile -c /tmp/vrl_spark.zip vrl_spark
     spark-submit --py-files /tmp/vrl_spark.zip run_pipeline.py \
         --input /root/testdata/sf0.1 --output /tmp/weblog_out \
-        [--resume] [--master local[32]]
+        [--resume] [--verify] [--master local[32]]
 
 Runs the flagship parse->enrich->route pipeline partitioned by hour,
 through the checkpoint manager: each hour partition commits a
