@@ -351,3 +351,25 @@ def test_zstd_compressed_block_encoder_cross_validated(spark):
     # compressible text must actually shrink
     text = b" ".join(rng.choice(words) for _ in range(8000))
     assert len(zstd_compress(text)) < len(text) // 2
+
+
+def test_zstd_truncated_rle_literals_raise_not_crash():
+    """A compressed block whose RLE-literals body is missing (block is
+    exactly the literals header) must raise ZstdError — and via the
+    Spark column path must route to NULL, not kill the task."""
+    import pytest
+
+    from vrl_spark.functions.zstdcodec import ZstdError, zstd_decompress
+
+    frame = (
+        b"\x28\xb5\x2f\xfd"  # magic
+        + b"\x00\x00"        # FHD: no flags; window descriptor byte
+        + (1 | (2 << 1) | (1 << 3)).to_bytes(3, "little")  # last,comp,sz=1
+        + b"\x19"            # literals hdr: RLE, sf=0, rs=3 — body absent
+    )
+    with pytest.raises(ZstdError):
+        zstd_decompress(frame)
+    # raw-literals variant: hdr says 3 bytes follow, none do
+    frame_raw = frame[:-1] + b"\x18"
+    with pytest.raises(ZstdError):
+        zstd_decompress(frame_raw)

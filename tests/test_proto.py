@@ -247,3 +247,28 @@ def test_singular_message_field_merge_semantics():
     a = encode_message({"nums": [1, 2]}, msg, reg)
     b = encode_message({"nums": [3]}, msg, reg)
     assert decode_message(a + b, msg, reg) == {"nums": [1, 2, 3]}
+
+
+def test_truncated_packed_fixed_raises():
+    """A packed fixed64/fixed32 payload whose length is not a multiple
+    of the element width must raise ProtoError, never silently decode
+    a short-read value (the packed-varint path already raised)."""
+    reg = {
+        ".t.P": {
+            "name": "P", "map_entry": False, "nested": [], "enums": [],
+            "fields": [_f("pf64", 1, 6, label=3),
+                       _f("pf32", 2, 7, label=3)],
+        },
+    }
+    msg = reg[".t.P"]
+    # field 1, wire type 2 (packed), 4-byte payload: half a fixed64
+    with pytest.raises(ProtoError, match="truncated packed fixed64"):
+        decode_message(b"\x0a\x04AAAA", msg, reg)
+    # field 2, packed, 6 bytes: one fixed32 then a 2-byte remnant
+    with pytest.raises(ProtoError, match="truncated packed fixed32"):
+        decode_message(b"\x12\x06AAAABB", msg, reg)
+    # well-formed packed runs still decode
+    ok = decode_message(
+        b"\x0a\x08" + (5).to_bytes(8, "little")
+        + b"\x12\x04" + (9).to_bytes(4, "little"), msg, reg)
+    assert ok == {"pf64": [5], "pf32": [9]}

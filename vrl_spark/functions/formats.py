@@ -1,14 +1,15 @@
 """Remaining format parsers: xml, yaml, ruby hash, regex_all,
 replace_with, json-schema validation, compression stubs.
 
-Availability-gated: yaml + jsonschema exist in this container and are
-used; snappy and lz4 are implemented from scratch (the raw/block
-formats are public and small — vrl_spark.functions.lzcodecs), zstd
-has a full from-scratch RFC 8878 decoder + store-block encoder
-(vrl_spark.functions.zstdcodec), and cbor has its own minimal RFC
-8949 decoder below. Only parse_proto/encode_proto still raise
-NotImplementedError at CALL time (plan-build time, not executor time)
-with the exact pip name needed, keeping the API surface complete."""
+All codecs here are implemented — none raise NotImplementedError.
+yaml + jsonschema exist in this container and are used directly;
+snappy and lz4 are from-scratch (the raw/block formats are public and
+small — vrl_spark.functions.lzcodecs); zstd has a full from-scratch
+RFC 8878 decoder AND a real compressing encoder (Huffman literals +
+predefined-FSE sequences — vrl_spark.functions.zstdcodec, validated
+against zstd-jni frames); cbor has its own minimal RFC 8949 decoder
+below; parse_proto/encode_proto ride the from-scratch wire codec in
+vrl_spark.functions.proto (FileDescriptorSet bootstrap included)."""
 
 from __future__ import annotations
 
@@ -314,9 +315,10 @@ def decode_lz4(
 # ---------------------------------------------------------------------
 # Reference parity: decode_zstd.rs / encode_zstd.rs (zstd::decode_all
 # / encode_all). The decoder handles the full format (validated
-# against real zstd-jni frames in tests); the encoder emits spec-
-# valid store-block frames — compression_level accepted for API
-# parity, see zstdcodec docstring.
+# against real zstd-jni frames in tests); the encoder really
+# compresses (Huffman literals + predefined-FSE sequences, round-
+# tripped through real zstd in tests) — compression_level tunes the
+# match-finder, see zstdcodec docstring.
 
 
 def encode_zstd(col: Column, compression_level: int = 0) -> Column:
@@ -342,7 +344,12 @@ def decode_zstd(col: Column) -> Column:
                 return None
             try:
                 return zstd_decompress(bytes(v))
-            except ValueError:
+            except Exception:
+                # Malformed frames must route to the NULL error branch,
+                # never crash the task: the decoder raises ZstdError
+                # (a ValueError) on every anticipated corruption, but a
+                # pathological frame hitting an unanticipated IndexError
+                # deep in the bitstream walk should degrade identically.
                 return None
 
         return s.map(one)

@@ -311,11 +311,15 @@ def decode_message(data: bytes, msg: dict, registry: dict) -> dict:
                         items.append(_scalar_from_wire(
                             ftype, 0, raw, registry, f["type_name"]))
                     elif ftype in _FIXED64_TYPES:
+                        if pos + 8 > len(payload):
+                            raise ProtoError("truncated packed fixed64")
                         raw = int.from_bytes(payload[pos : pos + 8], "little")
                         pos += 8
                         items.append(_scalar_from_wire(
                             ftype, 1, raw, registry, f["type_name"]))
                     else:
+                        if pos + 4 > len(payload):
+                            raise ProtoError("truncated packed fixed32")
                         raw = int.from_bytes(payload[pos : pos + 4], "little")
                         pos += 4
                         items.append(_scalar_from_wire(

@@ -324,7 +324,11 @@ def _decode_literals(block: bytes, ctx: dict):
         else:
             rs = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
         if ltype == 0:
+            if len(block) < hdr + rs:
+                raise ZstdError("truncated raw literals")
             return bytes(block[hdr : hdr + rs]), hdr + rs
+        if len(block) < hdr + 1:
+            raise ZstdError("truncated RLE literal")
         return bytes([block[hdr]]) * rs, hdr + 1
     # compressed (2) / treeless (3)
     if sf == 0:
