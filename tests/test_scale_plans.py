@@ -91,6 +91,24 @@ def test_ivf_broadcasts_probes_not_corpus(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivf_assign_is_map_only(spark, sf_dir):
+    """The IVF index build never shuffles the corpus: the only
+    Exchange in the whole assignment plan is the single-partition
+    collect_list over the n_lists centroid rows (under the
+    BroadcastExchange); the corpus side is a pure projection —
+    no hashpartitioning anywhere, no Python eval."""
+    from vrl_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_lists=8)
+    plan = plan_of(ivf_assign(emb, cents))
+    assert "Exchange hashpartitioning" not in plan, plan
+    # corpus side (everything before the broadcast) has NO exchange
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_whole_stage_codegen_covers_parse(spark, sf_dir):
     """The parse stage must stay inside whole-stage codegen (no
     Python, no interpreted projection)."""

@@ -347,31 +347,46 @@ def ivf_assign(
     centroid by cosine (ties -> smallest centroid_id). Adds
     ``list_id``.
 
-    Scale shape: ONE broadcast join (centroids are tiny) + ONE
-    map-side-combined argmax shuffle keyed by the vector id — this is
-    the index build; at 100 TB the result is written once as a
-    parquet/Iceberg table bucketed by list_id so queries become
-    partition-pruned scans. Cosines are rounded to 1e-6 before the
-    argmax so the assignment (and its tie-breaks) is identical across
-    engines."""
+    Scale shape: MAP-ONLY. The centroids are folded into a single
+    array-of-structs row (tiny — n_lists entries), broadcast, and the
+    argmax runs per corpus row as ``array_min(transform(...))`` over
+    that array: the corpus is never expanded n_lists-fold and never
+    shuffled (the old shape was a corpus × n_lists broadcast join +
+    an argmax groupBy over the expanded rows — a full-corpus shuffle
+    that at 100 TB dwarfs the scan). The only Exchange left is the
+    single-row centroid collect_list, whose input is n_lists rows. At
+    100 TB the result is written once as a parquet/Iceberg table
+    bucketed by list_id so queries become partition-pruned scans.
+    Cosines are rounded to 1e-6 before the argmax so the assignment
+    (and its tie-breaks) is identical across engines."""
     # min over (-cosine, centroid_id): max cosine, then SMALLEST
     # centroid id — negating the (always-numeric) score instead of the
-    # id keeps the tie-break correct for string/any-typed centroid ids
-    scored = corpus.join(F.broadcast(centroids)).select(
+    # id keeps the tie-break correct for string/any-typed centroid
+    # ids. transform-then-array_min computes each cosine exactly once
+    # (a reduce() whose merge compares the candidate would inline the
+    # O(dim) cosine aggregate twice per element).
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid_vec").alias("cvec"),
+            )
+        ).alias("_cents")
+    )
+    return corpus.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.struct(
-            (-F.round(cosine(F.col(vec_col), F.col("centroid_vec")), 6))
-            .alias("neg_cs"),
-            F.col("centroid_id").alias("cid"),
-        ).alias("_key"),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.min_by(F.col(vec_col), F.col("_key")).alias(vec_col),
-            F.min(F.col("_key")).getField("cid").alias("list_id"),
-        )
+        F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (-F.round(
+                        cosine(F.col(vec_col), c.getField("cvec")), 6
+                    )).alias("neg_cs"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ).getField("cid").alias("list_id"),
     )
 
 
