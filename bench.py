@@ -80,7 +80,8 @@ PREV_ROUND_REF = {
     "dedup_exact": 0.18,
     "events_sessionize": 0.46,
     "events_windowed": 0.36,
-    "similarity_topk": 1.23,
+    "similarity_topk": 2.93,             # r5 merged: brute 1.23 + lsh_ann
+                                         # 1.70 (union, no join)
     "vrl_coercions_json": 1.4,           # vrl_coercions + vrl_parse_json
                                          # + r4 tag_types_externally cols
                                          # (dynamic lane = per-row json
@@ -105,10 +106,9 @@ PREV_ROUND_REF = {
     "vrl_parse_kv_timestamp": 0.29,
     "vrl_parse_user_agent": 0.22,
     "vrl_crypto_codecs": 5.48,
-    "similarity_lsh_ann": 1.70,
     "dedup_ngram_jaccard": 1.36,
-    "dedup_minhash_lsh": 4.08,
-    "dedup_minhash_engine": 1.51,
+    "dedup_minhash_lsh": 5.59,           # r5 merged: md5 4.08 + xxh
+                                         # engine recall 1.51 (union)
     "dedup_simhash": 1.70,
     "dedup_clusters": 6.26,
     "dataset_curation": 11.79,
@@ -235,8 +235,8 @@ def main() -> None:
     headline = ["pipeline_aggregate", "pipeline_routed_rows", "pipeline_route_counts"]
     heavy = [
         "vrl_breadth",
-        "vrl_crypto_codecs", "similarity_lsh_ann", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_minhash_engine", "dedup_simhash",
+        "vrl_crypto_codecs", "similarity_topk", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash",
         "dedup_clusters", "dataset_curation",
     ]
     ordered = (

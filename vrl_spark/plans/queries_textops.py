@@ -114,59 +114,50 @@ verified AS (
 )
 """
 
+# merged vehicle (r5): both minhash engines ride one registry row.
+# variant 'md5' = full banded-LSH pair set with DuckDB-portable md5
+# hashes, replicated end-to-end by the oracle's _MINHASH_CTES.
+# variant 'xxh_recall' = the ENGINE-default seeded-xxhash64 path
+# (~18x the md5 signature throughput), checked by planted-dup recall:
+# an exact copy has an identical signature under ANY hash family, so
+# every planted exact pair (a, a+1000000) MUST band together and
+# verify at jaccard exactly 1.0 — the expected pair set is
+# deterministic without computing xxhash64 in DuckDB. (id_a < 1000000
+# excludes the copy-vs-near pairs (a+1000000, a+2000000) that also
+# differ by exactly 1000000.)
 _MINHASH_ORACLE = f"""
 WITH {_MINHASH_CTES}
-SELECT id_a, id_b, CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_x1m
+SELECT 'md5' AS variant, id_a, id_b,
+       CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_x1m
 FROM verified WHERE jaccard >= 0.7
+UNION ALL
+SELECT 'xxh_recall', doc_id, doc_id + 1000000, CAST(1000000 AS BIGINT)
+FROM documents WHERE doc_id % 5 = 0 AND trim(text) != ''
 """
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
     # engine='md5' pinned EXPLICITLY: the operator default is the 18x
     # faster xxh path; the oracle needs DuckDB-portable hashes
-    pairs = dedup.minhash_dedup_pairs(
-        _dup_corpus(spark, sf_dir), threshold=0.7,
+    md5_pairs = dedup.minhash_dedup_pairs(
+        corpus, threshold=0.7,
         num_hashes=16, bands=4, shingle_n=3, engine="md5",
-    )
-    return pairs.select(
-        "id_a", "id_b",
+    ).select(
+        F.lit("md5").alias("variant"), "id_a", "id_b",
         F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
     )
-
-
-# planted-recall oracle for the engine path: an exact copy has an
-# identical signature under ANY hash family, so every planted exact
-# pair (a, a+1000000) MUST band together and verify at jaccard = 1.0
-# exactly — the expected pair set is deterministic without computing
-# xxhash64 in DuckDB. (id_a < 1000000 excludes the copy-vs-near pairs
-# (a+1000000, a+2000000) that also differ by exactly 1000000.)
-_MINHASH_ENGINE_ORACLE = """
-SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
-       CAST(1000000 AS BIGINT) AS jaccard_x1m
-FROM documents WHERE doc_id % 5 = 0 AND trim(text) != ''
-"""
-
-
-@register("dedup_minhash_engine", _MINHASH_ENGINE_ORACLE)
-def dedup_minhash_engine(spark, sf_dir):
-    """The ENGINE-default LSH path: seeded-xxhash64 long signatures
-    (~18x the md5 signature throughput) and long band keys. Same
-    banded-join shape as dedup_minhash_lsh. Oracle = planted-dup
-    recall: the output is restricted to the deterministic planted
-    exact-copy pairs, which the engine must recover at 100% with
-    jaccard exactly 1.0 (identical text -> identical signature ->
-    all bands collide) regardless of hash family."""
-    pairs = dedup.minhash_dedup_pairs(
-        _dup_corpus(spark, sf_dir), threshold=0.7,
+    xxh_pairs = dedup.minhash_dedup_pairs(
+        corpus, threshold=0.7,
         num_hashes=16, bands=4, shingle_n=3, engine="xxh",
-    )
-    return pairs.where(
+    ).where(
         (F.col("id_a") < 1000000) & (F.col("id_b") == F.col("id_a") + 1000000)
     ).select(
-        "id_a", "id_b",
+        F.lit("xxh_recall").alias("variant"), "id_a", "id_b",
         F.round(F.col("jaccard") * 1000000).cast("long").alias("jaccard_x1m"),
     )
+    return md5_pairs.unionAll(xxh_pairs)
 
 
 # ---------------------------------------------------------------------
@@ -793,7 +784,7 @@ def text_lang_id(spark, sf_dir):
 # similarity search: brute-force cosine top-k
 # ---------------------------------------------------------------------
 
-_TOPK_ORACLE = """
+_TOPK_BRUTE_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
 ),
@@ -816,8 +807,7 @@ SELECT query_id, neighbor_id, cos_x1m, rank FROM (
 """
 
 
-@register("similarity_topk", _TOPK_ORACLE)
-def similarity_topk(spark, sf_dir):
+def _similarity_brute(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -901,8 +891,7 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-@register("similarity_lsh_ann", _lsh_ann_oracle())
-def similarity_lsh_ann(spark, sf_dir):
+def _similarity_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 10)
     topk = similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
@@ -911,6 +900,32 @@ def similarity_lsh_ann(spark, sf_dir):
         F.round(F.col("cos_sim") * 1000000).cast("long").alias("cos_x1m"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# merged vehicle (r5): brute-force exact top-k (the recall baseline)
+# and LSH-bucketed multiprobe ANN ride one registry row, tagged by a
+# variant column; each half's oracle replicates its full algorithm
+# (the LSH half embeds the md5-derived hyperplane constants as SQL
+# literals, so bucketing/multiprobe/cosine/ranking agree bit-for-bit).
+_TOPK_ORACLE = (
+    "WITH brute AS (" + _TOPK_BRUTE_ORACLE + "), lsh AS ("
+    + _lsh_ann_oracle() + ") "
+    "SELECT 'brute' AS variant, * FROM brute "
+    "UNION ALL SELECT 'lsh', * FROM lsh"
+)
+
+
+@register("similarity_topk", _TOPK_ORACLE)
+def similarity_topk(spark, sf_dir):
+    brute = _similarity_brute(spark, sf_dir).select(
+        F.lit("brute").alias("variant"),
+        "query_id", "neighbor_id", "cos_x1m", "rank",
+    )
+    lsh = _similarity_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"),
+        "query_id", "neighbor_id", "cos_x1m", "rank",
+    )
+    return brute.unionAll(lsh)
 
 
 # ---------------------------------------------------------------------
