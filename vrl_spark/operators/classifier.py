@@ -1,0 +1,236 @@
+"""Trained text-quality classifier: hashed n-gram features + in-Spark
+full-batch logistic regression (the CCNet/fastText-style model-based
+quality gate next to the hand-rule ``textstats.gopher_rules``).
+
+VRL itself ships no trainable model — this belongs to the LLM
+training-data operator family the engine adds on top of the
+reference's transform semantics. The design follows the published
+fastText/CCNet recipe (hashed bag-of-ngrams -> linear model) with the
+repo's loop discipline from ``clustering.kmeans``:
+
+- Features are HASHED: each word unigram/bigram maps to one of
+  ``num_buckets`` ids, so the model is a fixed-width weight vector and
+  the feature space never needs a vocabulary shuffle. Engines mirror
+  the minhash family: 'xxh' (seeded ``F.xxhash64``, JVM-fast, the
+  default) and 'md5' (DuckDB-portable, what oracles pin).
+- Feature VALUES are gram counts normalized by the doc's gram total.
+  Linearity makes scoring a pure map-side fold: margin =
+  sum_grams w[bucket(g)] / total + bias — NO per-doc bucket-count
+  shuffle exists anywhere in scoring.
+- Training is deterministic full-batch gradient descent on logistic
+  loss (+L2): no sampling, no row-order dependence beyond float-sum
+  reordering (rounded away by callers at 1e-6). One Spark job per
+  epoch; the (D+1)-row weight frame is localCheckpoint'ed each epoch
+  exactly like the kmeans centroid frame, and the per-doc margins ride
+  a 1-row broadcast crossJoin of the weight array (the collect-free
+  scalar pattern from ``operators/graph.py``).
+
+Scale shape (the 100 TB contract): the labeled training set is
+seed-sized by nature (you label thousands, not billions) — each epoch
+is one pass over it with partial aggregation collapsing every task to
+<= D+1 gradient cells before the wire. Scoring the full corpus is
+map-only: broadcast D+1 weights, fold each doc's grams, zero shuffles,
+zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vrl_spark.functions.parse import bind
+
+
+def _bucket(g: Column, num_buckets: int, engine: str, seed: str) -> Column:
+    """Hash a gram string to a bucket id in [0, num_buckets)."""
+    if engine == "md5":
+        # 15 hex chars < 2^60: always positive, % is pmod.
+        # DuckDB replica: CAST(concat('0x', substr(md5(g),1,15)) AS
+        # BIGINT) % D  (lineage-fingerprint convention)
+        h = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        return h % num_buckets
+    if engine == "xxh":
+        return F.pmod(F.xxhash64(F.lit(seed), g), F.lit(num_buckets))
+    raise ValueError(f"unknown hash engine {engine!r}")
+
+
+def ngram_buckets(
+    text: Column,
+    num_buckets: int = 128,
+    engine: str = "xxh",
+    seed: str = "qc",
+) -> Column:
+    """array<long> of hashed feature ids for a text column: word
+    unigrams + adjacent bigrams, whitespace-tokenized lowercase (the
+    repo-wide tokenization). Strings never leave the expression —
+    only long bucket ids reach any downstream shuffle."""
+
+    def body(toks: Column) -> Column:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+        return F.transform(grams, lambda g: _bucket(g, num_buckets, engine, seed))
+
+    return bind(F.split(F.lower(F.trim(text)), r"\s+"), body)
+
+
+def featurize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str | None = None,
+    num_buckets: int = 128,
+    engine: str = "xxh",
+    seed: str = "qc",
+) -> DataFrame:
+    """(id, [y], bks array<long>, total double) — the compact per-doc
+    feature form both training and scoring fold over. ``total`` is the
+    gram count (>= 1 always: even empty text yields one '' unigram),
+    so count-normalization never divides by zero."""
+    cols = [
+        F.col(id_col),
+        ngram_buckets(F.col(text_col), num_buckets, engine, seed).alias("bks"),
+    ]
+    if label_col is not None:
+        cols.insert(1, F.col(label_col).cast("double").alias("y"))
+    out = df.select(*cols)
+    return out.withColumn("total", F.size("bks").cast("double"))
+
+
+def _weight_array(weights: DataFrame) -> DataFrame:
+    """Fold the (bucket, weight) frame into ONE row holding the dense
+    ascending-by-bucket weight array (bias last). Broadcast-crossJoined
+    into per-doc scoring — the collect-free scalar pattern."""
+    return weights.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+            ),
+            lambda s: s.getField("weight"),
+        ).alias("w_arr")
+    )
+
+
+def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
+    """Map-side margin: fold the gram buckets through the weight
+    array, normalize by the gram total, add the bias (last slot)."""
+    acc = F.aggregate(
+        bks,
+        F.lit(0.0),
+        lambda a, b: a + F.element_at(w_arr, (b + 1).cast("int")),
+    )
+    return acc / total + F.element_at(w_arr, F.size(w_arr))
+
+
+def train_logistic(
+    feats: DataFrame,
+    num_buckets: int = 128,
+    epochs: int = 3,
+    lr: float = 5.0,
+    l2: float = 0.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full-batch logistic GD over a featurized frame (must carry
+    ``y``). Returns the (bucket, weight) frame — ``num_buckets`` + 1
+    rows, bias at bucket id ``num_buckets``.
+
+    w <- w - lr * (sum_docs (sigmoid(margin) - y) * x / n  +  l2 * w)
+
+    with x_b = cnt_b / total. Deterministic: zero init, no sampling;
+    the only cross-run wobble is float-sum ordering (~1e-15), which
+    callers round away. Eager: one Spark job per epoch (the weight
+    frame localCheckpoints, mirroring kmeans)."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    spark = feats.sparkSession
+    feats = feats.localCheckpoint()  # re-read every epoch + final score
+    n_train = feats.count()
+    if n_train == 0:
+        raise ValueError("train_logistic needs a non-empty training set")
+    weights = spark.range(num_buckets + 1).select(
+        F.col("id").alias("bucket"), F.lit(0.0).alias("weight")
+    ).localCheckpoint()
+    for _ in range(epochs):
+        warr = _weight_array(weights)
+        resid = feats.crossJoin(F.broadcast(warr)).select(
+            "bks", "total",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-_margin(F.col("bks"), F.col("total"), F.col("w_arr"))))
+                - F.col("y")
+            ).alias("r"),
+        )
+        # gradient at gram grain: each gram contributes resid/total to
+        # its bucket; partial aggregation collapses tasks to <= D cells
+        grad = resid.select(
+            F.explode("bks").alias("bucket"), (F.col("r") / F.col("total")).alias("g")
+        ).groupBy("bucket").agg((F.sum("g") / n_train).alias("g"))
+        bias_grad = resid.agg((F.sum("r") / n_train).alias("g")).select(
+            F.lit(num_buckets).cast("long").alias("bucket"), "g"
+        )
+        # L2 shrinks feature weights only — never the bias row
+        decay = F.when(F.col("bucket") == num_buckets, F.lit(0.0)).otherwise(
+            l2 * F.col("weight")
+        )
+        weights = (
+            weights.join(grad.unionAll(bias_grad), "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("weight")
+                    - lr * (F.coalesce(F.col("g"), F.lit(0.0)) + decay)
+                ).alias("weight"),
+            )
+            .localCheckpoint()
+        )
+    if stats is not None:
+        stats["epochs"] = epochs
+        stats["n_train"] = n_train
+    return weights
+
+
+def score(
+    feats: DataFrame,
+    weights: DataFrame,
+    out_col: str = "prob",
+) -> DataFrame:
+    """feats + sigmoid quality probability. Map-only: one 1-row
+    broadcast crossJoin of the weight array, then a per-doc JVM fold —
+    no shuffle, no Python."""
+    warr = _weight_array(weights)
+    return feats.crossJoin(F.broadcast(warr)).withColumn(
+        out_col,
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-_margin(F.col("bks"), F.col("total"), F.col("w_arr")))),
+    ).drop("w_arr")
+
+
+def quality_classifier(
+    df: DataFrame,
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    num_buckets: int = 128,
+    epochs: int = 3,
+    lr: float = 5.0,
+    l2: float = 0.0,
+    engine: str = "xxh",
+    seed: str = "qc",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Train on ``labeled`` (text + 0/1 label), score every row of
+    ``df``. Returns (id_col, prob). The trained (bucket, weight) frame
+    is exposed through ``stats['weights']``."""
+    tr = featurize(labeled, text_col, id_col, label_col, num_buckets, engine, seed)
+    weights = train_logistic(tr, num_buckets, epochs, lr, l2, stats)
+    if stats is not None:
+        stats["weights"] = weights
+    sc = featurize(df, text_col, id_col, None, num_buckets, engine, seed)
+    return score(sc, weights).select(id_col, "prob")

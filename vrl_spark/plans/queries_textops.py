@@ -2231,3 +2231,117 @@ def multimodal_features(spark, sf_dir):
         F.round(F.element_at(e, 7).cast("double") * 1000000)
         .cast("long").alias("b_x1m"),
     )
+
+
+# ---------------------------------------------------------------------
+# trained quality classifier (hashed n-grams + full-batch logistic GD)
+# ---------------------------------------------------------------------
+# The CCNet/fastText-style model gate: quality/junk markers are planted
+# on the salad corpus keyed by doc_id (label = doc_id % 2, plant
+# multiplicity k = doc_id % 3 + 1), the model trains on the 1-in-5
+# labeled slice and scores every doc. The oracle replicates the ENTIRE
+# training loop — featurization, all unrolled GD epochs, scoring — in
+# DuckDB (md5 buckets, the portable hash family; same convention as the
+# lineage fingerprint). Epochs chain as MATERIALIZED CTEs exactly like
+# the pagerank oracle.
+
+_QC_POS = "wellwritten cited thorough "
+_QC_NEG = "clickbait casino spammy "
+_QC_D = 256
+_QC_EPOCHS = 10
+_QC_LR = 8.0
+
+
+def _quality_classifier_oracle(
+    d: int = _QC_D, epochs: int = _QC_EPOCHS, lr: float = _QC_LR
+) -> str:
+    bias = f"(SELECT weight FROM w{{i}} WHERE bucket = {d})"
+    ctes = [
+        "planted AS MATERIALIZED (SELECT doc_id,"
+        " text || ' ' || repeat(CASE WHEN doc_id % 2 = 1"
+        f" THEN '{_QC_POS}' ELSE '{_QC_NEG}' END,"
+        " CAST(doc_id % 3 + 1 AS INT)) AS t FROM documents)",
+        "toks AS MATERIALIZED (SELECT doc_id,"
+        " string_split_regex(lower(trim(t)), '\\s+') AS tk FROM planted)",
+        "grams AS MATERIALIZED (SELECT doc_id,"
+        " unnest(list_concat(tk, list_transform(range(1, len(tk)),"
+        " i -> tk[i] || ' ' || tk[i + 1]))) AS g FROM toks)",
+        "feats AS MATERIALIZED (SELECT doc_id,"
+        " CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)"
+        f" % {d} AS bucket FROM grams)",
+        "tot AS MATERIALIZED (SELECT doc_id,"
+        " CAST(COUNT(*) AS DOUBLE) AS total FROM feats GROUP BY doc_id)",
+        "tr AS MATERIALIZED (SELECT f.doc_id, f.bucket, t.total,"
+        " CAST(f.doc_id % 2 AS DOUBLE) AS y"
+        " FROM feats f JOIN tot t USING (doc_id) WHERE f.doc_id % 5 = 0)",
+        "ntr AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT doc_id)"
+        " AS DOUBLE) AS n FROM tr)",
+        f"w0 AS MATERIALIZED (SELECT unnest(range(0, {d + 1})) AS bucket,"
+        " 0.0 AS weight)",
+    ]
+    for i in range(epochs):
+        b = bias.format(i=i)
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT tr.doc_id,"
+            f" any_value(tr.total) AS total,"
+            f" 1.0 / (1.0 + exp(-(SUM(w.weight) / any_value(tr.total)"
+            f" + {b}))) - any_value(tr.y) AS r"
+            f" FROM tr JOIN w{i} w ON tr.bucket = w.bucket"
+            f" GROUP BY tr.doc_id)"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT tr.bucket,"
+            f" SUM(m.r / m.total) / (SELECT n FROM ntr) AS g"
+            f" FROM tr JOIN m{i} m ON tr.doc_id = m.doc_id"
+            f" GROUP BY tr.bucket)"
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.bucket, w.weight"
+            f" - {lr} * (CASE WHEN w.bucket = {d} THEN"
+            f" (SELECT SUM(r) FROM m{i}) / (SELECT n FROM ntr)"
+            f" ELSE COALESCE(g.g, 0.0) END) AS weight"
+            f" FROM w{i} w LEFT JOIN g{i} g ON w.bucket = g.bucket)"
+        )
+    bf = bias.format(i=epochs)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, prob_x1m,"
+        " CAST(prob_x1m > 500000 AS INT) AS pred FROM (\n"
+        "  SELECT f.doc_id, CAST(ROUND((1.0 / (1.0 +"
+        f" exp(-(SUM(w.weight) / any_value(t.total) + {bf}))))"
+        " * 1000000) AS BIGINT) AS prob_x1m\n"
+        f"  FROM feats f JOIN tot t USING (doc_id)"
+        f" JOIN w{epochs} w ON f.bucket = w.bucket GROUP BY f.doc_id)"
+    )
+
+
+@register("text_quality_classifier", _quality_classifier_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Hashed-ngram logistic quality gate (operators/classifier), the
+    model-based sibling of text_gopher_rules. Train on the labeled
+    1-in-5 slice, score the full corpus."""
+    from vrl_spark.operators import classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    marker = F.when(d % 2 == 1, F.lit(_QC_POS)).otherwise(F.lit(_QC_NEG))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.array_join(F.array_repeat(marker, (d % 3 + 1).cast("int")), ""),
+        ).alias("text"),
+    )
+    labeled = planted.where(d % 5 == 0).withColumn(
+        "label", (d % 2).cast("int")
+    )
+    out = classifier.quality_classifier(
+        planted, labeled,
+        num_buckets=_QC_D, epochs=_QC_EPOCHS, lr=_QC_LR, engine="md5",
+    )
+    px = F.round(F.col("prob") * 1000000).cast("long")
+    return out.select(
+        "doc_id",
+        px.alias("prob_x1m"),
+        (px > 500000).cast("int").alias("pred"),
+    )
