@@ -502,6 +502,28 @@ def test_curate_corpus_composition(spark):
     assert set(out) == {1, 5}          # 2 deduped, 3 too short, 4 repetitive
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
     assert all(r["pack_id"] >= 0 for r in out.values())
+    # delta attribution: every doc comes back with the stage that
+    # dropped it; kept rows carry their placement
+    from vrl_spark.operators.curation import curation_report
+
+    fates_df = curate_corpus(
+        df, min_tokens=3, max_tokens=100, max_top2gram_frac=0.2,
+        dedup_threshold=0.7, pack_budget=30, with_fates=True,
+    )
+    fates = {r["doc_id"]: r for r in fates_df.collect()}
+    assert {d: r["fate"] for d, r in fates.items()} == {
+        1: "kept", 2: "near_dup", 3: "token_bounds",
+        4: "repetition", 5: "kept",
+    }
+    assert all(
+        (r["fate"] == "kept") == (r["pack_id"] is not None
+                                  and r["split"] is not None)
+        for r in fates.values()
+    )
+    rep = {r["fate"]: r for r in curation_report(fates_df).collect()}
+    assert rep["kept"]["n_docs"] == 2
+    assert rep["near_dup"]["n_tokens"] == fates[2]["n_tokens"]
+    assert abs(sum(r["doc_frac"] for r in rep.values()) - 1.0) < 1e-6
 
 
 def test_decontamination_flags_and_filter(spark):
@@ -750,6 +772,12 @@ def test_curate_corpus_optional_scrub_stages(spark):
         minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
     )
     assert gated.count() == 0
+    # attribution names the gopher gate as the dropping stage
+    gfates = curate_corpus(
+        df, min_tokens=5, gopher_filter=True, with_fates=True,
+        minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2),
+    ).collect()
+    assert len(gfates) == 8 and all(r["fate"] == "gopher" for r in gfates)
     # span stage: an inline shared 6-token tail survives the line pass
     # (each line is unique) but the span pass cuts it before counting
     spanned = curate_corpus(

@@ -22,7 +22,7 @@ and per-split packing groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vrl_spark.operators import dedup, sampling, textstats
@@ -45,12 +45,23 @@ def curate_corpus(
     strip_spans_ngram: int | None = None,
     scrub_pii: bool = False,
     gopher_filter: bool = False,
+    with_fates: bool = False,
 ) -> DataFrame:
     """Returns (id, n_tokens, split, pack_id) for every KEPT document.
 
     ``engine`` selects the minhash hash family ('xxh' engine default;
     'md5' is what the oracle pins). Repetition thresholds beyond
-    top-2gram use the repetition_filter defaults."""
+    top-2gram use the repetition_filter defaults.
+
+    ``with_fates`` switches the output to delta ATTRIBUTION mode:
+    EVERY input document comes back with a ``fate`` column naming the
+    pipeline stage that dropped it ('gopher', 'token_bounds',
+    'repetition', 'near_dup' — the FIRST stage to drop it, in pipeline
+    order) or 'kept'; kept rows carry split/pack_id, dropped rows
+    NULL. Token counts are measured after the optional text-rewriting
+    stages, so boilerplate/PII/span stripping shows up as token delta
+    within a fate, not as a fate. Feed the result to
+    :func:`curation_report` for the per-stage docs/tokens summary."""
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     mh = dict(num_hashes=16, bands=4, shingle_n=3)
     mh.update(minhash_kwargs or {})
@@ -77,20 +88,26 @@ def curate_corpus(
             df, text_col, out_col="_scrubbed", with_counts=False
         ).drop(text_col).withColumnRenamed("_scrubbed", text_col)
 
-    # 0b) optional Gopher rule gate (full published family) before
-    # the cheaper token-bound/repetition checks
-    if gopher_filter:
-        keep_ids = textstats.gopher_rules(df, text_col, id_col).where(
-            "keep"
-        ).select(id_col)
-        df = df.join(keep_ids, id_col, "left_semi")
-
-    # 1) quality: token bounds, then repetition thresholds
+    # token counts on the (possibly rewritten) text, BEFORE any gate,
+    # so attribution mode can report dropped documents' token mass
     with_tok = df.select(
         F.col(id_col), F.col(text_col),
         textstats.token_count(F.col(text_col)).alias("n_tokens"),
     )
-    bounded = with_tok.where(
+
+    # 0b) optional Gopher rule gate (full published family) before
+    # the cheaper token-bound/repetition checks
+    gopher_keep = None
+    if gopher_filter:
+        gopher_keep = textstats.gopher_rules(
+            with_tok, text_col, id_col
+        ).where("keep").select(id_col)
+        gated = with_tok.join(gopher_keep, id_col, "left_semi")
+    else:
+        gated = with_tok
+
+    # 1) quality: token bounds, then repetition thresholds
+    bounded = gated.where(
         F.col("n_tokens").between(min_tokens, max_tokens)
     )
     quality = textstats.repetition_filter(
@@ -126,10 +143,70 @@ def curate_corpus(
         part_col=F.col("split"),
     )
     out = packed.select(id_col, "n_tokens", "split", "pack_id")
+    if with_fates:
+        # per-doc attribution: left-join stage-membership markers onto
+        # the full corpus; the first NULL marker in pipeline order is
+        # the dropping stage. quality is still persisted here, and
+        # bounded/with_tok recomputes are narrow map-side projections,
+        # so no expensive subtree runs twice.
+        full = with_tok.select(id_col, "n_tokens")
+        fate = F.when(F.lit(False), "never")
+        if gopher_keep is not None:
+            full = full.join(
+                gopher_keep.withColumn("_gk", F.lit(True)), id_col, "left"
+            )
+            fate = fate.when(F.col("_gk").isNull(), "gopher")
+        fate = (
+            fate.when(F.col("_b").isNull(), "token_bounds")
+            .when(F.col("_q").isNull(), "repetition")
+            .when(F.col("pack_id").isNull(), "near_dup")
+            .otherwise("kept")
+        )
+        # bounds membership is checked against with_tok, not the gated
+        # stream: it's gate-independent, the fate chain tests _gk
+        # first, and this avoids re-running the gopher subtree
+        in_bounds = with_tok.where(
+            F.col("n_tokens").between(min_tokens, max_tokens)
+        ).select(id_col)
+        out = (
+            full.join(
+                in_bounds.withColumn("_b", F.lit(True)), id_col, "left"
+            )
+            .join(
+                quality.select(id_col).withColumn("_q", F.lit(True)),
+                id_col, "left",
+            )
+            .join(out.select(id_col, "split", "pack_id"), id_col, "left")
+            .select(id_col, "n_tokens", fate.alias("fate"),
+                    "split", "pack_id")
+        )
     # Materialize eagerly (the dedup-cluster stage above already runs
     # actions inside this call) so the quality cache can be released
     # here instead of leaking for the session's lifetime; the result is
-    # four narrow columns, so the checkpoint is small.
+    # a few narrow columns, so the checkpoint is small.
     out = out.localCheckpoint(eager=True)
     quality.unpersist()
     return out
+
+
+def curation_report(fates: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Aggregate a ``with_fates`` result into the per-stage delta
+    table a pipeline report wants: documents and token mass attributed
+    to each drop stage (plus the kept remainder), with corpus-wide
+    fractions. One map-side-combined aggregation over at most five
+    fate groups — nothing here shuffles more than a handful of rows.
+    """
+    tot = Window.partitionBy()
+    per = fates.groupBy("fate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return per.select(
+        "fate", "n_docs", "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias(
+            "doc_frac"
+        ),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias(
+            "token_frac"
+        ),
+    )

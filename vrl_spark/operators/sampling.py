@@ -226,6 +226,90 @@ def sample_per_stratum(
     )
 
 
+def mixture_quotas(ratios: dict[str, float], total: int) -> dict[str, int]:
+    """Integer per-class quotas from target mixture ratios + a global
+    budget, by largest-remainder apportionment (exact: quotas sum to
+    ``total``; ties on fractional part break by class name asc, so
+    the allocation is deterministic).
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    s = sum(ratios.values())
+    if abs(s - 1.0) > 1e-9:
+        raise ValueError(f"mixture ratios must sum to 1.0, got {s}")
+    import math
+
+    exact = {c: total * r for c, r in ratios.items()}
+    base = {c: math.floor(e + 1e-9) for c, e in exact.items()}
+    leftover = total - sum(base.values())
+    by_frac = sorted(
+        ratios, key=lambda c: (-(exact[c] - base[c]), c)
+    )
+    for c in by_frac[:leftover]:
+        base[c] += 1
+    return base
+
+
+def mixture_resample(
+    df: DataFrame,
+    class_col: str,
+    ratios: dict[str, float],
+    total: int,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    prefilter: float | None = None,
+    out_col: str = "mix_rank",
+) -> DataFrame:
+    """Resample a corpus to TARGET domain-mixture ratios (e.g. 40%
+    web / 30% code / 30% reference): each class keeps its quota =
+    largest-remainder share of ``total``, choosing the rows with the
+    smallest md5(salt|id) — the same deterministic smallest-hash-wins
+    rule as :func:`sample_per_stratum`, so membership is a pure
+    function of (salt, id, quota) and re-runs never reshuffle it.
+
+    Classes absent from ``ratios`` are dropped; a class smaller than
+    its quota keeps every row (the mixture is then best-effort —
+    callers can read the achieved counts off the result). Returns the
+    kept rows plus ``mix_rank`` (1..quota within the class, hash
+    order).
+
+    Scale path: class cardinality is tiny (a handful of domains), so
+    the per-class rank window is a FEW-TASK funnel over the whole
+    corpus unless bounded. Pass ``prefilter`` (e.g. 3.0) at scale:
+    per-class counts (map-side-combined agg, broadcast back) cut the
+    rank input to ~prefilter*quota rows per class — the sort cost
+    then depends on the BUDGET, not the corpus. Same miss analysis
+    as sample_per_stratum (P ~ e^-quota at 3x, negligible).
+    """
+    from pyspark.sql import Window
+
+    quotas = mixture_quotas(ratios, total)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        sorted(quotas.items()), schema=f"{class_col} string, _quota long"
+    )
+    frac = _hash_frac(F.col(id_col), salt)
+    base = df.join(F.broadcast(qdf), class_col, "inner")
+    if prefilter is not None:
+        if prefilter <= 1.0:
+            raise ValueError(f"prefilter must be > 1.0, got {prefilter}")
+        counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_cnt"))
+        cut = F.least(
+            F.lit(1.0), F.lit(float(prefilter)) * F.col("_quota") / F.col("_cnt")
+        )
+        base = (
+            base.join(F.broadcast(counts), class_col, "left")
+            .where(frac < cut)
+            .drop("_cnt")
+        )
+    w = Window.partitionBy(class_col).orderBy(frac.asc(), F.col(id_col).asc())
+    return (
+        base.withColumn(out_col, F.row_number().over(w).cast("long"))
+        .where(F.col(out_col) <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

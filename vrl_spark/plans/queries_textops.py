@@ -451,7 +451,10 @@ cs5 AS (
       AS dup5gram_frac
   FROM cc5 GROUP BY doc_id
 ),
-quality AS (
+quality AS MATERIALIZED (
+  -- MATERIALIZED: referenced by the minhash chain, the survivor join
+  -- AND the final fate attribution; inlined it would re-run the
+  -- n-gram scoring per reference
   SELECT rt.doc_id, rt.text, rt.n_tokens
   FROM rt
   JOIN clinem ON clinem.doc_id = rt.doc_id
@@ -550,9 +553,22 @@ walk(split, rn, doc_id, n_tokens, pid, used) AS (
          CASE WHEN walk.used + pt.tokc > 512 THEN CAST(pt.tokc AS BIGINT)
               ELSE walk.used + pt.tokc END
   FROM walk JOIN pt ON pt.split = walk.split AND pt.rn = walk.rn + 1
+),
+kept AS (
+  SELECT doc_id, split, pid AS pack_id FROM walk
 )
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, split, pid AS pack_id
-FROM walk
+-- delta attribution: EVERY corpus document with the stage that
+-- dropped it (first stage in pipeline order) or 'kept'
+SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN k.doc_id IS NOT NULL THEN 'kept'
+       WHEN b.doc_id IS NULL THEN 'token_bounds'
+       WHEN q.doc_id IS NULL THEN 'repetition'
+       ELSE 'near_dup' END AS fate,
+  k.split, CAST(k.pack_id AS BIGINT) AS pack_id
+FROM ctok c
+LEFT JOIN bounded b ON b.doc_id = c.doc_id
+LEFT JOIN quality q ON q.doc_id = c.doc_id
+LEFT JOIN kept k ON k.doc_id = c.doc_id
 """
 
 
@@ -560,17 +576,20 @@ FROM walk
 def dataset_curation(spark, sf_dir):
     """The capstone composition: quality -> near-dup clusters ->
     survivors -> stable splits -> per-split token packing, one call
-    (operators/curation.curate_corpus), oracle-checked end-to-end."""
+    (operators/curation.curate_corpus), oracle-checked end-to-end —
+    in delta-attribution mode, so every input document comes back
+    with the stage that dropped it (fate) or its split/pack placement."""
     from vrl_spark.operators.curation import curate_corpus
 
     corpus = _dup_corpus(spark, sf_dir)
     out = curate_corpus(
         corpus, min_tokens=5, max_tokens=5000, max_top2gram_frac=0.12,
         dedup_threshold=0.7, engine="md5", pack_budget=512,
+        with_fates=True,
     )
     return out.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
-        "split", F.col("pack_id").cast("long").alias("pack_id"),
+        "fate", "split", F.col("pack_id").cast("long").alias("pack_id"),
     )
 
 
@@ -2344,4 +2363,95 @@ def text_quality_classifier(spark, sf_dir):
         "doc_id",
         px.alias("prob_x1m"),
         (px > 500000).cast("int").alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------
+# domain-mixture resampling -> seeded global shuffle -> token shards
+# ---------------------------------------------------------------------
+# The corpus-assembly tail of a training-data pipeline in one plan:
+# sample to TARGET domain ratios (40% web / 30% code / 30% reference
+# by a source-derived class; largest-remainder quotas, deterministic
+# smallest-md5-within-class membership), then a seeded permutation
+# (md5 oracle lane of sharding.permutation_key) and fixed-token-budget
+# shard assignment. The oracle derives everything analytically: the
+# quota table is literal VALUES, class rank order is the md5 hex
+# prefix (lexicographic == numeric for fixed-width hex), and the
+# shard rule is a plain window cumsum — fine at sf0.01, which is
+# exactly the single-task formulation sharding.shard_assign exists to
+# avoid at scale.
+
+_MIXTURE_SHARDS_ORACLE = """
+WITH c AS (
+  SELECT doc_id, text,
+    CASE (CAST(substr(source, 4, 10) AS INT) % 4)
+      WHEN 2 THEN 'code' WHEN 3 THEN 'reference' ELSE 'web'
+    END AS mix_class
+  FROM documents
+),
+quota(mix_class, q) AS (VALUES ('web', 80), ('code', 60), ('reference', 60)),
+r AS (
+  SELECT doc_id, text, mix_class,
+    ROW_NUMBER() OVER (PARTITION BY mix_class
+                       ORDER BY substr(md5('mix|' || doc_id), 1, 8), doc_id)
+      AS mix_rank
+  FROM c
+),
+kept AS (
+  SELECT r.doc_id, r.mix_class, CAST(r.mix_rank AS BIGINT) AS mix_rank, r.text
+  FROM r JOIN quota USING (mix_class)
+  WHERE r.mix_rank <= quota.q
+),
+t AS (
+  SELECT doc_id, mix_class, mix_rank,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+'))
+         END AS BIGINT) AS n_tok,
+    CAST(concat('0x', substr(md5('shard5|' || doc_id), 1, 15)) AS BIGINT)
+      AS perm_key
+  FROM kept
+),
+s AS (
+  SELECT *, SUM(n_tok) OVER (ORDER BY perm_key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, mix_class, mix_rank, n_tok, perm_key,
+  (cum - n_tok) // 1500 AS shard_id,
+  ROW_NUMBER() OVER (PARTITION BY (cum - n_tok) // 1500
+                     ORDER BY perm_key, doc_id) AS shard_pos
+FROM s
+"""
+
+
+@register("dataset_mixture_shards", _MIXTURE_SHARDS_ORACLE)
+def dataset_mixture_shards(spark, sf_dir):
+    """Domain-mixture resample to 40/30/30 target ratios, then seeded
+    global shuffle + ~1500-token shard assignment
+    (sampling.mixture_resample + sharding.shard_assign)."""
+    from vrl_spark.operators import sampling, sharding
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcnum = F.substring("source", 4, 10).cast("int") % 4
+    base = docs.select(
+        "doc_id", "text",
+        F.when(srcnum == 2, "code")
+        .when(srcnum == 3, "reference")
+        .otherwise("web")
+        .alias("mix_class"),
+    )
+    kept = sampling.mixture_resample(
+        base, "mix_class", {"web": 0.4, "code": 0.3, "reference": 0.3},
+        total=200, salt="mix",
+    )
+    toks = kept.select(
+        "doc_id", "mix_class", "mix_rank",
+        textstats.token_count(F.col("text")).alias("n_tok"),
+    )
+    return sharding.shard_assign(
+        toks, budget=1500, token_col="n_tok", seed="shard5",
+        hash="md5", n_buckets=8,
+    ).select(
+        "doc_id", "mix_class", "mix_rank", "n_tok", "perm_key",
+        "shard_id", "shard_pos",
     )
