@@ -111,7 +111,9 @@ PREV_ROUND_REF = {
                                          # engine recall 1.51 (union)
     "dedup_simhash": 1.70,
     "dedup_clusters": 6.26,
-    "dataset_curation": 11.79,
+    "dataset_curation": 17.3,            # r5: with_fates attribution
+                                         # output (full corpus + fate;
+                                         # was 11.79 kept-only)
     "dedup_embedding_cosine": 3.09,
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
@@ -133,6 +135,9 @@ PREV_ROUND_REF = {
     "pipeline_lineage_metrics": 1.2,     # r4 in-harness clean (oracle
                                          # pins the md5 engine;
                                          # production xxh64 is cheaper)
+    "text_quality_classifier": 10.3,     # r5 clean first measurement
+                                         # (3-epoch hashed-ngram SGD)
+    "dataset_mixture_shards": 3.5,       # r5 clean first measurement
 }
 
 

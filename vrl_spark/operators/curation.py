@@ -156,23 +156,20 @@ def curate_corpus(
                 gopher_keep.withColumn("_gk", F.lit(True)), id_col, "left"
             )
             fate = fate.when(F.col("_gk").isNull(), "gopher")
+        # bounds membership needs NO join: it's a predicate on the
+        # row's own token count (gate-independent; the fate chain
+        # tests _gk first, so gopher-dropped rows never reach it)
         fate = (
-            fate.when(F.col("_b").isNull(), "token_bounds")
+            fate.when(
+                ~F.col("n_tokens").between(min_tokens, max_tokens),
+                "token_bounds",
+            )
             .when(F.col("_q").isNull(), "repetition")
             .when(F.col("pack_id").isNull(), "near_dup")
             .otherwise("kept")
         )
-        # bounds membership is checked against with_tok, not the gated
-        # stream: it's gate-independent, the fate chain tests _gk
-        # first, and this avoids re-running the gopher subtree
-        in_bounds = with_tok.where(
-            F.col("n_tokens").between(min_tokens, max_tokens)
-        ).select(id_col)
         out = (
             full.join(
-                in_bounds.withColumn("_b", F.lit(True)), id_col, "left"
-            )
-            .join(
                 quality.select(id_col).withColumn("_q", F.lit(True)),
                 id_col, "left",
             )
