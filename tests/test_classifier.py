@@ -152,6 +152,33 @@ def test_validation_errors(spark):
     empty = feats.where(F.lit(False))
     with pytest.raises(ValueError, match="non-empty"):
         classifier.train_logistic(empty, num_buckets=8, epochs=1)
+    # md5 lane is oracle-pinned seedless: an explicit seed must raise,
+    # not silently produce a seed-independent model
+    with pytest.raises(ValueError, match="seedless"):
+        classifier.featurize(
+            df, label_col="label", num_buckets=8, engine="md5", seed="s1"
+        )
+
+
+def test_score_sparse_weight_frame(spark):
+    # a weights frame MISSING zero-weight buckets must score exactly
+    # like the dense frame (weights are looked up by bucket id, not by
+    # sort position)
+    df = spark.createDataFrame(
+        [(0, "alpha beta", 1), (1, "gamma delta", 0)],
+        "doc_id long, text string, label int",
+    )
+    feats = classifier.featurize(df, label_col="label", num_buckets=16,
+                                 engine="md5")
+    weights = classifier.train_logistic(feats, num_buckets=16, epochs=2)
+    dense = {r["doc_id"]: r["prob"]
+             for r in classifier.score(feats, weights).collect()}
+    sparse = weights.where(F.abs(F.col("weight")) > 1e-12)
+    assert sparse.count() < weights.count()  # some buckets really drop
+    got = {r["doc_id"]: r["prob"]
+           for r in classifier.score(feats, sparse).collect()}
+    for d, p in dense.items():
+        assert abs(got[d] - p) < 1e-12, (d, got[d], p)
 
 
 def test_empty_text_features(spark):

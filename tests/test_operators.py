@@ -135,6 +135,9 @@ def test_ivf_assign_nearest_centroid(spark):
     tied = spark.createDataFrame([(5, [1.0, 1.0])], ["vec_id", "embedding"])
     out5 = similarity.ivf_assign(tied, cents).collect()[0]
     assert out5["list_id"] == 10
+    # empty centroid frame -> empty assignment (loud), not a corpus of
+    # NULL list_ids that downstream joins silently drop
+    assert similarity.ivf_assign(emb, cents.where(F.lit(False))).count() == 0
 
 
 def test_ivf_topk_recall_and_exactness(spark, sf_dir):

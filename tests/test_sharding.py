@@ -138,6 +138,13 @@ def test_mixture_quotas_largest_remainder():
     # exact thirds of 100: remainders tie, leftover goes by name asc
     q = mixture_quotas({"x": 1 / 3, "y": 1 / 3, "z": 1 / 3}, 100)
     assert sum(q.values()) == 100 and q == {"x": 34, "y": 33, "z": 33}
+    # corpus-scale totals: float rounding must never break the
+    # sums-to-total invariant (an epsilon inside floor() once could)
+    big = mixture_quotas(
+        {"a": 0.1, "b": 0.2, "c": 0.3, "d": 1 / 3, "e": 0.4 - 1 / 3},
+        10**12,
+    )
+    assert sum(big.values()) == 10**12
     with pytest.raises(ValueError):
         mixture_quotas({"a": 0.6, "b": 0.3}, 10)
     with pytest.raises(ValueError):

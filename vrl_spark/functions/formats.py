@@ -410,8 +410,16 @@ def decode_zstd(col: Column, engine: str = "python") -> Column:
                     z = _jvm_zstd(info)
                     n = z.getFrameContentSize(data)
                     # unknown/oversized content size (or multi-frame
-                    # input, which jni's one-shot can't do) -> python
-                    if 0 <= n <= (1 << 31) - 1:
+                    # input, which jni's one-shot can't do) -> python.
+                    # The declared size is attacker-controlled and the
+                    # JVM lane allocates it UP FRONT in the shared
+                    # gateway heap, so cap it at a plausible expansion
+                    # of the actual input (zstd RLE tops out around
+                    # 2^17 per ~3 bytes; 2048x + a 1 MiB floor covers
+                    # real corpora) — anything larger goes through the
+                    # python kernel, which allocates as it decodes.
+                    cap = min((1 << 31) - 1, max(1 << 20, len(data) * 2048))
+                    if 0 <= n <= cap:
                         return bytes(z.decompress(data, int(n)))
                 except Exception:
                     pass

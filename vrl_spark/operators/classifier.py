@@ -41,16 +41,25 @@ from pyspark.sql import functions as F
 from vrl_spark.functions.parse import bind
 
 
-def _bucket(g: Column, num_buckets: int, engine: str, seed: str) -> Column:
+def _bucket(g: Column, num_buckets: int, engine: str, seed: str | None) -> Column:
     """Hash a gram string to a bucket id in [0, num_buckets)."""
     if engine == "md5":
+        if seed is not None:
+            # the md5 lane's hash is oracle-pinned (no seed slot in
+            # the DuckDB replica below); silently ignoring the seed
+            # would hand identical models to a caller sweeping seeds
+            raise ValueError(
+                "engine='md5' is seedless (oracle-pinned); "
+                "use engine='xxh' for seeded feature hashing"
+            )
         # 15 hex chars < 2^60: always positive, % is pmod.
         # DuckDB replica: CAST(concat('0x', substr(md5(g),1,15)) AS
         # BIGINT) % D  (lineage-fingerprint convention)
         h = F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
         return h % num_buckets
     if engine == "xxh":
-        return F.pmod(F.xxhash64(F.lit(seed), g), F.lit(num_buckets))
+        return F.pmod(F.xxhash64(F.lit(seed if seed is not None else "qc"), g),
+                      F.lit(num_buckets))
     raise ValueError(f"unknown hash engine {engine!r}")
 
 
@@ -58,7 +67,7 @@ def ngram_buckets(
     text: Column,
     num_buckets: int = 128,
     engine: str = "xxh",
-    seed: str = "qc",
+    seed: str | None = None,
 ) -> Column:
     """array<long> of hashed feature ids for a text column: word
     unigrams + adjacent bigrams, whitespace-tokenized lowercase (the
@@ -87,7 +96,7 @@ def featurize(
     label_col: str | None = None,
     num_buckets: int = 128,
     engine: str = "xxh",
-    seed: str = "qc",
+    seed: str | None = None,
 ) -> DataFrame:
     """(id, [y], bks array<long>, total double) — the compact per-doc
     feature form both training and scoring fold over. ``total`` is the
@@ -105,14 +114,21 @@ def featurize(
 
 def _weight_array(weights: DataFrame) -> DataFrame:
     """Fold the (bucket, weight) frame into ONE row holding the dense
-    ascending-by-bucket weight array (bias last). Broadcast-crossJoined
-    into per-doc scoring — the collect-free scalar pattern."""
+    weight array indexed BY BUCKET ID (bias = the highest bucket id,
+    in the last slot). Broadcast-crossJoined into per-doc scoring —
+    the collect-free scalar pattern. Built by bucket-id lookup, not
+    sort position, so a sparse frame (buckets missing because their
+    weight is zero or a caller filtered them) scores correctly with
+    0.0 holes instead of silently shifting every weight down."""
     return weights.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("weight")
+        ).alias("_m"),
+        F.max("bucket").alias("_mx"),
+    ).select(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
-            ),
-            lambda s: s.getField("weight"),
+            F.sequence(F.lit(0).cast("long"), F.col("_mx")),
+            lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(0.0)),
         ).alias("w_arr")
     )
 
@@ -222,7 +238,7 @@ def quality_classifier(
     lr: float = 5.0,
     l2: float = 0.0,
     engine: str = "xxh",
-    seed: str = "qc",
+    seed: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Train on ``labeled`` (text + 0/1 label), score every row of

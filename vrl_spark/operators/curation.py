@@ -102,6 +102,13 @@ def curate_corpus(
         gopher_keep = textstats.gopher_rules(
             with_tok, text_col, id_col
         ).where("keep").select(id_col)
+        if with_fates:
+            # two DAG consumers in fates mode (the gate below + the
+            # attribution join): cache the tiny id set or the full
+            # gopher_rules corpus scan executes twice
+            from pyspark.storagelevel import StorageLevel
+
+            gopher_keep = gopher_keep.persist(StorageLevel.MEMORY_AND_DISK)
         gated = with_tok.join(gopher_keep, id_col, "left_semi")
     else:
         gated = with_tok
@@ -146,9 +153,9 @@ def curate_corpus(
     if with_fates:
         # per-doc attribution: left-join stage-membership markers onto
         # the full corpus; the first NULL marker in pipeline order is
-        # the dropping stage. quality is still persisted here, and
-        # bounded/with_tok recomputes are narrow map-side projections,
-        # so no expensive subtree runs twice.
+        # the dropping stage. quality (and gopher_keep, when gated)
+        # are persisted, and the with_tok recompute is a narrow
+        # map-side projection, so no expensive subtree runs twice.
         full = with_tok.select(id_col, "n_tokens")
         fate = F.when(F.lit(False), "never")
         if gopher_keep is not None:
@@ -183,10 +190,12 @@ def curate_corpus(
     # a few narrow columns, so the checkpoint is small.
     out = out.localCheckpoint(eager=True)
     quality.unpersist()
+    if gopher_keep is not None and with_fates:
+        gopher_keep.unpersist()
     return out
 
 
-def curation_report(fates: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def curation_report(fates: DataFrame) -> DataFrame:
     """Aggregate a ``with_fates`` result into the per-stage delta
     table a pipeline report wants: documents and token mass attributed
     to each drop stage (plus the kept remainder), with corpus-wide

@@ -239,9 +239,15 @@ def mixture_quotas(ratios: dict[str, float], total: int) -> dict[str, int]:
         raise ValueError(f"mixture ratios must sum to 1.0, got {s}")
     import math
 
-    exact = {c: total * r for c, r in ratios.items()}
-    base = {c: math.floor(e + 1e-9) for c, e in exact.items()}
+    # normalize so sum(exact) == total to float precision, then plain
+    # floor: largest-remainder absorbs 59.9999-style shares naturally.
+    # (An epsilon inside floor() can push shares UP across an integer
+    # boundary at billion-row totals, driving leftover negative and a
+    # negative slice below — so none is used.)
+    exact = {c: total * (r / s) for c, r in ratios.items()}
+    base = {c: math.floor(e) for c, e in exact.items()}
     leftover = total - sum(base.values())
+    assert 0 <= leftover <= len(ratios), leftover
     by_frac = sorted(
         ratios, key=lambda c: (-(exact[c] - base[c]), c)
     )

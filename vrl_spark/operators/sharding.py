@@ -164,7 +164,8 @@ def write_shards(
     df: DataFrame,
     path: str,
     shard_col: str = "shard_id",
-    order_cols: tuple[str, ...] = ("perm_key",),
+    order_cols: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
     format: str = "parquet",
 ) -> None:
     """Write one file per shard under ``path`` (dirs ``shard_id=N``).
@@ -172,9 +173,14 @@ def write_shards(
     ``repartition(shard_col)`` puts each shard wholly in one task, so
     the partitioned write emits exactly one file per shard;
     ``sortWithinPartitions`` fixes the in-file row order to the
-    permutation. Shard count scales the write width — at 100 TB the
-    shards ARE the parallelism, no further tuning needed.
+    permutation — (perm_key, id) by default, the SAME tie-break as
+    shard_pos, so file offset == shard_pos - 1 even when two docs
+    collide on perm_key (expected for xxh64 around 2^32 docs). Shard
+    count scales the write width — at 100 TB the shards ARE the
+    parallelism, no further tuning needed.
     """
+    if order_cols is None:
+        order_cols = ("perm_key", id_col)
     (
         df.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, *order_cols)

@@ -373,6 +373,11 @@ def ivf_assign(
             )
         ).alias("_cents")
     )
+    # rows are assigned independently (duplicate corpus ids pass
+    # through unmerged — assignment is a pure map); the isNotNull
+    # filter keeps the empty-centroids case an empty OUTPUT (array_min
+    # of the empty centroid array is NULL) instead of a corpus-sized
+    # frame of NULL list_ids that downstream joins silently drop.
     return corpus.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -387,7 +392,7 @@ def ivf_assign(
                 ),
             )
         ).getField("cid").alias("list_id"),
-    )
+    ).where(F.col("list_id").isNotNull())
 
 
 def ivf_topk(

@@ -25,9 +25,16 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count. NULL text counts as 0 (without the
+    guard, size(split(NULL)) is -1 under the legacy sizeOfNull config
+    and NULL under ANSI — either silently corrupts token sums for
+    consumers like curation_report that surface every row)."""
     t = F.trim(col)
-    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+    return (
+        F.when(t.isNull() | (F.length(t) == 0), 0)
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
 
 
 def bpe_ish_token_count(col: Column) -> Column:
