@@ -161,9 +161,10 @@ def test_validation_errors(spark):
 
 
 def test_score_sparse_weight_frame(spark):
-    # a weights frame MISSING zero-weight buckets must score exactly
-    # like the dense frame (weights are looked up by bucket id, not by
-    # sort position)
+    # a weights frame MISSING zero-weight FEATURE buckets must score
+    # exactly like the dense frame (weights are looked up by bucket
+    # id, not by sort position); the bias row (bucket=num_buckets)
+    # must stay — it is what sizes the array
     df = spark.createDataFrame(
         [(0, "alpha beta", 1), (1, "gamma delta", 0)],
         "doc_id long, text string, label int",
@@ -173,12 +174,28 @@ def test_score_sparse_weight_frame(spark):
     weights = classifier.train_logistic(feats, num_buckets=16, epochs=2)
     dense = {r["doc_id"]: r["prob"]
              for r in classifier.score(feats, weights).collect()}
-    sparse = weights.where(F.abs(F.col("weight")) > 1e-12)
+    sparse = weights.where(
+        (F.abs(F.col("weight")) > 1e-12) | (F.col("bucket") == 16)
+    )
     assert sparse.count() < weights.count()  # some buckets really drop
     got = {r["doc_id"]: r["prob"]
            for r in classifier.score(feats, sparse).collect()}
     for d, p in dense.items():
         assert abs(got[d] - p) < 1e-12, (d, got[d], p)
+    # an EMPTY weights frame fails loudly, not all-NULL probabilities
+    with pytest.raises(Exception, match="empty weights frame"):
+        classifier.score(feats, weights.where(F.lit(False))).collect()
+
+
+def test_featurize_null_text(spark):
+    # NULL text features like empty text: one '' unigram, total 1 —
+    # never NULL bks/total (which would score prob=NULL silently)
+    df = spark.createDataFrame(
+        [(0, None), (1, "real words here")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            classifier.featurize(df, num_buckets=8, engine="md5").collect()}
+    assert rows[0]["total"] == 1.0 and len(rows[0]["bks"]) == 1
 
 
 def test_empty_text_features(spark):

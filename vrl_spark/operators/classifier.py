@@ -86,7 +86,12 @@ def ngram_buckets(
         grams = F.concat(toks, bigrams)
         return F.transform(grams, lambda g: _bucket(g, num_buckets, engine, seed))
 
-    return bind(F.split(F.lower(F.trim(text)), r"\s+"), body)
+    # NULL text features like empty text (one '' unigram, total 1) —
+    # without the coalesce, bks/total go NULL and the doc silently
+    # scores prob=NULL through every downstream gate
+    return bind(
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"), body
+    )
 
 
 def featurize(
@@ -117,18 +122,28 @@ def _weight_array(weights: DataFrame) -> DataFrame:
     weight array indexed BY BUCKET ID (bias = the highest bucket id,
     in the last slot). Broadcast-crossJoined into per-doc scoring —
     the collect-free scalar pattern. Built by bucket-id lookup, not
-    sort position, so a sparse frame (buckets missing because their
-    weight is zero or a caller filtered them) scores correctly with
-    0.0 holes instead of silently shifting every weight down."""
+    sort position, so a sparse frame (zero-weight FEATURE buckets
+    missing) scores correctly with 0.0 holes instead of silently
+    shifting every weight down. The bias row must be present — it is
+    what sizes the array (the bucket-id space is not otherwise
+    recoverable from a sparse frame) — and an EMPTY frame raises at
+    evaluation rather than scoring every document NULL."""
     return weights.groupBy().agg(
         F.map_from_arrays(
             F.collect_list("bucket"), F.collect_list("weight")
         ).alias("_m"),
         F.max("bucket").alias("_mx"),
     ).select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.col("_mx")),
-            lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(0.0)),
+        F.when(
+            F.col("_mx").isNull(),
+            F.raise_error("empty weights frame: nothing to score with"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_mx")),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("_m"), i), F.lit(0.0)
+                ),
+            )
         ).alias("w_arr")
     )
 
@@ -139,7 +154,13 @@ def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
     acc = F.aggregate(
         bks,
         F.lit(0.0),
-        lambda a, b: a + F.element_at(w_arr, (b + 1).cast("int")),
+        # try_element_at + coalesce: a bucket id beyond the frame's
+        # bias row (mismatched num_buckets) reads 0.0, not an ANSI
+        # INVALID_ARRAY_INDEX task failure
+        lambda a, b: a
+        + F.coalesce(
+            F.try_element_at(w_arr, (b + 1).cast("int")), F.lit(0.0)
+        ),
     )
     return acc / total + F.element_at(w_arr, F.size(w_arr))
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from vrl_spark.operators import dedup, sampling, textstats
 
@@ -106,8 +107,6 @@ def curate_corpus(
             # two DAG consumers in fates mode (the gate below + the
             # attribution join): cache the tiny id set or the full
             # gopher_rules corpus scan executes twice
-            from pyspark.storagelevel import StorageLevel
-
             gopher_keep = gopher_keep.persist(StorageLevel.MEMORY_AND_DISK)
         gated = with_tok.join(gopher_keep, id_col, "left_semi")
     else:
@@ -125,8 +124,6 @@ def curate_corpus(
     # filter subplan re-executes per consumer (measured 40 s -> 12 s at
     # sf0.1). At 100 TB this is the stage output you'd checkpoint to
     # storage; MEMORY_AND_DISK spills instead of OOMing either way.
-    from pyspark.storagelevel import StorageLevel
-
     quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 2) near-dup dedup: pairs -> clusters -> survivors

@@ -165,8 +165,9 @@ def write_shards(
     path: str,
     shard_col: str = "shard_id",
     order_cols: tuple[str, ...] | None = None,
-    id_col: str = "doc_id",
     format: str = "parquet",
+    *,
+    id_col: str = "doc_id",
 ) -> None:
     """Write one file per shard under ``path`` (dirs ``shard_id=N``).
 
@@ -180,7 +181,12 @@ def write_shards(
     parallelism, no further tuning needed.
     """
     if order_cols is None:
-        order_cols = ("perm_key", id_col)
+        # include the id tie-break only when the column exists, so a
+        # frame sharded under a different id keeps working (pass
+        # id_col to get its tie-break, or order_cols to pin fully)
+        order_cols = (
+            ("perm_key", id_col) if id_col in df.columns else ("perm_key",)
+        )
     (
         df.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, *order_cols)
