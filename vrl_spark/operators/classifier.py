@@ -86,12 +86,7 @@ def ngram_buckets(
         grams = F.concat(toks, bigrams)
         return F.transform(grams, lambda g: _bucket(g, num_buckets, engine, seed))
 
-    # NULL text features like empty text (one '' unigram, total 1) —
-    # without the coalesce, bks/total go NULL and the doc silently
-    # scores prob=NULL through every downstream gate
-    return bind(
-        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"), body
-    )
+    return bind(F.split(F.lower(F.trim(text)), r"\s+"), body)
 
 
 def featurize(
@@ -106,7 +101,14 @@ def featurize(
     """(id, [y], bks array<long>, total double) — the compact per-doc
     feature form both training and scoring fold over. ``total`` is the
     gram count (>= 1 always: even empty text yields one '' unigram),
-    so count-normalization never divides by zero."""
+    so count-normalization never divides by zero.
+
+    NULL-text rows are DROPPED (no features -> no score): scoring
+    them via a coalesced '' would hand garbage docs a hash-collision-
+    determined probability that can pass quality gates, and the
+    DuckDB oracle lane (unnest over a NULL token list) emits no row
+    for them either."""
+    df = df.where(F.col(text_col).isNotNull())
     cols = [
         F.col(id_col),
         ngram_buckets(F.col(text_col), num_buckets, engine, seed).alias("bks"),
@@ -117,7 +119,9 @@ def featurize(
     return out.withColumn("total", F.size("bks").cast("double"))
 
 
-def _weight_array(weights: DataFrame) -> DataFrame:
+def _weight_array(
+    weights: DataFrame, num_buckets: int | None = None
+) -> DataFrame:
     """Fold the (bucket, weight) frame into ONE row holding the dense
     weight array indexed BY BUCKET ID (bias = the highest bucket id,
     in the last slot). Broadcast-crossJoined into per-doc scoring —
@@ -127,7 +131,20 @@ def _weight_array(weights: DataFrame) -> DataFrame:
     shifting every weight down. The bias row must be present — it is
     what sizes the array (the bucket-id space is not otherwise
     recoverable from a sparse frame) — and an EMPTY frame raises at
-    evaluation rather than scoring every document NULL."""
+    evaluation rather than scoring every document NULL. Pass
+    ``num_buckets`` to also ENFORCE the bucket space: a frame whose
+    max bucket differs (bias row filtered away, or weights trained
+    under a different width) raises instead of silently misreading
+    the top feature weight as the bias."""
+    bad = F.col("_mx").isNull()
+    msg = "empty weights frame: nothing to score with"
+    if num_buckets is not None:
+        bad = bad | (F.col("_mx") != num_buckets)
+        msg = (
+            "empty weights frame or bucket-space mismatch: expected "
+            f"bias at bucket {num_buckets} (bias row filtered out, or "
+            "trained with a different num_buckets?)"
+        )
     return weights.groupBy().agg(
         F.map_from_arrays(
             F.collect_list("bucket"), F.collect_list("weight")
@@ -135,8 +152,8 @@ def _weight_array(weights: DataFrame) -> DataFrame:
         F.max("bucket").alias("_mx"),
     ).select(
         F.when(
-            F.col("_mx").isNull(),
-            F.raise_error("empty weights frame: nothing to score with"),
+            bad,
+            F.raise_error(msg),
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(0).cast("long"), F.col("_mx")),
@@ -154,13 +171,16 @@ def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
     acc = F.aggregate(
         bks,
         F.lit(0.0),
-        # try_element_at + coalesce: a bucket id beyond the frame's
-        # bias row (mismatched num_buckets) reads 0.0, not an ANSI
+        # feature lookups are hard-bounded BELOW the bias slot: a
+        # bucket id at/beyond the frame's bias row (mismatched
+        # num_buckets) reads 0.0 — never the bias, never an ANSI
         # INVALID_ARRAY_INDEX task failure
-        lambda a, b: a
-        + F.coalesce(
-            F.try_element_at(w_arr, (b + 1).cast("int")), F.lit(0.0)
-        ),
+        lambda a, b: F.when(
+            (b + 1).cast("int") < F.size(w_arr),
+            a + F.coalesce(
+                F.try_element_at(w_arr, (b + 1).cast("int")), F.lit(0.0)
+            ),
+        ).otherwise(a),
     )
     return acc / total + F.element_at(w_arr, F.size(w_arr))
 
@@ -236,11 +256,14 @@ def score(
     feats: DataFrame,
     weights: DataFrame,
     out_col: str = "prob",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """feats + sigmoid quality probability. Map-only: one 1-row
     broadcast crossJoin of the weight array, then a per-doc JVM fold —
-    no shuffle, no Python."""
-    warr = _weight_array(weights)
+    no shuffle, no Python. Pass ``num_buckets`` (the width the feats
+    were hashed with) to fail loudly on a weights frame from a
+    different bucket space instead of scoring through 0.0 holes."""
+    warr = _weight_array(weights, num_buckets)
     return feats.crossJoin(F.broadcast(warr)).withColumn(
         out_col,
         F.lit(1.0)
@@ -270,4 +293,4 @@ def quality_classifier(
     if stats is not None:
         stats["weights"] = weights
     sc = featurize(df, text_col, id_col, None, num_buckets, engine, seed)
-    return score(sc, weights).select(id_col, "prob")
+    return score(sc, weights, num_buckets=num_buckets).select(id_col, "prob")

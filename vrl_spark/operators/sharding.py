@@ -167,7 +167,7 @@ def write_shards(
     order_cols: tuple[str, ...] | None = None,
     format: str = "parquet",
     *,
-    id_col: str = "doc_id",
+    id_col: str | None = None,
 ) -> None:
     """Write one file per shard under ``path`` (dirs ``shard_id=N``).
 
@@ -181,12 +181,17 @@ def write_shards(
     parallelism, no further tuning needed.
     """
     if order_cols is None:
-        # include the id tie-break only when the column exists, so a
-        # frame sharded under a different id keeps working (pass
-        # id_col to get its tie-break, or order_cols to pin fully)
-        order_cols = (
-            ("perm_key", id_col) if id_col in df.columns else ("perm_key",)
-        )
+        if id_col is not None:
+            # explicit id: missing column is a LOUD analysis error
+            order_cols = ("perm_key", id_col)
+        else:
+            # default probes the conventional doc_id; a frame sharded
+            # under a different id should pass id_col (or order_cols)
+            # so the in-file tie-break matches its shard_pos ranking
+            order_cols = (
+                ("perm_key", "doc_id") if "doc_id" in df.columns
+                else ("perm_key",)
+            )
     (
         df.repartition(F.col(shard_col))
         .sortWithinPartitions(shard_col, *order_cols)
