@@ -1,0 +1,117 @@
+"""Scaling ladder for the seeded-shuffle shard-assembly workload
+(sharding.shard_assign): the round-5 evidence job for the two-
+parallelism-level criterion.
+
+Workload: 50 M (doc_id, n_tokens) rows from a pre-materialized
+parquet table -> permutation hash -> bucketed two-pass prefix sum
+(one window sort by bucket) -> shard_id -> shard_pos window (second
+sort, by shard) -> noop write. Two full-corpus sort-shuffles + two
+tiny broadcast stages: a SHUFFLE/SORT-bound profile, complementary to
+the map-bound flagship ladder and the join-bound minhash ladder.
+
+Protocol (matches BENCH/BASELINE.md rounds 2-4): fresh JVM per
+width (this script runs ONE width per invocation — drive it from a
+shell loop), warmup rep + best-of-3, steal probe printed before/after.
+
+Usage:
+    python tools/ladder_shard.py prepare          # write the table
+    python tools/ladder_shard.py run local[8]     # one width
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLE = "/tmp/ladder_shard_rows"
+N_ROWS = 50_000_000
+BUDGET = 1_250_000  # ~avg 503 tokens/row -> ~20k shards
+
+
+def get_spark(master: str):
+    sys.path.insert(0, "/root/repo")
+    from vrl_spark.session import get_spark as gs
+
+    return gs(master=master)
+
+
+def probe(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(2_000_000, numPartitions=32).selectExpr("sum(id*2)").collect()
+    return time.perf_counter() - t0
+
+
+def prepare():
+    from pyspark.sql import functions as F
+
+    spark = get_spark("local[32]")
+    (
+        spark.range(N_ROWS, numPartitions=64)
+        .select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 37) % 997 + 5).alias("n_tokens"),
+        )
+        .write.mode("overwrite")
+        .parquet(TABLE)
+    )
+    print("prepared", N_ROWS, "rows at", TABLE)
+
+
+PROBE_CLEAN = 0.48  # ~1.5x the 0.3 s idle floor
+
+
+def run(master: str, max_attempts: int = 10):
+    """Probe-gated measurement: reps are accepted only when the steal
+    probe reads clean immediately before AND after, and the two reps
+    agree within 1.5x (a storm inside a rep shows up as spread).
+    Storms last minutes, so dirty attempts sleep 90 s."""
+    from vrl_spark.operators import sharding
+
+    spark = get_spark(master)
+    rows = spark.read.parquet(TABLE)
+
+    def rep() -> float:
+        t0 = time.perf_counter()
+        sharding.shard_assign(
+            rows, budget=BUDGET, seed="ladder", n_buckets=64
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    rep()  # warmup (page cache + JIT)
+    for attempt in range(1, max_attempts + 1):
+        probe(spark)  # first probe after idle re-warms the JVM path
+        p0 = probe(spark)
+        if p0 > PROBE_CLEAN:
+            print(json.dumps({"attempt": attempt, "dirty_probe": round(p0, 3)}))
+            time.sleep(90)
+            continue
+        times = [rep() for _ in range(2)]
+        p1 = probe(spark)
+        spread = max(times) / min(times)
+        if p1 > PROBE_CLEAN or spread > 1.5:
+            print(json.dumps({
+                "attempt": attempt, "rejected": [round(t, 2) for t in times],
+                "probe_after": round(p1, 3), "spread": round(spread, 2),
+            }))
+            time.sleep(90)
+            continue
+        best = min(times)
+        print(json.dumps({
+            "master": master, "reps": [round(t, 2) for t in times],
+            "best": round(best, 3),
+            "rows_per_sec": round(N_ROWS / best),
+            "probe_before": round(p0, 3), "probe_after": round(p1, 3),
+            "attempt": attempt, "clean": True,
+        }))
+        return
+    print(json.dumps({"master": master, "clean": False}))
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "prepare":
+        prepare()
+    else:
+        run(sys.argv[2])
