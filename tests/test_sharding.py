@@ -188,6 +188,38 @@ def test_mixture_resample_small_class_keeps_all(spark):
     assert per == {"big": 20, "tiny": 5}  # tiny < quota: best effort
 
 
+def test_mixture_upsample_epochs(spark):
+    from vrl_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "klass"])
+    out = sampling.mixture_upsample(
+        df, "klass", {"a": 2.0, "b": 1.5, "c": 0.0}, salt="ep"
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["klass"], r["doc_id"]), []).append(r["epoch"])
+    # a: exactly 2 copies (epochs 0,1); c: dropped entirely
+    for (k, d), eps in per.items():
+        assert k != "c"
+        if k == "a":
+            assert sorted(eps) == [0, 1]
+        if k == "b":  # 1 or 2 copies, by the md5 fraction
+            frac = int(hashlib.md5(f"ep|{d}".encode()).hexdigest()[:8],
+                       16) / 2**32
+            assert sorted(eps) == ([0, 1] if frac < 0.5 else [0])
+    # b averages ~1.5 epochs
+    b_copies = sum(len(e) for (k, _), e in per.items() if k == "b")
+    b_rows = sum(1 for (k, _) in per if k == "b")
+    assert 1.2 < b_copies / b_rows < 1.8
+    # absent class passes through once; negative factor raises
+    out2 = sampling.mixture_upsample(df, "klass", {"a": 1.0}).collect()
+    assert {r["klass"] for r in out2} == {"a", "b", "c"}
+    assert all(r["epoch"] == 0 for r in out2)
+    with pytest.raises(ValueError):
+        sampling.mixture_upsample(df, "klass", {"a": -1.0})
+
+
 def test_mixture_resample_prefilter_equivalence(spark):
     from vrl_spark.operators import sampling
 

@@ -2,10 +2,16 @@
 (sharding.shard_assign): the round-5 evidence job for the two-
 parallelism-level criterion.
 
-Workload: 50 M (doc_id, n_tokens) rows from a pre-materialized
+Workload: 20 M (doc_id, n_tokens) rows from a pre-materialized
 parquet table -> permutation hash -> bucketed two-pass prefix sum
 (one window sort by bucket) -> shard_id -> shard_pos window (second
-sort, by shard) -> noop write. Two full-corpus sort-shuffles + two
+sort, by shard) -> noop write. n_buckets=2048 keeps bucket groups at
+~10k rows (the operator's documented sizing rule: bucket groups must
+fit the window buffer — 64 buckets at 50M rows measured 10x slower
+from per-group spill). Sized to stay in page cache: at 50M+ rows the
+sandbox's shared /tmp IO makes shuffle-heavy reps bimodal (31/71 s)
+even with clean CPU steal probes — the CPU probe cannot see IO
+storms, so the job must avoid disk to measure scaling honestly. Two full-corpus sort-shuffles + two
 tiny broadcast stages: a SHUFFLE/SORT-bound profile, complementary to
 the map-bound flagship ladder and the join-bound minhash ladder.
 
@@ -27,8 +33,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 TABLE = "/tmp/ladder_shard_rows"
-N_ROWS = 50_000_000
-BUDGET = 1_250_000  # ~avg 503 tokens/row -> ~20k shards
+N_ROWS = 20_000_000
+BUDGET = 500_000  # ~avg 503 tokens/row -> ~20k shards
 
 
 def get_spark(master: str):
@@ -76,7 +82,7 @@ def run(master: str, max_attempts: int = 10):
     def rep() -> float:
         t0 = time.perf_counter()
         sharding.shard_assign(
-            rows, budget=BUDGET, seed="ladder", n_buckets=64
+            rows, budget=BUDGET, seed="ladder", n_buckets=2048
         ).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
@@ -88,10 +94,10 @@ def run(master: str, max_attempts: int = 10):
             print(json.dumps({"attempt": attempt, "dirty_probe": round(p0, 3)}))
             time.sleep(90)
             continue
-        times = [rep() for _ in range(2)]
+        times = [rep() for _ in range(3)]
         p1 = probe(spark)
         spread = max(times) / min(times)
-        if p1 > PROBE_CLEAN or spread > 1.5:
+        if p1 > PROBE_CLEAN or spread > 1.35:
             print(json.dumps({
                 "attempt": attempt, "rejected": [round(t, 2) for t in times],
                 "probe_after": round(p1, 3), "spread": round(spread, 2),

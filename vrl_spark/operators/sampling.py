@@ -316,6 +316,50 @@ def mixture_resample(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    class_col: str,
+    factors: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Epochs-with-repetition source weighting (the standard LLM
+    data-mixture recipe): each row of class ``c`` appears
+    ``floor(factors[c])`` times, plus one more when its salted hash
+    fraction falls below the fractional part — so a class with factor
+    3.25 averages exactly 3.25 epochs and WHICH rows get the extra
+    epoch is a pure function of (salt, id), deterministic across
+    re-runs and corpus growth. Classes absent from ``factors`` keep
+    factor 1.0 (pass through once).
+
+    Output adds ``epoch`` (0-based copy index). Map-only: a broadcast
+    factor join + one ``explode(sequence(...))`` projection — the row
+    multiplication happens AFTER any shuffle-free filtering upstream
+    and never shuffles itself; downstream consumers (e.g.
+    shard_assign keyed on (id, epoch)) see distinct rows per epoch.
+    """
+    for c, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {c!r} must be >= 0, got {f}")
+    spark = df.sparkSession
+    fdf = spark.createDataFrame(
+        sorted(factors.items()), schema=f"{class_col} string, _f double"
+    )
+    frac = _hash_frac(F.col(id_col), salt)
+    f = F.coalesce(F.col("_f"), F.lit(1.0))
+    n_copies = (
+        F.floor(f) + F.when(frac < (f - F.floor(f)), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(fdf), class_col, "left")
+        .withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_f", "_n")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -2402,33 +2402,51 @@ kept AS (
   FROM r JOIN quota USING (mix_class)
   WHERE r.mix_rank <= quota.q
 ),
+fac(mix_class, f) AS (VALUES ('web', 1.0), ('code', 1.5), ('reference', 2.0)),
+-- epochs-with-repetition: floor(f) copies + one more when the salted
+-- hash fraction is under the fractional part (deterministic per id)
+up AS (
+  SELECT k.doc_id, k.mix_class, k.mix_rank, k.text, u.epoch
+  FROM (
+    SELECT kept.*,
+      CAST(FLOOR(fac.f) + CASE
+        WHEN CAST(concat('0x', substr(md5('epoch|' || kept.doc_id), 1, 8))
+             AS BIGINT) / 4294967296.0 < fac.f - FLOOR(fac.f)
+        THEN 1 ELSE 0 END AS BIGINT) AS n
+    FROM kept JOIN fac USING (mix_class)
+  ) k, UNNEST(generate_series(0, k.n - 1)) AS u(epoch)
+  WHERE k.n > 0
+),
 t AS (
-  SELECT doc_id, mix_class, mix_rank,
+  SELECT doc_id, mix_class, mix_rank, CAST(epoch AS BIGINT) AS epoch,
+    doc_id || '#' || epoch AS copy_id,
     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+'))
          END AS BIGINT) AS n_tok,
-    CAST(concat('0x', substr(md5('shard5|' || doc_id), 1, 15)) AS BIGINT)
-      AS perm_key
-  FROM kept
+    CAST(concat('0x', substr(md5('shard5|' || doc_id || '#' || epoch), 1, 15))
+      AS BIGINT) AS perm_key
+  FROM up
 ),
 s AS (
-  SELECT *, SUM(n_tok) OVER (ORDER BY perm_key, doc_id
+  SELECT *, SUM(n_tok) OVER (ORDER BY perm_key, copy_id
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT doc_id, mix_class, mix_rank, n_tok, perm_key,
+SELECT doc_id, mix_class, mix_rank, epoch, n_tok, perm_key,
   (cum - n_tok) // 1500 AS shard_id,
   ROW_NUMBER() OVER (PARTITION BY (cum - n_tok) // 1500
-                     ORDER BY perm_key, doc_id) AS shard_pos
+                     ORDER BY perm_key, copy_id) AS shard_pos
 FROM s
 """
 
 
 @register("dataset_mixture_shards", _MIXTURE_SHARDS_ORACLE)
 def dataset_mixture_shards(spark, sf_dir):
-    """Domain-mixture resample to 40/30/30 target ratios, then seeded
-    global shuffle + ~1500-token shard assignment
-    (sampling.mixture_resample + sharding.shard_assign)."""
+    """Domain-mixture resample to 40/30/30 target ratios, epochs-with-
+    repetition upsampling (web x1 / code x1.5 / reference x2), then
+    seeded global shuffle + ~1500-token shard assignment
+    (sampling.mixture_resample + mixture_upsample +
+    sharding.shard_assign keyed on the per-epoch copy id)."""
     from vrl_spark.operators import sampling, sharding
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2444,14 +2462,20 @@ def dataset_mixture_shards(spark, sf_dir):
         base, "mix_class", {"web": 0.4, "code": 0.3, "reference": 0.3},
         total=200, salt="mix",
     )
-    toks = kept.select(
+    up = sampling.mixture_upsample(
+        kept, "mix_class", {"web": 1.0, "code": 1.5, "reference": 2.0},
+        salt="epoch",
+    )
+    toks = up.select(
         "doc_id", "mix_class", "mix_rank",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.concat_ws("#", "doc_id", "epoch").alias("copy_id"),
         textstats.token_count(F.col("text")).alias("n_tok"),
     )
     return sharding.shard_assign(
         toks, budget=1500, token_col="n_tok", seed="shard5",
-        hash="md5", n_buckets=8,
+        hash="md5", n_buckets=8, id_col="copy_id",
     ).select(
-        "doc_id", "mix_class", "mix_rank", "n_tok", "perm_key",
+        "doc_id", "mix_class", "mix_rank", "epoch", "n_tok", "perm_key",
         "shard_id", "shard_pos",
     )
