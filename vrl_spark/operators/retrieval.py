@@ -273,3 +273,178 @@ def unigram_nll(
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_col: str | None = None,
+    discount: float = 0.75,
+    bucket_quantiles: tuple[float, float] = (0.3, 0.7),
+    exact_thresholds: bool = True,
+) -> DataFrame:
+    """CCNet-style trained-LM quality signal: fit an interpolated
+    absolute-discounting bigram language model on the TRAIN subset
+    (rows where `train_col` is true; the whole corpus when None) and
+    score EVERY document's perplexity under it, bucketing the corpus
+    into head/middle/tail at the `bucket_quantiles` perplexity
+    percentiles — the model-based filter CCNet/KenLM pipelines run
+    after the hand rules (reference's stdlib has no LM; this is the
+    training-data-pipeline extension next to unigram_nll above).
+
+    Per scored position i (tokens via the shared whitespace
+    tokenizer): with v = w_{i-1} (absent at i=0), w = w_i,
+
+        p_uni(w) = (c1(w) + 1) / (N + V + 1)          # add-one, OOV ok
+        p(w|v)   = (max(c2(v,w) - D, 0) + D * n1p(v) * p_uni(w)) / c(v)
+                    when c(v) > 0, else p_uni(w)
+
+    where c1/c2 are train unigram/bigram counts, c(v) = sum_w c2(v,w),
+    n1p(v) = |{w : c2(v,w) > 0}|, N = train tokens, V = train vocab,
+    D = `discount`. doc mean_nll = AVG(-ln p) over all n positions;
+    perplexity = exp(mean_nll) (empty docs coalesce to mean_nll=0,
+    ppl=1). Buckets compare ROUNDED x1m values on both sides so an
+    engine's last-ulp quantile difference can never flip a label.
+
+    Scale shape: pair construction is map-only (arrays_zip of two
+    slices — no window, no self-join); training is two token-key
+    aggregations; scoring is three equi-joins on token keys (the
+    LM tables shuffle, never broadcast — a billion-type vocab still
+    flows) + one groupBy(doc). The only non-relational step is the
+    two bucket thresholds over the doc-grain frame:
+    exact_thresholds=True uses exact percentile (memory-bound in one
+    reducer — fine to ~1e8 docs); at the 1e12-doc scale pass False
+    for approx_percentile(1e-4) — CCNet itself fits thresholds on a
+    sample.
+    """
+    lo_q, hi_q = bucket_quantiles
+    if not (0.0 < lo_q <= hi_q < 1.0):
+        raise ValueError("bucket_quantiles must satisfy 0 < lo <= hi < 1")
+    if discount <= 0.0 or discount >= 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    D = F.lit(float(discount))
+
+    t = F.trim(F.col(text_col))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    is_train = (
+        F.col(train_col).cast("boolean") if train_col is not None
+        else F.lit(True)
+    )
+    n = F.size(F.col("_w"))
+    base = df.select(
+        F.col(id_col), toks.alias("_w"), is_train.alias("_train")
+    )
+    # prev = [NULL, w_0 .. w_{n-2}], cur = w: one struct per position.
+    pairs = F.arrays_zip(
+        F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(F.col("_w"), 1, F.greatest(n - 1, F.lit(0))),
+        ).alias("prev"),
+        F.col("_w").alias("cur"),
+    )
+    # arrays_zip pads to the longer input: for an EMPTY token array the
+    # [NULL] prev seed still yields one (NULL, NULL) element — a phantom
+    # position that would score as OOV. cur is never NULL for a real
+    # position (the tokenizer filters ''), so drop those.
+    ev = base.select(
+        id_col, "_train", F.explode(pairs).alias("_p")
+    ).select(
+        id_col, "_train",
+        F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"),
+    ).where(F.col("cur").isNotNull())
+
+    uni = (
+        ev.where("_train")
+        .groupBy(F.col("cur").alias("w"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    )
+    # 1-row scalars with an in-plan guard: an empty train side would
+    # otherwise flow NULL -> NULL probabilities -> silently-wrong 0 nll.
+    sc = uni.groupBy().agg(
+        F.sum("c1").alias("N"), F.count(F.lit(1)).cast("double").alias("V")
+    ).select(
+        F.when(
+            F.col("N").isNull(),
+            F.raise_error(
+                "bigram_perplexity: train subset has no tokens"
+            ).cast("double"),
+        ).otherwise(F.col("N")).alias("N"),
+        "V",
+    )
+    big = (
+        ev.where(F.col("_train") & F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    ctx = big.groupBy("prev").agg(
+        F.sum("c2").alias("cv"),
+        F.count(F.lit(1)).cast("double").alias("n1p"),
+    )
+
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0.0)) + F.lit(1.0)) / (
+        F.col("N") + F.col("V") + F.lit(1.0)
+    )
+    p = F.when(
+        F.col("cv").isNotNull() & (F.col("cv") > 0),
+        (
+            F.greatest(
+                F.coalesce(F.col("c2"), F.lit(0.0)) - D, F.lit(0.0)
+            )
+            + D * F.col("n1p") * p_uni
+        )
+        / F.col("cv"),
+    ).otherwise(p_uni)
+    scored = (
+        ev.join(big, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, F.col("cur") == F.col("w"), "left")
+        .crossJoin(F.broadcast(sc))
+        .select(id_col, (-F.log(p)).alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.avg("_nll").alias("mean_nll"),
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+        )
+    )
+    docs = (
+        df.select(id_col, is_train.alias("lm_is_train"))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "lm_is_train",
+            F.coalesce("n_scored", F.lit(0).cast("long")).alias(
+                "lm_n_scored"
+            ),
+            F.coalesce("mean_nll", F.lit(0.0)).alias("_nll"),
+            F.exp(F.coalesce("mean_nll", F.lit(0.0))).alias("_ppl"),
+        )
+    )
+    # The doc-grain frame feeds BOTH the threshold agg and the final
+    # bucketing select; without a materialization Catalyst recomputes
+    # the whole token-join subtree twice (tree duplication — the
+    # repo's #1 perf trap). One eager checkpoint = one scoring pass;
+    # the threshold agg needs a full pass over docs anyway.
+    docs = docs.localCheckpoint(eager=True)
+    if exact_thresholds:
+        th_expr = F.percentile("_ppl", F.lit([lo_q, hi_q]))
+    else:
+        th_expr = F.percentile_approx(
+            "_ppl", F.lit([lo_q, hi_q]), F.lit(10000)
+        )
+    th = docs.agg(th_expr.alias("_th")).select(
+        F.round(F.col("_th")[0] * 1e6).cast("long").alias("_lo"),
+        F.round(F.col("_th")[1] * 1e6).cast("long").alias("_hi"),
+    )
+    ppl_r = F.round(F.col("_ppl") * 1e6).cast("long")
+    return docs.crossJoin(F.broadcast(th)).select(
+        id_col,
+        "lm_is_train",
+        "lm_n_scored",
+        F.round(F.col("_nll") * 1e6).cast("long").alias("lm_nll_x1m"),
+        ppl_r.alias("lm_ppl_x1m"),
+        F.when(ppl_r <= F.col("_lo"), F.lit("head"))
+        .when(ppl_r <= F.col("_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("lm_bucket"),
+    )

@@ -60,13 +60,95 @@ corpus AS (
 
 @register(
     "dedup_exact",
-    f"""WITH {_DUP_CORPUS_SQL}
-    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
-           COUNT(*) AS dup_count
-    FROM corpus GROUP BY content_hash""",
+    f"""WITH {_DUP_CORPUS_SQL},
+    h AS (SELECT doc_id, md5(text) AS content_hash,
+                 doc_id < 1000000 AS is_base
+          FROM corpus),
+    g AS (SELECT content_hash, MIN(doc_id) AS keep_id,
+                 COUNT(*) AS dup_count
+          FROM h GROUP BY content_hash),
+    basek AS (SELECT DISTINCT content_hash FROM h WHERE is_base),
+    bpos AS (
+      SELECT content_hash,
+             CAST(concat('0x',
+                    substr(md5(i || '|' || content_hash), 1, 15))
+                  AS BIGINT) % 16384 AS p
+      FROM basek, UNNEST(generate_series(0, 4)) AS t(i)),
+    words AS (SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << (p % 32)) AS word
+              FROM bpos GROUP BY p // 32),
+    inck AS (SELECT DISTINCT content_hash FROM h WHERE NOT is_base),
+    iprobe AS (
+      SELECT content_hash,
+             CAST(concat('0x',
+                    substr(md5(i || '|' || content_hash), 1, 15))
+                  AS BIGINT) % 16384 AS p
+      FROM inck, UNNEST(generate_series(0, 4)) AS t(i)),
+    ihit AS (
+      SELECT content_hash,
+             bool_and(((COALESCE(w.word, 0) >> (p % 32)) & 1) = 1)
+               AS bloom_hit
+      FROM iprobe LEFT JOIN words w ON p // 32 = w.word_idx
+      GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, g.keep_id, g.dup_count,
+      CASE WHEN h.is_base THEN FALSE
+           ELSE COALESCE(ih.bloom_hit, FALSE) END AS bloom_hit,
+      CASE WHEN h.is_base THEN 'base'
+           WHEN NOT COALESCE(ih.bloom_hit, FALSE) THEN 'new'
+           WHEN bk.content_hash IS NOT NULL THEN 'dup'
+           ELSE 'fp' END AS incr_fate
+    FROM h
+    JOIN g USING (content_hash)
+    LEFT JOIN ihit ih ON h.content_hash = ih.content_hash
+    LEFT JOIN basek bk ON h.content_hash = bk.content_hash""",
 )
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(_dup_corpus(spark, sf_dir))
+    """Exact dedup groups + Bloom-prefiltered incremental-snapshot
+    classification, per document (r5: the vehicle moved from
+    per-hash to per-doc grain to carry the incremental stage; the
+    oracle replicates every bloom bit via the md5 hash family).
+
+    base snapshot = original doc_ids (< 1e6); incoming = the planted
+    +1e6 exact dups and +2e6 modified docs. Incoming hashes classify
+    as 'dup' (in base, bloom hit + exact confirm), 'new' (bloom miss
+    — exact by the no-false-negative property), or 'fp' (bloom hit,
+    exact join disproves)."""
+    from vrl_spark.operators import bloom as _bloom
+
+    corpus = _dup_corpus(spark, sf_dir)
+    h = corpus.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        (F.col("doc_id") < 1000000).alias("_is_base"),
+    )
+    g = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    fates = _bloom.incremental_dedup(
+        h.where("_is_base"),
+        h.where(~F.col("_is_base")),
+        "content_hash",
+        n_bits=16384,
+        k=5,
+        engine="md5",
+    )
+    return (
+        h.join(g, "content_hash")
+        .join(fates, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            "keep_id",
+            "dup_count",
+            F.when(F.col("_is_base"), F.lit(False))
+            .otherwise(F.coalesce("bloom_hit", F.lit(False)))
+            .alias("bloom_hit"),
+            F.when(F.col("_is_base"), F.lit("base"))
+            .otherwise(F.col("incr_fate"))
+            .alias("incr_fate"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------
@@ -1587,6 +1669,82 @@ def text_unigram_nll(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# trained bigram-LM perplexity (CCNet-style model-based quality gate)
+# ---------------------------------------------------------------------
+# Full training-loop replication: the oracle fits the SAME interpolated
+# absolute-discounting bigram LM on the SAME md5-fraction train split
+# and re-derives every per-doc perplexity and head/middle/tail bucket.
+# Buckets compare ROUNDED x1m values on both sides so a last-ulp
+# quantile difference between engines can never flip a label.
+
+_BIGRAM_LM_ORACLE = """
+WITH lmd AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                x -> x != '') AS w,
+    CAST(concat('0x', substr(md5('lm|' || doc_id), 1, 8)) AS BIGINT)
+      / 4294967296.0 < 0.6 AS lm_is_train
+  FROM documents),
+lmev AS (
+  SELECT doc_id, lm_is_train,
+         CASE WHEN i > 1 THEN w[i-1] END AS prev, w[i] AS cur
+  FROM lmd, UNNEST(generate_series(1, len(w))) AS t(i)),
+lmuni AS (SELECT cur AS tok, CAST(COUNT(*) AS DOUBLE) AS c1
+          FROM lmev WHERE lm_is_train GROUP BY cur),
+lmsc AS (SELECT SUM(c1) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv FROM lmuni),
+lmbig AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2
+          FROM lmev WHERE lm_is_train AND prev IS NOT NULL
+          GROUP BY prev, cur),
+lmctx AS (SELECT prev, SUM(c2) AS cv, CAST(COUNT(*) AS DOUBLE) AS n1p
+          FROM lmbig GROUP BY prev),
+lmp AS (
+  SELECT e.doc_id,
+    CASE WHEN x.cv > 0
+         THEN (greatest(COALESCE(b.c2, 0.0) - 0.75, 0.0)
+               + 0.75 * x.n1p
+                 * ((COALESCE(u.c1, 0.0) + 1.0) / (s.nn + s.vv + 1.0)))
+              / x.cv
+         ELSE (COALESCE(u.c1, 0.0) + 1.0) / (s.nn + s.vv + 1.0)
+    END AS p
+  FROM lmev e
+  LEFT JOIN lmbig b ON e.prev = b.prev AND e.cur = b.cur
+  LEFT JOIN lmctx x ON e.prev = x.prev
+  LEFT JOIN lmuni u ON e.cur = u.tok
+  CROSS JOIN lmsc s),
+lmn AS (SELECT doc_id, AVG(-ln(p)) AS mean_nll, COUNT(*) AS n_scored
+        FROM lmp GROUP BY doc_id),
+lmdocs AS (
+  SELECT d.doc_id, d.lm_is_train,
+    CAST(COALESCE(n.n_scored, 0) AS BIGINT) AS lm_n_scored,
+    COALESCE(n.mean_nll, 0.0) AS mnll,
+    exp(COALESCE(n.mean_nll, 0.0)) AS ppl
+  FROM lmd d LEFT JOIN lmn n USING (doc_id)),
+lmth AS (
+  SELECT CAST(ROUND(quantile_cont(ppl, 0.3) * 1000000) AS BIGINT) AS lo,
+         CAST(ROUND(quantile_cont(ppl, 0.7) * 1000000) AS BIGINT) AS hi
+  FROM lmdocs)
+SELECT doc_id, lm_is_train, lm_n_scored,
+  CAST(ROUND(mnll * 1000000) AS BIGINT) AS lm_nll_x1m,
+  CAST(ROUND(ppl * 1000000) AS BIGINT) AS lm_ppl_x1m,
+  CASE WHEN CAST(ROUND(ppl * 1000000) AS BIGINT) <= t.lo THEN 'head'
+       WHEN CAST(ROUND(ppl * 1000000) AS BIGINT) <= t.hi THEN 'middle'
+       ELSE 'tail' END AS lm_bucket
+FROM lmdocs CROSS JOIN lmth t
+"""
+
+
+def text_bigram_lm(spark, sf_dir):
+    from vrl_spark.operators import retrieval as _r
+    from vrl_spark.operators.sampling import _hash_frac
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        (_hash_frac(F.col("doc_id"), "lm") < 0.6).alias("_lm_train"),
+    )
+    return _r.bigram_perplexity(docs, train_col="_lm_train")
+
+
+# ---------------------------------------------------------------------
 # per-registered-domain rollup (blocklist / crawl-budget stats)
 # ---------------------------------------------------------------------
 # URL variants plant three eTLD+1 families (incl. a multi-label public
@@ -1930,13 +2088,19 @@ def text_pii_entities(spark, sf_dir):
     )
 
 
-@register("text_bm25_nll", _join_oracles("doc_id", _BM25_ORACLE, _NLL_ORACLE))
+@register("text_bm25_nll",
+          _join_oracles("doc_id", _BM25_ORACLE, _NLL_ORACLE,
+                        _BIGRAM_LM_ORACLE))
 def text_bm25_nll(spark, sf_dir):
-    """BM25 lexical scores + unigram-LM mean NLL per document: two
-    corpus-level aggregates composed by a doc_id join (merged r3
-    queries text_bm25 + text_unigram_nll)."""
-    return text_bm25(spark, sf_dir).join(
-        text_unigram_nll(spark, sf_dir), "doc_id"
+    """BM25 lexical scores + unigram-LM mean NLL + trained bigram-LM
+    perplexity buckets per document: three corpus-level LM/retrieval
+    aggregates composed by a doc_id join (merged r3 queries text_bm25 +
+    text_unigram_nll; r5 adds the CCNet-style trained perplexity
+    filter — the oracle refits the LM end-to-end in DuckDB)."""
+    return (
+        text_bm25(spark, sf_dir)
+        .join(text_unigram_nll(spark, sf_dir), "doc_id")
+        .join(text_bigram_lm(spark, sf_dir), "doc_id")
     )
 
 
