@@ -317,3 +317,44 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_other")
+
+
+def test_bloom_incremental_plan_shape(spark):
+    """Bloom prefilter: the membership path is explode + equi-join +
+    bool_and groupBy — relational end to end, zero Python, and the
+    probe side computes the incoming distinct exactly once (the
+    membership result is NOT re-joined onto its own input)."""
+    from vrl_spark.operators import bloom
+
+    base = spark.range(1000).selectExpr("cast(id as string) as k")
+    inc = spark.range(500, 1500).selectExpr("cast(id as string) as k")
+    words = bloom.bloom_build(base.select("k").distinct(), "k")
+    plan = plan_of(
+        bloom.incremental_dedup(base, inc, "k", bloom_words=words)
+    )
+    assert "EvalPython" not in plan
+    # stored-filter ingest shape: incoming distinct (1), bit_or build
+    # agg feeding the join (1), bool_and membership agg (1), base
+    # distinct for the exact join (1) -> no hidden extra shuffles
+    assert plan.count("Exchange") <= 6
+    # the incoming Range must appear at most twice (probe source +
+    # exact-join probe), not three times (the old re-join shape)
+    assert plan.count("Range (500, 1500") <= 2
+
+
+def test_bigram_lm_final_plan_shape(spark, sf_dir):
+    """Trained-LM scoring runs ONCE into the checkpoint; the returned
+    plan only merges percentile buffers (one SinglePartition exchange
+    over 1-row-per-partition buffers) and bucket-labels the
+    checkpointed doc frame — no recomputation of the token joins."""
+    from vrl_spark.operators.retrieval import bigram_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = bigram_perplexity(docs)
+    plan = plan_of(out)
+    assert "EvalPython" not in plan
+    # post-checkpoint: the token-join chain is gone from this plan
+    assert "Scan parquet" not in plan
+    assert plan.count("SinglePartition") == 1

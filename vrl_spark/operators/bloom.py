@@ -108,9 +108,16 @@ def bloom_membership(
     k: int = 5,
     engine: str = "xxh",
 ) -> DataFrame:
-    """keys + a `bloom_hit` boolean (true = possibly present; false =
-    DEFINITELY absent). `keys` should be distinct on key_col (pass
-    .distinct() if not); n_bits/k/engine must match the build."""
+    """(key_col, bloom_hit) — one row per input row; bloom_hit true =
+    possibly present, false = DEFINITELY absent. `keys` should be
+    distinct on key_col (pass .distinct() if not); n_bits/k/engine
+    must match the build.
+
+    Returns only the key + flag (derived from the probe rows, which
+    already carry every key) — joining back onto `keys` here would
+    make Catalyst compute the `keys` subtree twice (tree
+    duplication); callers that need other columns join on key_col
+    themselves."""
     probes = keys.select(
         key_col,
         F.posexplode(
@@ -133,7 +140,7 @@ def bloom_membership(
         .groupBy(key_col)
         .agg(F.bool_and("_h").alias("bloom_hit"))
     )
-    return keys.join(hit, key_col)
+    return hit
 
 
 def incremental_dedup(
@@ -159,6 +166,12 @@ def incremental_dedup(
     The exact join is a LEFT join against base keys restricted to the
     bloom-positive subset, so its build side is ~|dups| + eps, not
     |incoming|.
+
+    Note on the inline-build path: base_keys feeds BOTH the filter
+    build and the exact join, so Catalyst computes the base distinct
+    twice. That is the throwaway shape — at scale the filter is built
+    once, stored, and passed in via `bloom_words`, which touches the
+    base exactly once per ingest (the exact join).
     """
     base_keys = base.select(key_col).distinct()
     if bloom_words is None:
