@@ -1363,3 +1363,55 @@ def test_cosine_dedup_quantized_matches_exact(spark, sf_dir):
     }
     assert exact  # the planted copies must be found at all
     assert quant == exact
+
+
+def test_curate_corpus_lm_perplexity_gate(spark):
+    """lm_drop_bucket wires the trained bigram-LM gate between the
+    repetition filter and near-dup dedup: dropped docs are exactly the
+    independently-computed drop bucket, attributed as
+    'lm_perplexity'."""
+    from vrl_spark.operators.curation import curate_corpus
+    from vrl_spark.operators.retrieval import bigram_perplexity
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{common} filler{i} extra{i}") for i in range(10)] + [
+        (100, "zxq wvu tsr qpo nml kji"),
+        (101, "aab bbc ccd dde eef ffg"),
+        (102, "mno pqr stu vwx yzz abc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # every doc passes bounds + repetition and nothing near-dups at
+    # 0.95, so the quality set == the full corpus and the gate's LM
+    # is reproducible here by scoring the corpus directly
+    kwargs = dict(
+        min_tokens=2, max_tokens=100, max_top2gram_frac=0.9,
+        dedup_threshold=0.95,
+    )
+    lm = {
+        r.doc_id: r.lm_bucket
+        for r in bigram_perplexity(df.select("doc_id", "text")).collect()
+    }
+    expect_drop = {d for d, b in lm.items() if b == "tail"}
+    assert expect_drop, "test corpus must place someone in the tail"
+    assert expect_drop <= {100, 101, 102} or len(expect_drop) >= 3
+
+    kept = {r.doc_id for r in curate_corpus(
+        df, lm_drop_bucket="tail", **kwargs
+    ).collect()}
+    assert kept == {d for d, _ in rows} - expect_drop
+
+    fates = {
+        r.doc_id: r.fate
+        for r in curate_corpus(
+            df, lm_drop_bucket="tail", with_fates=True, **kwargs
+        ).collect()
+    }
+    assert {d for d, f in fates.items() if f == "lm_perplexity"} == expect_drop
+    assert {d for d, f in fates.items() if f == "kept"} == kept
+
+    # gate off -> everything survives to kept (control)
+    fates_off = {
+        r.doc_id: r.fate
+        for r in curate_corpus(df, with_fates=True, **kwargs).collect()
+    }
+    assert set(fates_off.values()) == {"kept"}

@@ -46,6 +46,7 @@ def curate_corpus(
     strip_spans_ngram: int | None = None,
     scrub_pii: bool = False,
     gopher_filter: bool = False,
+    lm_drop_bucket: str | None = None,
     with_fates: bool = False,
 ) -> DataFrame:
     """Returns (id, n_tokens, split, pack_id) for every KEPT document.
@@ -54,12 +55,17 @@ def curate_corpus(
     'md5' is what the oracle pins). Repetition thresholds beyond
     top-2gram use the repetition_filter defaults.
 
+    ``lm_drop_bucket`` enables the CCNet-style trained-LM gate: fit
+    the interpolated bigram LM on the repetition-filter survivors and
+    drop documents whose perplexity bucket ('head'/'middle'/'tail')
+    matches — pass "tail" for the classic keep-head+middle policy.
+
     ``with_fates`` switches the output to delta ATTRIBUTION mode:
     EVERY input document comes back with a ``fate`` column naming the
     pipeline stage that dropped it ('gopher', 'token_bounds',
-    'repetition', 'near_dup' — the FIRST stage to drop it, in pipeline
-    order) or 'kept'; kept rows carry split/pack_id, dropped rows
-    NULL. Token counts are measured after the optional text-rewriting
+    'repetition', 'lm_perplexity', 'near_dup' — the FIRST stage to
+    drop it, in pipeline order) or 'kept'; kept rows carry
+    split/pack_id, dropped rows NULL. Token counts are measured after the optional text-rewriting
     stages, so boilerplate/PII/span stripping shows up as token delta
     within a fate, not as a fate. Feed the result to
     :func:`curation_report` for the per-stage docs/tokens summary."""
@@ -126,13 +132,30 @@ def curate_corpus(
     # storage; MEMORY_AND_DISK spills instead of OOMing either way.
     quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # 1b) optional trained-LM perplexity gate (CCNet-style), fit on
+    # the persisted quality set. bigram_perplexity checkpoints its
+    # doc-grain result internally, so lm_keep is a materialized tiny
+    # id set and the semi-join below stays cheap for every consumer.
+    lm_keep = None
+    kept_q = quality
+    if lm_drop_bucket is not None:
+        from vrl_spark.operators.retrieval import bigram_perplexity
+
+        lm = bigram_perplexity(
+            quality.select(id_col, text_col), text_col, id_col
+        )
+        lm_keep = lm.where(
+            F.col("lm_bucket") != F.lit(lm_drop_bucket)
+        ).select(id_col)
+        kept_q = quality.join(lm_keep, id_col, "left_semi")
+
     # 2) near-dup dedup: pairs -> clusters -> survivors
     pairs = dedup.minhash_dedup_pairs(
-        quality, text_col, id_col, threshold=dedup_threshold,
+        kept_q, text_col, id_col, threshold=dedup_threshold,
         engine=engine, **mh,
     )
     survivors = dedup.dedup_survivor_rows(
-        quality, pairs.select("id_a", "id_b"), id_col
+        kept_q, pairs.select("id_a", "id_b"), id_col
     )
 
     # 3) stable split assignment
@@ -169,15 +192,25 @@ def curate_corpus(
                 "token_bounds",
             )
             .when(F.col("_q").isNull(), "repetition")
-            .when(F.col("pack_id").isNull(), "near_dup")
+        )
+        if lm_keep is not None:
+            fate = fate.when(F.col("_lm").isNull(), "lm_perplexity")
+        fate = (
+            fate.when(F.col("pack_id").isNull(), "near_dup")
             .otherwise("kept")
         )
-        out = (
-            full.join(
-                quality.select(id_col).withColumn("_q", F.lit(True)),
-                id_col, "left",
+        out = full.join(
+            quality.select(id_col).withColumn("_q", F.lit(True)),
+            id_col, "left",
+        )
+        if lm_keep is not None:
+            out = out.join(
+                lm_keep.withColumn("_lm", F.lit(True)), id_col, "left"
             )
-            .join(out.select(id_col, "split", "pack_id"), id_col, "left")
+        out = (
+            out.join(
+                packed.select(id_col, "split", "pack_id"), id_col, "left"
+            )
             .select(id_col, "n_tokens", fate.alias("fate"),
                     "split", "pack_id")
         )
