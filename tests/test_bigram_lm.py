@@ -124,3 +124,73 @@ def test_approx_thresholds_path_runs(spark):
     out = bigram_perplexity(df, exact_thresholds=False).collect()
     assert len(out) == 40
     assert {r.lm_bucket for r in out} <= {"head", "middle", "tail"}
+
+
+def _py_bigram_lm(rows, train_ids, D=0.75):
+    """Independent pure-python reference of the whole model."""
+    toks = {
+        d: [t for t in txt.lower().strip().split() if t]
+        for d, txt in rows
+    }
+    c1, c2 = {}, {}
+    for d in train_ids:
+        w = toks[d]
+        for t in w:
+            c1[t] = c1.get(t, 0) + 1
+        for v, t in zip(w, w[1:]):
+            c2[(v, t)] = c2.get((v, t), 0) + 1
+    N, V = sum(c1.values()), len(c1)
+    cv, n1p = {}, {}
+    for (v, _), c in c2.items():
+        cv[v] = cv.get(v, 0) + c
+        n1p[v] = n1p.get(v, 0) + 1
+
+    def p_uni(w):
+        return (c1.get(w, 0) + 1.0) / (N + V + 1.0)
+
+    out = {}
+    for d, _ in rows:
+        w = toks[d]
+        if not w:
+            out[d] = (0, 0.0)
+            continue
+        nll = -math.log(p_uni(w[0]))
+        for v, t in zip(w, w[1:]):
+            if v in cv:
+                p = (
+                    max(c2.get((v, t), 0) - D, 0.0)
+                    + D * n1p[v] * p_uni(t)
+                ) / cv[v]
+            else:
+                p = p_uni(t)
+            nll += -math.log(p)
+        out[d] = (len(w), nll / len(w))
+    return out
+
+
+def test_against_python_reference_random_corpus(spark):
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 25))))
+        for i in range(80)
+    ]
+    train_ids = {i for i in range(80) if i % 3 != 0}
+    df = spark.createDataFrame(
+        [(d, t, d in train_ids) for d, t in rows],
+        ["doc_id", "text", "tr"],
+    )
+    got = {
+        r.doc_id: r
+        for r in bigram_perplexity(df, train_col="tr").collect()
+    }
+    ref = _py_bigram_lm(rows, train_ids)
+    for d, (n, nll) in ref.items():
+        assert got[d].lm_n_scored == n, d
+        assert abs(got[d].lm_nll_x1m - round(nll * 1e6)) <= 1, d
+        assert (
+            abs(got[d].lm_ppl_x1m - round(math.exp(nll) * 1e6)) <= 1
+        ), d

@@ -261,3 +261,129 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def bloom_ingest_batch(
+    batch: DataFrame,
+    filter_dir: str,
+    out_dir: str,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    engine: str = "xxh",
+) -> int:
+    """One snapshot-ingest commit: classify the batch's keys against
+    the stored Bloom filter + accepted store, append only genuinely
+    new rows, fold the new keys into the filter. Returns the number of
+    rows accepted.
+
+    Commit ORDER is the correctness argument: the filter update lands
+    BEFORE the row append. A crash between the two leaves harmless
+    extra bits (replay bloom-hits them, the exact check against the
+    accepted store disproves -> 'fp' -> the rows are accepted); the
+    reverse order could re-append rows on replay (bloom miss ->
+    'new'). With this order a replayed batch classifies every
+    previously committed key as dup and appends nothing — exactly-once
+    KEY ingestion on top of foreachBatch's at-least-once contract.
+
+    Scale shape: the filter word table is m/32 rows (re-read per
+    batch — tiny); the exact check scans only the accepted store's
+    key column restricted to the PARTITION PREFIXES of the bloom
+    positives: the store is laid out partitionBy(_kp = first 2 key
+    chars), and the tiny positive set's prefixes become a partition
+    filter, so a batch touching p prefixes reads p/256 of the store's
+    key column, not all of it.
+    """
+    import os
+
+    from vrl_spark.operators import bloom as _bloom
+
+    spark = batch.sparkSession
+    # NULL keys can't be represented in the filter (their probe rows
+    # hash to NULL) and would re-ingest on every replay — reject them
+    batch = batch.where(F.col(key_col).isNotNull()).dropDuplicates(
+        [key_col]
+    )
+    keys = batch.select(key_col)
+
+    if os.path.isdir(filter_dir):
+        words = spark.read.parquet(filter_dir)
+        flagged = _bloom.bloom_membership(
+            keys, words, key_col, n_bits, k, engine
+        )
+    else:
+        words = None
+        flagged = keys.select(
+            F.col(key_col), F.lit(False).alias("bloom_hit")
+        )
+
+    pos = flagged.where("bloom_hit").select(key_col)
+    if os.path.isdir(out_dir):
+        prefixes = [
+            r[0]
+            for r in pos.select(
+                F.substring(F.col(key_col), 1, 2).alias("_kp")
+            ).distinct().collect()
+        ]
+        if prefixes:
+            store = (
+                spark.read.parquet(out_dir)
+                .where(F.col("_kp").isin(prefixes))
+                .select(key_col)
+            )
+            dups = pos.join(store, key_col, "left_semi")
+        else:
+            dups = pos.limit(0)
+    else:
+        dups = pos.limit(0)
+
+    accept = batch.join(dups, key_col, "left_anti").withColumn(
+        "_kp", F.substring(F.col(key_col), 1, 2)
+    )
+    # materialize BEFORE touching the stored filter: the plans above
+    # lazily reference the parquet files this commit overwrites
+    accept = accept.localCheckpoint(eager=True)
+    n_accepted = accept.count()
+
+    if n_accepted:
+        new_words = _bloom.bloom_build(
+            accept.select(key_col), key_col, n_bits, k, engine
+        )
+        merged = (
+            _bloom.bloom_merge(words, new_words)
+            if words is not None
+            else new_words
+        )
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(filter_dir)
+        accept.write.mode("append").partitionBy("_kp").parquet(out_dir)
+    return n_accepted
+
+
+def bloom_ingest_stream(
+    snapshots: DataFrame,
+    filter_dir: str,
+    out_dir: str,
+    key_col: str,
+    checkpoint_dir: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    engine: str = "xxh",
+):
+    """Continuous incremental-snapshot ingestion: each micro-batch
+    commits through :func:`bloom_ingest_batch`, so only
+    never-seen-before keys reach the accepted store and the stored
+    Bloom filter stays current without ever rebuilding from the
+    corpus (cf. operators/bloom.py for the batch-side contract)."""
+
+    def _commit(batch: DataFrame, _epoch: int) -> None:
+        bloom_ingest_batch(
+            batch, filter_dir, out_dir, key_col, n_bits, k, engine
+        )
+
+    return (
+        snapshots.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
