@@ -62,12 +62,17 @@ def tiny(spark):
     return bigram_perplexity(df, train_col="tr").collect()
 
 
+def _ppl_x1m(nll):
+    """Mirror the operator: ppl derives from the QUANTIZED nll."""
+    return round(math.exp(round(nll * 1e6) / 1e6) * 1e6)
+
+
 def test_hand_computed_nll_and_ppl(tiny):
     exp = _expected()
     got = {r.doc_id: r for r in tiny}
     for d, nll in exp.items():
         assert got[d].lm_nll_x1m == round(nll * 1e6), d
-        assert got[d].lm_ppl_x1m == round(math.exp(nll) * 1e6), d
+        assert got[d].lm_ppl_x1m == _ppl_x1m(nll), d
     assert got[4].lm_n_scored == 0
     assert got[3].lm_n_scored == 2
     assert got[1].lm_is_train and not got[3].lm_is_train
@@ -75,11 +80,11 @@ def test_hand_computed_nll_and_ppl(tiny):
 
 def test_bucket_labels_match_quantile_cont(tiny):
     exp = _expected()
-    ppls = [math.exp(v) for v in exp.values()]
+    ppls = [math.exp(round(v * 1e6) / 1e6) for v in exp.values()]
     lo = round(_quantile_cont(ppls, 0.3) * 1e6)
     hi = round(_quantile_cont(ppls, 0.7) * 1e6)
     for r in tiny:
-        p = round(math.exp(exp[r.doc_id]) * 1e6)
+        p = _ppl_x1m(exp[r.doc_id])
         want = "head" if p <= lo else ("middle" if p <= hi else "tail")
         assert r.lm_bucket == want, r.doc_id
 
@@ -191,6 +196,7 @@ def test_against_python_reference_random_corpus(spark):
     for d, (n, nll) in ref.items():
         assert got[d].lm_n_scored == n, d
         assert abs(got[d].lm_nll_x1m - round(nll * 1e6)) <= 1, d
-        assert (
-            abs(got[d].lm_ppl_x1m - round(math.exp(nll) * 1e6)) <= 1
+        # ppl derives from the engine's own quantized nll exactly
+        assert got[d].lm_ppl_x1m == round(
+            math.exp(got[d].lm_nll_x1m / 1e6) * 1e6
         ), d

@@ -145,3 +145,25 @@ def test_bloom_merge_equals_combined_build(spark):
 
     with pytest.raises(ValueError):
         bloom.bloom_merge()
+
+
+def test_null_keys_dropped_everywhere(spark):
+    base = spark.createDataFrame(
+        [("a",), (None,)], "k string"
+    )
+    inc = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "k string"
+    )
+    words = bloom.bloom_build(base, "k", n_bits=1024, k=3, engine="md5")
+    # NULL contributes no bits
+    assert words.collect() == bloom.bloom_build(
+        base.where("k is not null"), "k", n_bits=1024, k=3, engine="md5"
+    ).collect()
+    # membership and incremental_dedup emit no row for NULL keys
+    m = bloom.bloom_membership(inc, words, "k", 1024, 3, "md5")
+    assert {r.k for r in m.collect()} == {"a", "b"}
+    fates = bloom.incremental_dedup(
+        base, inc, "k", n_bits=1024, k=3, engine="md5"
+    )
+    assert {r.k: r.incr_fate for r in fates.collect()}.get("a") == "dup"
+    assert None not in {r.k for r in fates.collect()}

@@ -1415,3 +1415,13 @@ def test_curate_corpus_lm_perplexity_gate(spark):
         for r in curate_corpus(df, with_fates=True, **kwargs).collect()
     }
     assert set(fates_off.values()) == {"kept"}
+
+
+def test_curate_corpus_validates_lm_bucket(spark):
+    import pytest
+
+    from vrl_spark.operators.curation import curate_corpus
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="lm_drop_bucket"):
+        curate_corpus(df, lm_drop_bucket="Tail")

@@ -374,3 +374,27 @@ def test_bloom_ingest_stream_exactly_once(spark, tmp_path):
         ),
         fdir, odir, "key", **kw,
     ) == 0
+
+
+def test_bloom_ingest_rejects_param_mismatch_and_empty_key(spark, tmp_path):
+    import pytest
+
+    from vrl_spark.streaming.pipeline import bloom_ingest_batch
+
+    fdir = str(tmp_path / "f")
+    odir = str(tmp_path / "o")
+    kw = dict(n_bits=1 << 14, k=5, engine="xxh")
+    # empty-string key must round-trip through the prefix partitioning
+    b1 = spark.createDataFrame([("", "e"), ("aa", "x")], ["key", "p"])
+    assert bloom_ingest_batch(b1, fdir, odir, "key", **kw) == 2
+    assert bloom_ingest_batch(b1, fdir, odir, "key", **kw) == 0  # replay
+    assert spark.read.parquet(odir).count() == 2
+    # probing with different params breaks the hash family -> raises
+    with pytest.raises(ValueError, match="no-false-negative"):
+        bloom_ingest_batch(
+            b1, fdir, odir, "key", n_bits=1 << 10, k=5, engine="xxh"
+        )
+    with pytest.raises(ValueError, match="no-false-negative"):
+        bloom_ingest_batch(
+            b1, fdir, odir, "key", n_bits=1 << 14, k=5, engine="md5"
+        )

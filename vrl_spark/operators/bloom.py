@@ -79,8 +79,10 @@ def bloom_build(
 
     Words that stay zero are absent (the membership join treats a
     missing word as 0), so the output is at most min(n_distinct * k,
-    n_bits/32) rows.
+    n_bits/32) rows. NULL keys are dropped — they hash to NULL
+    positions and cannot be represented.
     """
+    df = df.where(F.col(key_col).isNotNull())
     pos = df.select(
         F.explode(
             bloom_positions(F.col(key_col), n_bits, k, engine)
@@ -117,7 +119,10 @@ def bloom_membership(
     already carry every key) — joining back onto `keys` here would
     make Catalyst compute the `keys` subtree twice (tree
     duplication); callers that need other columns join on key_col
-    themselves."""
+    themselves. NULL keys are dropped (no output row): their probes
+    hash to NULL and can satisfy neither 'possibly present' nor
+    'definitely absent'."""
+    keys = keys.where(F.col(key_col).isNotNull())
     probes = keys.select(
         key_col,
         F.posexplode(
@@ -158,7 +163,9 @@ def incremental_dedup(
              'dup'  — bloom hit and confirmed present by the exact join
              'fp'   — bloom hit but absent (false positive, resolved)
 
-    Returns (key_col, bloom_hit, incr_fate). Pass a precomputed
+    Returns (key_col, bloom_hit, incr_fate); NULL incoming keys get
+    no output row (unrepresentable in the filter — see
+    bloom_membership). Pass a precomputed
     `bloom_words` table (from bloom_build, same params) to reuse a
     stored filter across ingests — the 100 TB deployment shape; when
     None it is built here from `base`.

@@ -69,6 +69,13 @@ def curate_corpus(
     stages, so boilerplate/PII/span stripping shows up as token delta
     within a fate, not as a fate. Feed the result to
     :func:`curation_report` for the per-stage docs/tokens summary."""
+    if lm_drop_bucket is not None and lm_drop_bucket not in (
+        "head", "middle", "tail",
+    ):
+        raise ValueError(
+            f"lm_drop_bucket must be head/middle/tail, got "
+            f"{lm_drop_bucket!r}"
+        )
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     mh = dict(num_hashes=16, bands=4, shingle_n=3)
     mh.update(minhash_kwargs or {})

@@ -303,9 +303,12 @@ def bigram_perplexity(
     where c1/c2 are train unigram/bigram counts, c(v) = sum_w c2(v,w),
     n1p(v) = |{w : c2(v,w) > 0}|, N = train tokens, V = train vocab,
     D = `discount`. doc mean_nll = AVG(-ln p) over all n positions;
-    perplexity = exp(mean_nll) (empty docs coalesce to mean_nll=0,
-    ppl=1). Buckets compare ROUNDED x1m values on both sides so an
-    engine's last-ulp quantile difference can never flip a label.
+    perplexity = exp(round(mean_nll, 1e-6)) — derived from the
+    QUANTIZED nll so exp can't amplify a last-ulp summation-order
+    difference into a visible x1m delta (empty docs coalesce to
+    mean_nll=0, ppl=1). Buckets compare ROUNDED x1m values on both
+    sides so an engine's last-ulp quantile difference can never flip
+    a label.
 
     Scale shape: pair construction is map-only (arrays_zip of two
     slices — no window, no self-join); training is two token-key
@@ -407,6 +410,11 @@ def bigram_perplexity(
             F.count(F.lit(1)).cast("long").alias("n_scored"),
         )
     )
+    # perplexity derives from the ROUNDED x1m nll, not the raw double:
+    # exp() amplifies a last-ulp summation-order difference by the
+    # perplexity's magnitude, so exp(raw) is not stable across engines
+    # (or even partition orders) for OOV-heavy docs, while exp of the
+    # x1m-quantized nll is
     docs = (
         df.select(id_col, is_train.alias("lm_is_train"))
         .join(scored, id_col, "left")
@@ -416,9 +424,11 @@ def bigram_perplexity(
             F.coalesce("n_scored", F.lit(0).cast("long")).alias(
                 "lm_n_scored"
             ),
-            F.coalesce("mean_nll", F.lit(0.0)).alias("_nll"),
-            F.exp(F.coalesce("mean_nll", F.lit(0.0))).alias("_ppl"),
+            F.round(F.coalesce("mean_nll", F.lit(0.0)) * 1e6)
+            .cast("long")
+            .alias("_nllr"),
         )
+        .withColumn("_ppl", F.exp(F.col("_nllr") / F.lit(1e6)))
     )
     # The doc-grain frame feeds BOTH the threshold agg and the final
     # bucketing select; without a materialization Catalyst recomputes
@@ -441,7 +451,7 @@ def bigram_perplexity(
         id_col,
         "lm_is_train",
         "lm_n_scored",
-        F.round(F.col("_nll") * 1e6).cast("long").alias("lm_nll_x1m"),
+        F.col("_nllr").alias("lm_nll_x1m"),
         ppl_r.alias("lm_ppl_x1m"),
         F.when(ppl_r <= F.col("_lo"), F.lit("head"))
         .when(ppl_r <= F.col("_hi"), F.lit("middle"))

@@ -121,6 +121,11 @@ def dedup_exact(spark, sf_dir):
         F.md5("text").alias("content_hash"),
         (F.col("doc_id") < 1000000).alias("_is_base"),
     )
+    # h feeds five consumers (groups, bloom build side, incoming side,
+    # and the two final join probes) — materialize the narrow hash
+    # frame once or Catalyst recomputes the corpus scan + md5 per
+    # consumer (the usual shared-subtree trap)
+    h = h.localCheckpoint(eager=True)
     g = h.groupBy("content_hash").agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("dup_count"),
@@ -1714,17 +1719,20 @@ lmp AS (
 lmn AS (SELECT doc_id, AVG(-ln(p)) AS mean_nll, COUNT(*) AS n_scored
         FROM lmp GROUP BY doc_id),
 lmdocs AS (
-  SELECT d.doc_id, d.lm_is_train,
-    CAST(COALESCE(n.n_scored, 0) AS BIGINT) AS lm_n_scored,
-    COALESCE(n.mean_nll, 0.0) AS mnll,
-    exp(COALESCE(n.mean_nll, 0.0)) AS ppl
-  FROM lmd d LEFT JOIN lmn n USING (doc_id)),
+  SELECT doc_id, lm_is_train, lm_n_scored, mnllr,
+         exp(mnllr / 1000000.0) AS ppl
+  FROM (
+    SELECT d.doc_id, d.lm_is_train,
+      CAST(COALESCE(n.n_scored, 0) AS BIGINT) AS lm_n_scored,
+      CAST(ROUND(COALESCE(n.mean_nll, 0.0) * 1000000) AS BIGINT)
+        AS mnllr
+    FROM lmd d LEFT JOIN lmn n USING (doc_id))),
 lmth AS (
   SELECT CAST(ROUND(quantile_cont(ppl, 0.3) * 1000000) AS BIGINT) AS lo,
          CAST(ROUND(quantile_cont(ppl, 0.7) * 1000000) AS BIGINT) AS hi
   FROM lmdocs)
 SELECT doc_id, lm_is_train, lm_n_scored,
-  CAST(ROUND(mnll * 1000000) AS BIGINT) AS lm_nll_x1m,
+  mnllr AS lm_nll_x1m,
   CAST(ROUND(ppl * 1000000) AS BIGINT) AS lm_ppl_x1m,
   CASE WHEN CAST(ROUND(ppl * 1000000) AS BIGINT) <= t.lo THEN 'head'
        WHEN CAST(ROUND(ppl * 1000000) AS BIGINT) <= t.hi THEN 'middle'

@@ -10,7 +10,7 @@ property (one write job per micro-batch, partitioned by route)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -277,26 +277,57 @@ def bloom_ingest_batch(
     new rows, fold the new keys into the filter. Returns the number of
     rows accepted.
 
-    Commit ORDER is the correctness argument: the filter update lands
-    BEFORE the row append. A crash between the two leaves harmless
-    extra bits (replay bloom-hits them, the exact check against the
-    accepted store disproves -> 'fp' -> the rows are accepted); the
-    reverse order could re-append rows on replay (bloom miss ->
-    'new'). With this order a replayed batch classifies every
-    previously committed key as dup and appends nothing — exactly-once
-    KEY ingestion on top of foreachBatch's at-least-once contract.
+    The stored filter is APPEND-ONLY SEGMENTS: each commit appends
+    only the NEW keys' words; readers bit_or-compact across segments
+    (bloom_merge of one table). No commit ever rewrites existing
+    filter files, so there is no crash window in which previously
+    committed keys' bits can be lost — the failure mode a naive
+    read-merge-overwrite filter has (crash mid-overwrite loses old
+    bits, committed keys bloom-MISS, replay re-appends duplicates).
 
-    Scale shape: the filter word table is m/32 rows (re-read per
-    batch — tiny); the exact check scans only the accepted store's
-    key column restricted to the PARTITION PREFIXES of the bloom
-    positives: the store is laid out partitionBy(_kp = first 2 key
-    chars), and the tiny positive set's prefixes become a partition
-    filter, so a batch touching p prefixes reads p/256 of the store's
-    key column, not all of it.
+    Commit ORDER completes the argument: the filter segment lands
+    BEFORE the row append. A crash between the two (or mid-segment:
+    parquet append only exposes committed files) leaves at worst
+    extra bits for rows never appended — replay bloom-hits them, the
+    exact check against the accepted store disproves -> 'fp' -> the
+    rows are accepted; the reverse order could re-append rows on
+    replay (bloom miss -> 'new'). Net: exactly-once KEY ingestion on
+    top of foreachBatch's at-least-once contract.
+
+    (n_bits, k, engine) are pinned in ``filter_dir/_PARAMS.json`` on
+    first commit and validated on every later one — probing a filter
+    with a different hash family silently breaks the
+    no-false-negative property, so a mismatch raises.
+
+    Scale shape: the filter word table is m/32 rows (re-read and
+    compacted per batch — tiny; compact by rewriting segments offline
+    if they ever accumulate); the exact check scans only the accepted
+    store's key column restricted to the PARTITION PREFIXES of the
+    bloom positives: the store is laid out partitionBy(_kp = 'p' +
+    first 2 key chars — the literal prefix keeps an empty-string key
+    out of Hive's NULL default partition), and the tiny positive
+    set's prefixes become a partition filter, so a batch touching p
+    prefixes reads p/256 of the store's key column, not all of it.
     """
+    import json
     import os
 
     from vrl_spark.operators import bloom as _bloom
+
+    params = {"n_bits": n_bits, "k": k, "engine": engine}
+    params_path = os.path.join(filter_dir, "_PARAMS.json")
+    if os.path.exists(params_path):
+        with open(params_path) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(
+                f"bloom filter at {filter_dir} was built with {stored}; "
+                f"probing it with {params} would break the "
+                "no-false-negative property"
+            )
+
+    def _kp(col: Column) -> Column:
+        return F.concat(F.lit("p"), F.substring(col, 1, 2))
 
     spark = batch.sparkSession
     # NULL keys can't be represented in the filter (their probe rows
@@ -306,13 +337,12 @@ def bloom_ingest_batch(
     )
     keys = batch.select(key_col)
 
-    if os.path.isdir(filter_dir):
-        words = spark.read.parquet(filter_dir)
+    if os.path.exists(params_path):
+        words = _bloom.bloom_merge(spark.read.parquet(filter_dir))
         flagged = _bloom.bloom_membership(
             keys, words, key_col, n_bits, k, engine
         )
     else:
-        words = None
         flagged = keys.select(
             F.col(key_col), F.lit(False).alias("bloom_hit")
         )
@@ -322,7 +352,7 @@ def bloom_ingest_batch(
         prefixes = [
             r[0]
             for r in pos.select(
-                F.substring(F.col(key_col), 1, 2).alias("_kp")
+                _kp(F.col(key_col)).alias("_kp")
             ).distinct().collect()
         ]
         if prefixes:
@@ -338,10 +368,10 @@ def bloom_ingest_batch(
         dups = pos.limit(0)
 
     accept = batch.join(dups, key_col, "left_anti").withColumn(
-        "_kp", F.substring(F.col(key_col), 1, 2)
+        "_kp", _kp(F.col(key_col))
     )
-    # materialize BEFORE touching the stored filter: the plans above
-    # lazily reference the parquet files this commit overwrites
+    # materialize BEFORE the writes: the plans above lazily reference
+    # the parquet files this commit appends to
     accept = accept.localCheckpoint(eager=True)
     n_accepted = accept.count()
 
@@ -349,13 +379,10 @@ def bloom_ingest_batch(
         new_words = _bloom.bloom_build(
             accept.select(key_col), key_col, n_bits, k, engine
         )
-        merged = (
-            _bloom.bloom_merge(words, new_words)
-            if words is not None
-            else new_words
-        )
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(filter_dir)
+        new_words.write.mode("append").parquet(filter_dir)
+        if not os.path.exists(params_path):
+            with open(params_path, "w") as fh:
+                json.dump(params, fh)
         accept.write.mode("append").partitionBy("_kp").parquet(out_dir)
     return n_accepted
 
