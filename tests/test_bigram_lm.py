@@ -196,7 +196,10 @@ def test_against_python_reference_random_corpus(spark):
     for d, (n, nll) in ref.items():
         assert got[d].lm_n_scored == n, d
         assert abs(got[d].lm_nll_x1m - round(nll * 1e6)) <= 1, d
-        # ppl derives from the engine's own quantized nll exactly
-        assert got[d].lm_ppl_x1m == round(
-            math.exp(got[d].lm_nll_x1m / 1e6) * 1e6
-        ), d
+        # ppl derives from the engine's own quantized nll; +-1 absorbs
+        # python-libm vs JVM Math.exp last-ulp disagreement at a .5
+        # rounding boundary
+        assert abs(
+            got[d].lm_ppl_x1m
+            - round(math.exp(got[d].lm_nll_x1m / 1e6) * 1e6)
+        ) <= 1, d

@@ -350,20 +350,25 @@ def test_bloom_ingest_stream_exactly_once(spark, tmp_path):
     assert bloom_ingest_batch(snap(25, 75), fdir, odir, "key", **kw) == 0
     assert spark.read.parquet(odir).count() == 75
 
-    # crash-window contract: filter updated, rows lost. Fold a key
-    # into the stored filter WITHOUT storing its row, then ingest it:
+    # crash-window contract: filter updated, rows lost. APPEND a
+    # segment for a key WITHOUT storing its row (exactly the state a
+    # crash between the two writes leaves — and appending keeps
+    # _PARAMS.json, so the filter stays recognized), then ingest it:
     # bloom hits, the exact check disproves, the row still lands.
     from vrl_spark.operators import bloom as _bloom
 
     phantom = spark.createDataFrame([("k999",)], ["key"])
-    _bloom.bloom_merge(
-        spark.read.parquet(fdir),
-        _bloom.bloom_build(phantom, "key", **kw),
-    ).localCheckpoint().write.mode("overwrite").parquet(fdir)
-    got = bloom_ingest_batch(
-        spark.createDataFrame([("k999", "late")], ["key", "payload"]),
-        fdir, odir, "key", **kw,
+    _bloom.bloom_build(phantom, "key", **kw).write.mode("append").parquet(
+        fdir
     )
+    late = spark.createDataFrame([("k999", "late")], ["key", "payload"])
+    flagged = _bloom.bloom_membership(
+        late.select("key"),
+        _bloom.bloom_merge(spark.read.parquet(fdir)),
+        "key", **kw,
+    ).collect()
+    assert flagged[0].bloom_hit is True  # the path is NOT the trivial one
+    got = bloom_ingest_batch(late, fdir, odir, "key", **kw)
     assert got == 1
     assert spark.read.parquet(odir).where("key = 'k999'").count() == 1
 
@@ -398,3 +403,24 @@ def test_bloom_ingest_rejects_param_mismatch_and_empty_key(spark, tmp_path):
         bloom_ingest_batch(
             b1, fdir, odir, "key", n_bits=1 << 14, k=5, engine="md5"
         )
+
+
+def test_bloom_ingest_refuses_paramless_filter_data(spark, tmp_path):
+    """A filter dir with segments but no _PARAMS.json (e.g. an offline
+    compaction that dropped the sidecar) must raise, not silently
+    bypass dedup."""
+    import os
+
+    import pytest
+
+    from vrl_spark.operators import bloom as _bloom
+    from vrl_spark.streaming.pipeline import bloom_ingest_batch
+
+    fdir = str(tmp_path / "f")
+    odir = str(tmp_path / "o")
+    kw = dict(n_bits=1 << 14, k=5, engine="xxh")
+    b = spark.createDataFrame([("x", "1")], ["key", "payload"])
+    assert bloom_ingest_batch(b, fdir, odir, "key", **kw) == 1
+    os.remove(os.path.join(fdir, "_PARAMS.json"))
+    with pytest.raises(ValueError, match="no\n? ?_PARAMS"):
+        bloom_ingest_batch(b, fdir, odir, "key", **kw)

@@ -314,9 +314,15 @@ def bloom_ingest_batch(
 
     from vrl_spark.operators import bloom as _bloom
 
-    params = {"n_bits": n_bits, "k": k, "engine": engine}
+    # kp_scheme pins the accepted store's partition layout alongside
+    # the hash family — a layout change is as corrupting as a hash
+    # change (the prefix filter would prune every old partition)
+    params = {
+        "n_bits": n_bits, "k": k, "engine": engine, "kp_scheme": "p2",
+    }
     params_path = os.path.join(filter_dir, "_PARAMS.json")
-    if os.path.exists(params_path):
+    have_params = os.path.exists(params_path)
+    if have_params:
         with open(params_path) as fh:
             stored = json.load(fh)
         if stored != params:
@@ -325,6 +331,18 @@ def bloom_ingest_batch(
                 f"probing it with {params} would break the "
                 "no-false-negative property"
             )
+    elif os.path.isdir(filter_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(filter_dir)
+    ):
+        # segments without a params pin: probing blind would silently
+        # bypass dedup for every committed key (the exact check only
+        # runs over bloom positives) — refuse instead
+        raise ValueError(
+            f"bloom filter at {filter_dir} has data but no "
+            "_PARAMS.json; refusing to probe with unverifiable "
+            "parameters (restore the params file or rebuild the "
+            "filter from the accepted store)"
+        )
 
     def _kp(col: Column) -> Column:
         return F.concat(F.lit("p"), F.substring(col, 1, 2))
@@ -337,7 +355,7 @@ def bloom_ingest_batch(
     )
     keys = batch.select(key_col)
 
-    if os.path.exists(params_path):
+    if have_params:
         words = _bloom.bloom_merge(spark.read.parquet(filter_dir))
         flagged = _bloom.bloom_membership(
             keys, words, key_col, n_bits, k, engine
