@@ -424,3 +424,24 @@ def test_bloom_ingest_refuses_paramless_filter_data(spark, tmp_path):
     os.remove(os.path.join(fdir, "_PARAMS.json"))
     with pytest.raises(ValueError, match="no\n? ?_PARAMS"):
         bloom_ingest_batch(b, fdir, odir, "key", **kw)
+
+
+def test_bloom_ingest_params_only_dir_is_recoverable(spark, tmp_path):
+    """params-without-segments (crash between the sidecar write and
+    the first segment append) must behave as an empty filter, not
+    raise or mis-classify; legacy sidecars without kp_scheme load."""
+    import json
+    import os
+
+    from vrl_spark.streaming.pipeline import bloom_ingest_batch
+
+    fdir = str(tmp_path / "f")
+    odir = str(tmp_path / "o")
+    kw = dict(n_bits=1 << 14, k=5, engine="xxh")
+    os.makedirs(fdir)
+    # legacy sidecar: no kp_scheme key -> treated as the p2 layout
+    with open(os.path.join(fdir, "_PARAMS.json"), "w") as fh:
+        json.dump({"n_bits": 1 << 14, "k": 5, "engine": "xxh"}, fh)
+    b = spark.createDataFrame([("x", "1"), ("y", "2")], ["key", "p"])
+    assert bloom_ingest_batch(b, fdir, odir, "key", **kw) == 2
+    assert bloom_ingest_batch(b, fdir, odir, "key", **kw) == 0

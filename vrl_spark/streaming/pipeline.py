@@ -294,10 +294,13 @@ def bloom_ingest_batch(
     replay (bloom miss -> 'new'). Net: exactly-once KEY ingestion on
     top of foreachBatch's at-least-once contract.
 
-    (n_bits, k, engine) are pinned in ``filter_dir/_PARAMS.json`` on
-    first commit and validated on every later one — probing a filter
-    with a different hash family silently breaks the
-    no-false-negative property, so a mismatch raises.
+    (n_bits, k, engine, kp_scheme) are pinned in
+    ``filter_dir/_PARAMS.json`` BEFORE the first segment lands and
+    validated on every later commit — probing a filter with a
+    different hash family (or reading the store with a different
+    partition layout) silently breaks the no-false-negative property,
+    so a mismatch raises, as does a filter dir holding segments with
+    no params sidecar (e.g. an offline compaction that dropped it).
 
     Scale shape: the filter word table is m/32 rows (re-read and
     compacted per batch — tiny; compact by rewriting segments offline
@@ -322,18 +325,22 @@ def bloom_ingest_batch(
     }
     params_path = os.path.join(filter_dir, "_PARAMS.json")
     have_params = os.path.exists(params_path)
+    has_segments = os.path.isdir(filter_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(filter_dir)
+    )
     if have_params:
         with open(params_path) as fh:
             stored = json.load(fh)
+        # sidecars written before the layout key existed are the
+        # unchanged p2 scheme — backfill instead of bricking them
+        stored.setdefault("kp_scheme", "p2")
         if stored != params:
             raise ValueError(
                 f"bloom filter at {filter_dir} was built with {stored}; "
                 f"probing it with {params} would break the "
                 "no-false-negative property"
             )
-    elif os.path.isdir(filter_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(filter_dir)
-    ):
+    elif has_segments:
         # segments without a params pin: probing blind would silently
         # bypass dedup for every committed key (the exact check only
         # runs over bloom positives) — refuse instead
@@ -355,12 +362,16 @@ def bloom_ingest_batch(
     )
     keys = batch.select(key_col)
 
-    if have_params:
+    if have_params and has_segments:
         words = _bloom.bloom_merge(spark.read.parquet(filter_dir))
         flagged = _bloom.bloom_membership(
             keys, words, key_col, n_bits, k, engine
         )
     else:
+        # params-without-segments is the recoverable crash window
+        # between the sidecar write and the first segment append: no
+        # segments means no keys committed means no rows appended, so
+        # an empty filter is CORRECT, not just tolerated
         flagged = keys.select(
             F.col(key_col), F.lit(False).alias("bloom_hit")
         )
@@ -394,13 +405,19 @@ def bloom_ingest_batch(
     n_accepted = accept.count()
 
     if n_accepted:
+        # commit order: params -> segment -> rows. Each prefix of this
+        # sequence is a state a replay handles correctly (params alone
+        # = empty filter; params+segment = extra bits resolved as fp);
+        # segment-before-params would instead poison the dir into the
+        # refuse-to-probe state above.
+        if not have_params:
+            os.makedirs(filter_dir, exist_ok=True)
+            with open(params_path, "w") as fh:
+                json.dump(params, fh)
         new_words = _bloom.bloom_build(
             accept.select(key_col), key_col, n_bits, k, engine
         )
         new_words.write.mode("append").parquet(filter_dir)
-        if not os.path.exists(params_path):
-            with open(params_path, "w") as fh:
-                json.dump(params, fh)
         accept.write.mode("append").partitionBy("_kp").parquet(out_dir)
     return n_accepted
 
