@@ -1,0 +1,133 @@
+"""Product quantization: recall against exact brute force on a
+planted clustered corpus, reconstruction-error improvement over
+training, determinism, and parameter validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vrl_spark.operators import pq
+
+DIM, M, K = 16, 4, 8
+
+
+def _planted(n=200, centers=8, seed=7):
+    rng = np.random.RandomState(seed)
+    c = rng.randn(centers, DIM) * 3.0
+    rows = []
+    for i in range(n):
+        v = c[i % centers] + rng.randn(DIM) * 0.15
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _planted(), ["vec_id", "embedding"]
+    ).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def trained(corpus):
+    stats = {}
+    books = pq.pq_train(
+        corpus, DIM, m=M, k=K, iterations=8, stats=stats
+    ).localCheckpoint()
+    codes = pq.pq_encode(corpus, books, DIM, m=M, k=K).localCheckpoint()
+    return books, codes, stats
+
+
+def test_codebook_shape_and_codes_range(trained):
+    books, codes, stats = trained
+    got = books.groupBy("sub_id").count().collect()
+    assert {r.sub_id for r in got} == set(range(M))
+    assert all(r["count"] <= K for r in got)
+    assert stats["iterations"] >= 1
+    for r in codes.collect():
+        assert len(r.codes) == M
+        assert all(0 <= c < K for c in r.codes)
+
+
+def test_adc_recall_vs_exact(trained, corpus):
+    books, codes, _ = trained
+    data = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+    rng = np.random.RandomState(3)
+    hits = total = 0
+    for qid in rng.choice(sorted(data), 5, replace=False):
+        q = data[qid]
+        exact = sorted(
+            data, key=lambda i: float(np.sum((data[i] - q) ** 2))
+        )[:10]
+        got = [
+            r.vec_id
+            for r in pq.pq_search(
+                list(q), codes, books, DIM, m=M, k=K, top_k=10
+            ).collect()
+        ]
+        # the HARD guarantee on this corpus: every ADC hit is in the
+        # query's true planted cluster (same-cluster vectors share
+        # codes, so within-cluster ADC ranks tie and id tie-breaks
+        # bound exact-set overlap below 1.0 by construction)
+        assert all(g % 8 == qid % 8 for g in got), (qid, got)
+        hits += len(set(exact) & set(got))
+        total += 10
+    assert hits / total >= 0.4, hits / total
+
+
+def test_reconstruction_error_improves_with_training(corpus):
+    def mse(iters):
+        books = pq.pq_train(corpus, DIM, m=M, k=K, iterations=iters)
+        codes = pq.pq_encode(corpus, books, DIM, m=M, k=K)
+        approx = pq.pq_decode(codes, books, M)
+        from vrl_spark.operators.clustering import l2_sq
+
+        joined = corpus.join(approx, "vec_id").select(
+            l2_sq(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("approx"),
+            ).alias("e")
+        )
+        return joined.agg(F.avg("e")).collect()[0][0]
+
+    assert mse(6) < mse(1) * 0.9
+
+
+def test_encode_is_partitioning_invariant(trained, corpus):
+    books, codes, _ = trained
+    again = pq.pq_encode(
+        corpus.repartition(13), books, DIM, m=M, k=K
+    )
+    a = {r.vec_id: list(r.codes) for r in codes.collect()}
+    b = {r.vec_id: list(r.codes) for r in again.collect()}
+    assert a == b
+
+
+def test_param_validation(corpus):
+    with pytest.raises(ValueError):
+        pq.pq_train(corpus, 15, m=M, k=K)  # 15 % 4 != 0
+    with pytest.raises(ValueError):
+        pq.pq_train(corpus, DIM, m=M, k=0)
+    with pytest.raises(ValueError):
+        pq.pq_train(corpus, DIM, m=M, k=K, iterations=0)
+    with pytest.raises(ValueError):
+        pq.pq_search([0.0] * 5, None, None, DIM, m=M, k=K)
+
+
+def test_decode_roundtrips_centroid_vectors(trained, spark):
+    """A vector that IS a centroid concatenation reconstructs
+    exactly."""
+    books, _, _ = trained
+    cents = {
+        (r.sub_id, r.centroid_id): r.centroid_vec
+        for r in books.collect()
+    }
+    vec = []
+    for j in range(M):
+        vec += list(cents[(j, 0)])
+    df = spark.createDataFrame([(999, vec)], ["vec_id", "embedding"])
+    codes = pq.pq_encode(df, books, DIM, m=M, k=K)
+    approx = pq.pq_decode(codes, books, M).collect()[0].approx
+    assert np.allclose(np.array(approx), np.array(vec))

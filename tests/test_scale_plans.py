@@ -358,3 +358,27 @@ def test_bigram_lm_final_plan_shape(spark, sf_dir):
     # post-checkpoint: the token-join chain is gone from this plan
     assert "Scan parquet" not in plan
     assert plan.count("SinglePartition") == 1
+
+
+def test_pq_encode_plan_is_map_only(spark):
+    """PQ encode: the corpus side has no Exchange at all — codebooks
+    fold to one broadcast row and every argmin runs in place."""
+    from vrl_spark.operators import pq
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (i * F.col("id") % 7).cast("double"),
+        ).alias("embedding"),
+    )
+    books = pq.pq_train(corpus, 16, m=4, k=4, iterations=1)
+    plan = plan_of(pq.pq_encode(corpus, books, 16, m=4, k=4))
+    assert "EvalPython" not in plan
+    # the only exchanges live on the tiny codebook side (the 1-row
+    # SinglePartition fold + its broadcast); a corpus-side shuffle
+    # would show as hash/range partitioning — there must be none
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,298 @@
+"""Product quantization (PQ) for embedding columns — the compression
+tier of the similarity family (brute -> LSH -> IVF -> PQ): each
+d-dim vector is split into m contiguous subvectors, each subspace
+gets its own k-centroid codebook (trained with the same Lloyd loop
+discipline as operators/clustering.kmeans), and a vector is stored as
+m small codes — d*4 bytes become m bytes at k<=256, a 16-32x
+shrink of the index the 100 TB corpus actually has to keep hot.
+Search is asymmetric distance computation (ADC): the query computes
+one m x k distance table against the codebooks (tiny), and every
+stored code scores with m map-side lookups — no decompression, no
+per-row Python.
+
+Scale shape:
+- train: ONE subvector explode (m rows per vector) + per iteration
+  one broadcast of the m*k centroid structs and one
+  map-side-combined (sub, centroid, dim) mean shuffle; centroids
+  localCheckpoint per round with the shift folded in (k-row action
+  for convergence, mirroring kmeans/pagerank loop discipline).
+- encode: MAP-ONLY — the folded codebook array broadcasts and each
+  row computes its m argmins in place (the ivf_assign shape); codes
+  never shuffle.
+- search: the distance table is a 1-row broadcast map; scoring is a
+  map-side fold over the code array; top-k is orderBy().limit()
+  (TakeOrderedAndProject — no global single-task window).
+
+Determinism: smallest-md5 per-subspace init, distances rounded to
+1e-6 before every argmin with centroid-id tie-break, means divide
+exact sums — identical codes across runs, partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vrl_spark.operators.clustering import l2_sq
+
+
+def _check_params(dim: int, m: int, k: int) -> int:
+    if m < 1 or dim < 1 or dim % m != 0:
+        raise ValueError(
+            f"dim ({dim}) must be a positive multiple of m ({m})"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return dim // m
+
+
+def _sub(vec: Column, j: Column | int, sub_dim: int) -> Column:
+    start = (
+        F.lit(j) * sub_dim + 1 if isinstance(j, int) else j * sub_dim + 1
+    )
+    return F.slice(vec, start, sub_dim)
+
+
+def _fold_codebooks(codebooks: DataFrame) -> DataFrame:
+    """1-row array-of-structs frame for broadcasting (ivf_assign's
+    folded-centroid shape)."""
+    return codebooks.agg(
+        F.collect_list(
+            F.struct(
+                F.col("sub_id").alias("sid"),
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid_vec").alias("cvec"),
+            )
+        ).alias("_cb")
+    )
+
+
+def _best_cid(subvec: Column, sub_id: Column | int) -> Column:
+    """argmin centroid id for one subvector against the broadcast
+    `_cb` array (rounded distance, centroid-id tie-break)."""
+    sid = F.lit(sub_id) if isinstance(sub_id, int) else sub_id
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("_cb"), lambda c: c["sid"] == sid),
+            lambda c: F.struct(
+                F.round(l2_sq(subvec, c["cvec"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 8,
+    tol: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Train the m per-subspace codebooks; returns (sub_id,
+    centroid_id, centroid_vec array<double>). All m subspaces train
+    in ONE joint Lloyd loop (one Spark job per iteration, not m)."""
+    sub_dim = _check_params(dim, m, k)
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    _sub(F.col(vec_col), j, sub_dim),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "subvec"),
+    )
+    # deterministic init: the k smallest-md5 VECTORS, sliced into all
+    # m subspaces — one parallel top-k (TakeOrderedAndProject), no
+    # per-subspace window funnel; the row_number below runs on the
+    # k-row sample only
+    sample = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("_h", id_col)
+    centroids = (
+        sample.withColumn(
+            "centroid_id", (F.row_number().over(w) - 1).cast("int")
+        )
+        .select(
+            "centroid_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.transform(
+                        _sub(F.col("_v"), j, sub_dim),
+                        lambda x: x.cast("double"),
+                    ),
+                )
+            ).alias("sub_id", "centroid_vec"),
+        )
+        .select("sub_id", "centroid_id", "centroid_vec")
+        .localCheckpoint()
+    )
+    it, max_shift, converged = 0, None, False
+    for it in range(1, iterations + 1):
+        assigned = subs.join(
+            F.broadcast(_fold_codebooks(centroids))
+        ).select(
+            "sub_id", "subvec",
+            _best_cid(F.col("subvec"), F.col("sub_id")).alias(
+                "centroid_id"
+            ),
+        )
+        means = (
+            assigned.select(
+                "sub_id", "centroid_id",
+                F.posexplode("subvec").alias("_d", "_x"),
+            )
+            .groupBy("sub_id", "centroid_id", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("sub_id", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_d", "_m"))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("_new")
+            )
+        )
+        # empty clusters carry their old centroid (shift 0)
+        centroids = (
+            centroids.join(means, ["sub_id", "centroid_id"], "left")
+            .select(
+                "sub_id", "centroid_id",
+                F.coalesce("_new", "centroid_vec").alias("centroid_vec"),
+                F.when(
+                    F.col("_new").isNull(), F.lit(0.0)
+                ).otherwise(
+                    l2_sq(F.col("_new"), F.col("centroid_vec"))
+                ).alias("shift"),
+            )
+            .localCheckpoint()
+        )
+        max_shift = centroids.agg(F.max("shift")).collect()[0][0] or 0.0
+        if max_shift < tol:
+            converged = True
+            break
+    if stats is not None:
+        stats.update(
+            iterations=it, converged=converged, max_shift=max_shift
+        )
+    return centroids.select("sub_id", "centroid_id", "centroid_vec")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — MAP-ONLY: the folded codebooks
+    broadcast and each row computes its m argmins in place; the
+    corpus never expands or shuffles."""
+    sub_dim = _check_params(dim, m, k)
+    return corpus.join(F.broadcast(_fold_codebooks(codebooks))).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: _best_cid(_sub(F.col(vec_col), j, sub_dim), j),
+        ).alias("codes"),
+    )
+
+
+def pq_decode(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, approx array<double>) — reconstruct each vector as the
+    concatenation of its m codebook centroids (map-only gather; used
+    for reconstruction-error audits)."""
+    return codes_df.join(F.broadcast(_fold_codebooks(codebooks))).select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.element_at(
+                    F.filter(
+                        F.col("_cb"),
+                        lambda c: (c["sid"] == j)
+                        & (
+                            c["cid"]
+                            == F.element_at(F.col("codes"), j + 1)
+                        ),
+                    ),
+                    1,
+                )["cvec"],
+            )
+        ).alias("approx"),
+    )
+
+
+def pq_search(
+    query: list[float],
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: (id, adc) ascending by approximate squared-L2
+    distance. One m x k distance table rides as a 1-row broadcast
+    map; each stored code folds m lookups — the corpus-side cost is
+    O(m) per row regardless of d."""
+    sub_dim = _check_params(dim, m, k)
+    if len(query) != dim:
+        raise ValueError(
+            f"query has {len(query)} dims, expected {dim}"
+        )
+    q = F.lit([float(x) for x in query])
+    dtab = codebooks.select(
+        (F.col("sub_id") * k + F.col("centroid_id")).alias("_key"),
+        l2_sq(
+            _sub(q, F.col("sub_id"), sub_dim), F.col("centroid_vec")
+        ).alias("_dist"),
+    ).agg(
+        F.map_from_arrays(
+            F.collect_list("_key"), F.collect_list("_dist")
+        ).alias("_dt")
+    )
+    scored = codes_df.join(F.broadcast(dtab)).select(
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("_dt"),
+                    j * k + F.element_at(F.col("codes"), j + 1),
+                ),
+            ),
+            6,
+        ).alias("adc"),
+    )
+    return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(
+        top_k
+    )
