@@ -77,7 +77,7 @@ PREV_ROUND_REF = {
     "pipeline_route_counts": 0.51,
     "pipeline_host_rollup_salted": 0.24,
     "pipeline_via_builder": 0.16,
-    "dedup_exact": 2.6,                  # r5: per-doc grain + bloom incremental stage (was 0.18 hash-grain)
+    "dedup_exact": 1.1,                  # r5: per-doc grain + bloom incremental stage (was 0.18 hash-grain); in-harness clean
     "events_sessionize": 0.46,
     "events_windowed": 0.36,
     "similarity_topk": 2.93,             # r5 merged: brute 1.23 + lsh_ann
@@ -98,7 +98,7 @@ PREV_ROUND_REF = {
                                          # (measured clean 5.85; was 3.55)
     "text_stats_langid": 1.40,           # text_stats + text_lang_id
     "text_pii_entities": 0.77,           # text_pii_scrub + text_extract_entities
-    "text_bm25_nll": 4.4,                # r5: + trained bigram-LM perplexity chain (was 1.70)
+    "text_bm25_nll": 2.7,                # r5: + trained bigram-LM perplexity chain (was 1.70); in-harness clean
     "text_repetition_fingerprint": 3.26, # text_repetition + rolling + join
     "text_gopher_decontaminate": 3.37,   # gopher_rules + decontaminate + join
     "dataset_split_pack": 1.53,          # dataset_split + dataset_pack + join

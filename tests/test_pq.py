@@ -11,9 +11,10 @@ from pyspark.sql import functions as F
 from vrl_spark.operators import pq
 
 DIM, M, K = 16, 4, 8
+CENTERS = 8
 
 
-def _planted(n=200, centers=8, seed=7):
+def _planted(n=200, centers=CENTERS, seed=7):
     rng = np.random.RandomState(seed)
     c = rng.randn(centers, DIM) * 3.0
     rows = []
@@ -71,7 +72,7 @@ def test_adc_recall_vs_exact(trained, corpus):
         # query's true planted cluster (same-cluster vectors share
         # codes, so within-cluster ADC ranks tie and id tie-breaks
         # bound exact-set overlap below 1.0 by construction)
-        assert all(g % 8 == qid % 8 for g in got), (qid, got)
+        assert all(g % CENTERS == qid % CENTERS for g in got), (qid, got)
         hits += len(set(exact) & set(got))
         total += 10
     assert hits / total >= 0.4, hits / total

@@ -375,10 +375,14 @@ def test_pq_encode_plan_is_map_only(spark):
     books = pq.pq_train(corpus, 16, m=4, k=4, iterations=1)
     plan = plan_of(pq.pq_encode(corpus, books, 16, m=4, k=4))
     assert "EvalPython" not in plan
-    # the only exchanges live on the tiny codebook side (the 1-row
-    # SinglePartition fold + its broadcast); a corpus-side shuffle
-    # would show as hash/range partitioning — there must be none
-    assert "Exchange hashpartitioning" not in plan
+    # the only exchanges live on the tiny codebook side: the
+    # groupBy(sub_id) index build (m*k rows), the 1-row fold, and its
+    # broadcast. Any hash shuffle must be on the codebook grain —
+    # a corpus-side shuffle would partition on vec_id/embedding.
+    import re
+
+    hash_cols = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c.startswith("sub_id") for c in hash_cols), hash_cols
     assert "Exchange rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 2
+    assert plan.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -54,26 +54,70 @@ def _sub(vec: Column, j: Column | int, sub_dim: int) -> Column:
 
 
 def _fold_codebooks(codebooks: DataFrame) -> DataFrame:
-    """1-row array-of-structs frame for broadcasting (ivf_assign's
-    folded-centroid shape)."""
-    return codebooks.agg(
-        F.collect_list(
-            F.struct(
-                F.col("sub_id").alias("sid"),
-                F.col("centroid_id").alias("cid"),
-                F.col("centroid_vec").alias("cvec"),
-            )
-        ).alias("_cb")
+    """1-row frame for broadcasting: `_cb` is an array INDEXED BY
+    sub_id (element j+1 = subspace j's array of (cid, cvec) structs),
+    so per-subspace lookups are O(1) element_at instead of filtering
+    the full m*k struct array once per subspace per row."""
+    return (
+        codebooks.groupBy("sub_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("cvec"),
+                )
+            ).alias("_arr")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "_arr"))),
+                lambda s: s["_arr"],
+            ).alias("_cb")
+        )
     )
+
+
+def _validate_codebooks(
+    codebooks: DataFrame, sub_dim: int, m: int, k: int
+) -> None:
+    """Driver-side shape check on the tiny codebook frame: a dim/m/k
+    mismatch against a trained codebook would otherwise flow NULL
+    distances (zip_with pads) into silently-garbage codes and a
+    NULLS-FIRST ranking."""
+    row = codebooks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sub_id").alias("subs"),
+        F.min("sub_id").alias("lo"),
+        F.max("sub_id").alias("hi"),
+        F.max("centroid_id").alias("maxc"),
+        F.min(F.size("centroid_vec")).alias("dmin"),
+        F.max(F.size("centroid_vec")).alias("dmax"),
+    ).collect()[0]
+    if row["n"] == 0:
+        raise ValueError("codebooks frame is empty")
+    if row["subs"] != m or row["lo"] != 0 or row["hi"] != m - 1:
+        raise ValueError(
+            f"codebooks cover sub_ids [{row['lo']}, {row['hi']}] "
+            f"({row['subs']} distinct), expected exactly 0..{m - 1}"
+        )
+    if row["dmin"] != sub_dim or row["dmax"] != sub_dim:
+        raise ValueError(
+            f"codebook centroid length {row['dmin']}..{row['dmax']} "
+            f"!= dim/m = {sub_dim} — trained with different (dim, m)?"
+        )
+    if row["maxc"] >= k:
+        raise ValueError(
+            f"codebooks hold centroid_id {row['maxc']} >= k ({k})"
+        )
 
 
 def _best_cid(subvec: Column, sub_id: Column | int) -> Column:
     """argmin centroid id for one subvector against the broadcast
-    `_cb` array (rounded distance, centroid-id tie-break)."""
+    indexed `_cb` array (rounded distance, centroid-id tie-break)."""
     sid = F.lit(sub_id) if isinstance(sub_id, int) else sub_id
     return F.array_min(
         F.transform(
-            F.filter(F.col("_cb"), lambda c: c["sid"] == sid),
+            F.element_at(F.col("_cb"), sid + 1),
             lambda c: F.struct(
                 F.round(l2_sq(subvec, c["cvec"]), 6).alias("d"),
                 c["cid"].alias("cid"),
@@ -144,6 +188,10 @@ def pq_train(
         .select("sub_id", "centroid_id", "centroid_vec")
         .localCheckpoint()
     )
+    # an empty corpus would silently yield an empty codebook and,
+    # downstream, all-NULL codes — fail loudly here instead
+    if not centroids.take(1):
+        raise ValueError("pq_train: corpus is empty")
     it, max_shift, converged = 0, None, False
     for it in range(1, iterations + 1):
         assigned = subs.join(
@@ -209,6 +257,7 @@ def pq_encode(
     broadcast and each row computes its m argmins in place; the
     corpus never expands or shuffles."""
     sub_dim = _check_params(dim, m, k)
+    _validate_codebooks(codebooks, sub_dim, m, k)
     return corpus.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
         F.transform(
@@ -227,6 +276,15 @@ def pq_decode(
     """(id, approx array<double>) — reconstruct each vector as the
     concatenation of its m codebook centroids (map-only gather; used
     for reconstruction-error audits)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    row = codebooks.agg(
+        F.countDistinct("sub_id").alias("subs")
+    ).collect()[0]
+    if row["subs"] != m:
+        raise ValueError(
+            f"codebooks cover {row['subs']} subspaces, expected {m}"
+        )
     return codes_df.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
         F.flatten(
@@ -234,12 +292,9 @@ def pq_decode(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.element_at(
                     F.filter(
-                        F.col("_cb"),
-                        lambda c: (c["sid"] == j)
-                        & (
-                            c["cid"]
-                            == F.element_at(F.col("codes"), j + 1)
-                        ),
+                        F.element_at(F.col("_cb"), j + 1),
+                        lambda c: c["cid"]
+                        == F.element_at(F.col("codes"), j + 1),
                     ),
                     1,
                 )["cvec"],
@@ -267,6 +322,7 @@ def pq_search(
         raise ValueError(
             f"query has {len(query)} dims, expected {dim}"
         )
+    _validate_codebooks(codebooks, sub_dim, m, k)
     q = F.lit([float(x) for x in query])
     dtab = codebooks.select(
         (F.col("sub_id") * k + F.col("centroid_id")).alias("_key"),
@@ -293,6 +349,8 @@ def pq_search(
             6,
         ).alias("adc"),
     )
-    return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(
-        top_k
-    )
+    # nulls_last as defense in depth: validation above should make a
+    # NULL adc impossible, but a NULL must never outrank a real match
+    return scored.orderBy(
+        F.col("adc").asc_nulls_last(), F.col(id_col).asc()
+    ).limit(top_k)
