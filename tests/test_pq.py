@@ -132,3 +132,39 @@ def test_decode_roundtrips_centroid_vectors(trained, spark):
     codes = pq.pq_encode(df, books, DIM, m=M, k=K)
     approx = pq.pq_decode(codes, books, M).collect()[0].approx
     assert np.allclose(np.array(approx), np.array(vec))
+
+
+def test_encode_raises_on_wrong_length_or_null_embedding(trained, spark):
+    books, _, _ = trained
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length"):
+        pq.pq_encode(bad, books, DIM, m=M, k=K).collect()
+    nul = spark.createDataFrame(
+        [(2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length"):
+        pq.pq_encode(nul, books, DIM, m=M, k=K).collect()
+
+
+def test_decode_raises_on_foreign_codes(trained, spark):
+    books, _, _ = trained
+    foreign = spark.createDataFrame(
+        [(1, [K + 5] * M)], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(Exception, match="no matching centroid"):
+        pq.pq_decode(foreign, books, M).collect()
+
+
+def test_validator_rejects_malformed_codebooks(trained, spark):
+    books, codes, _ = trained
+    gap = books.where("sub_id != 1")  # non-contiguous subspaces
+    with pytest.raises(ValueError, match="sub_ids"):
+        pq.pq_encode(spark.range(0), gap, DIM, m=M, k=K)
+    dup = books.unionAll(books.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        pq.pq_search([0.0] * DIM, codes, dup, DIM, m=M, k=K)
+    shifted = books.withColumn("sub_id", F.col("sub_id") + 1)
+    with pytest.raises(ValueError, match="sub_ids"):
+        pq.pq_decode(codes, shifted, M)

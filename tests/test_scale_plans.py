@@ -382,7 +382,7 @@ def test_pq_encode_plan_is_map_only(spark):
     import re
 
     hash_cols = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert all(c.startswith("sub_id") for c in hash_cols), hash_cols
+    assert all(c == "sub_id" for c in hash_cols), hash_cols
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -78,17 +78,25 @@ def _fold_codebooks(codebooks: DataFrame) -> DataFrame:
 
 
 def _validate_codebooks(
-    codebooks: DataFrame, sub_dim: int, m: int, k: int
+    codebooks: DataFrame,
+    m: int,
+    sub_dim: int | None = None,
+    k: int | None = None,
 ) -> None:
-    """Driver-side shape check on the tiny codebook frame: a dim/m/k
-    mismatch against a trained codebook would otherwise flow NULL
-    distances (zip_with pads) into silently-garbage codes and a
-    NULLS-FIRST ranking."""
+    """Driver-side shape check on the tiny codebook frame (one small
+    eager agg per call — pass validate=False in hot loops if the same
+    frame was already checked): a dim/m/k mismatch against a trained
+    codebook would otherwise flow NULL distances (zip_with pads) into
+    silently-garbage codes and a NULLS-FIRST ranking, and the
+    positional element_at indexing requires sub_ids to be exactly
+    0..m-1 with unique non-negative centroid ids."""
     row = codebooks.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("sub_id").alias("subs"),
+        F.countDistinct(F.struct("sub_id", "centroid_id")).alias("uniq"),
         F.min("sub_id").alias("lo"),
         F.max("sub_id").alias("hi"),
+        F.min("centroid_id").alias("minc"),
         F.max("centroid_id").alias("maxc"),
         F.min(F.size("centroid_vec")).alias("dmin"),
         F.max(F.size("centroid_vec")).alias("dmax"),
@@ -100,12 +108,23 @@ def _validate_codebooks(
             f"codebooks cover sub_ids [{row['lo']}, {row['hi']}] "
             f"({row['subs']} distinct), expected exactly 0..{m - 1}"
         )
-    if row["dmin"] != sub_dim or row["dmax"] != sub_dim:
+    if row["uniq"] != row["n"]:
+        raise ValueError(
+            f"codebooks hold {row['n'] - row['uniq']} duplicate "
+            "(sub_id, centroid_id) rows"
+        )
+    if row["minc"] < 0:
+        raise ValueError(
+            f"codebooks hold negative centroid_id {row['minc']}"
+        )
+    if sub_dim is not None and (
+        row["dmin"] != sub_dim or row["dmax"] != sub_dim
+    ):
         raise ValueError(
             f"codebook centroid length {row['dmin']}..{row['dmax']} "
             f"!= dim/m = {sub_dim} — trained with different (dim, m)?"
         )
-    if row["maxc"] >= k:
+    if k is not None and row["maxc"] >= k:
         raise ValueError(
             f"codebooks hold centroid_id {row['maxc']} >= k ({k})"
         )
@@ -252,18 +271,38 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>) — MAP-ONLY: the folded codebooks
     broadcast and each row computes its m argmins in place; the
-    corpus never expands or shuffles."""
+    corpus never expands or shuffles. Rows whose embedding length !=
+    dim raise in-plan (a short row would otherwise win every argmin
+    through NULL distances and encode as silent garbage)."""
     sub_dim = _check_params(dim, m, k)
-    _validate_codebooks(codebooks, sub_dim, m, k)
+    if validate:
+        _validate_codebooks(codebooks, m, sub_dim, k)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _best_cid(_sub(F.col(vec_col), j, sub_dim), j),
+    )
     return corpus.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: _best_cid(_sub(F.col(vec_col), j, sub_dim), j),
-        ).alias("codes"),
+        F.when(
+            # isNull spelled out: size(NULL) is NULL and a NULL
+            # comparison would silently take the otherwise branch
+            F.col(vec_col).isNull()
+            | (F.size(F.col(vec_col)) != dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: embedding length "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" != dim ({dim})"),
+                )
+            ),
+        ).otherwise(codes).alias("codes"),
     )
 
 
@@ -275,31 +314,52 @@ def pq_decode(
 ) -> DataFrame:
     """(id, approx array<double>) — reconstruct each vector as the
     concatenation of its m codebook centroids (map-only gather; used
-    for reconstruction-error audits)."""
+    for reconstruction-error audits). A code with no matching
+    centroid in its subspace (codes from a different codebook) raises
+    in-plan instead of flattening to a silent NULL that downstream
+    averages would skip."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    row = codebooks.agg(
-        F.countDistinct("sub_id").alias("subs")
-    ).collect()[0]
-    if row["subs"] != m:
-        raise ValueError(
-            f"codebooks cover {row['subs']} subspaces, expected {m}"
+    _validate_codebooks(codebooks, m)
+    # try_element_at: an unmatched code yields NULL (then the guard
+    # below raises with a clear message) instead of ANSI's opaque
+    # INVALID_ARRAY_INDEX from element_at on the empty filter result
+    approx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.try_element_at(
+                F.filter(
+                    F.element_at(F.col("_cb"), j + 1),
+                    lambda c: c["cid"]
+                    == F.element_at(F.col("codes"), j + 1),
+                ),
+                F.lit(1),
+            )["cvec"],
         )
+    )
+    from vrl_spark.functions.parse import bind
+
+    def _guard(a: Column) -> Column:
+        return (
+            F.when(
+                F.col("codes").isNull(),
+                F.lit(None).cast("array<double>"),
+            )
+            .when(
+                # flatten returns NULL when any per-subspace lookup
+                # missed
+                a.isNull(),
+                F.raise_error(
+                    "pq_decode: a code has no matching centroid in "
+                    "its subspace (codes from a different codebook?)"
+                ),
+            )
+            .otherwise(a)
+        )
+
     return codes_df.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda j: F.element_at(
-                    F.filter(
-                        F.element_at(F.col("_cb"), j + 1),
-                        lambda c: c["cid"]
-                        == F.element_at(F.col("codes"), j + 1),
-                    ),
-                    1,
-                )["cvec"],
-            )
-        ).alias("approx"),
+        bind(approx, _guard).alias("approx"),
     )
 
 
@@ -312,6 +372,7 @@ def pq_search(
     k: int = 16,
     top_k: int = 10,
     id_col: str = "vec_id",
+    validate: bool = True,
 ) -> DataFrame:
     """ADC top-k: (id, adc) ascending by approximate squared-L2
     distance. One m x k distance table rides as a 1-row broadcast
@@ -322,7 +383,8 @@ def pq_search(
         raise ValueError(
             f"query has {len(query)} dims, expected {dim}"
         )
-    _validate_codebooks(codebooks, sub_dim, m, k)
+    if validate:
+        _validate_codebooks(codebooks, m, sub_dim, k)
     q = F.lit([float(x) for x in query])
     dtab = codebooks.select(
         (F.col("sub_id") * k + F.col("centroid_id")).alias("_key"),
