@@ -139,12 +139,12 @@ def test_encode_raises_on_wrong_length_or_null_embedding(trained, spark):
     bad = spark.createDataFrame(
         [(1, [0.0] * 12)], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(Exception, match="embedding length"):
+    with pytest.raises(Exception, match="embedding NULL or length"):
         pq.pq_encode(bad, books, DIM, m=M, k=K).collect()
     nul = spark.createDataFrame(
         [(2, None)], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(Exception, match="embedding length"):
+    with pytest.raises(Exception, match="embedding NULL or length"):
         pq.pq_encode(nul, books, DIM, m=M, k=K).collect()
 
 
@@ -168,3 +168,42 @@ def test_validator_rejects_malformed_codebooks(trained, spark):
     shifted = books.withColumn("sub_id", F.col("sub_id") + 1)
     with pytest.raises(ValueError, match="sub_ids"):
         pq.pq_decode(codes, shifted, M)
+
+
+def test_search_and_decode_raise_on_bad_code_rows(trained, spark):
+    books, _, _ = trained
+    for codes_val, schema in [
+        ([K + 5] * M, "vec_id long, codes array<int>"),   # foreign
+        ([0, 1], "vec_id long, codes array<int>"),        # short
+        (None, "vec_id long, codes array<int>"),          # NULL row
+    ]:
+        bad = spark.createDataFrame([(1, codes_val)], schema)
+        with pytest.raises(Exception, match="pq_search"):
+            pq.pq_search(
+                [0.0] * DIM, bad, books, DIM, m=M, k=K
+            ).collect()
+        with pytest.raises(Exception, match="pq_decode"):
+            pq.pq_decode(bad, books, M).collect()
+
+
+def test_encode_raises_on_null_element(trained, spark):
+    books, _, _ = trained
+    bad = spark.createDataFrame(
+        [(1, [0.0] * (DIM - 1) + [None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="embedding NULL or length"):
+        pq.pq_encode(bad, books, DIM, m=M, k=K).collect()
+
+
+def test_validator_rejects_null_centroid_id(trained, spark):
+    books, _, _ = trained
+    nulled = books.withColumn(
+        "centroid_id",
+        F.when(
+            (F.col("sub_id") == 0) & (F.col("centroid_id") == 0),
+            F.lit(None),
+        ).otherwise(F.col("centroid_id")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pq.pq_encode(spark.range(0), nulled, DIM, m=M, k=K)

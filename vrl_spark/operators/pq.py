@@ -100,9 +100,21 @@ def _validate_codebooks(
         F.max("centroid_id").alias("maxc"),
         F.min(F.size("centroid_vec")).alias("dmin"),
         F.max(F.size("centroid_vec")).alias("dmax"),
+        F.sum(
+            (
+                F.col("sub_id").isNull()
+                | F.col("centroid_id").isNull()
+                | F.col("centroid_vec").isNull()
+            ).cast("int")
+        ).alias("nulls"),
     ).collect()[0]
     if row["n"] == 0:
         raise ValueError("codebooks frame is empty")
+    if row["nulls"]:
+        raise ValueError(
+            f"codebooks hold {row['nulls']} NULL "
+            "sub_id/centroid_id/centroid_vec values"
+        )
     if row["subs"] != m or row["lo"] != 0 or row["hi"] != m - 1:
         raise ValueError(
             f"codebooks cover sub_ids [{row['lo']}, {row['hi']}] "
@@ -289,12 +301,15 @@ def pq_encode(
         F.col(id_col),
         F.when(
             # isNull spelled out: size(NULL) is NULL and a NULL
-            # comparison would silently take the otherwise branch
+            # comparison would silently take the otherwise branch;
+            # a NULL ELEMENT inside a correct-length array would
+            # likewise win every argmin through a NULL distance
             F.col(vec_col).isNull()
-            | (F.size(F.col(vec_col)) != dim),
+            | (F.size(F.col(vec_col)) != dim)
+            | F.exists(F.col(vec_col), lambda x: x.isNull()),
             F.raise_error(
                 F.concat(
-                    F.lit("pq_encode: embedding length "),
+                    F.lit("pq_encode: embedding NULL or length "),
                     F.coalesce(
                         F.size(F.col(vec_col)).cast("string"),
                         F.lit("NULL"),
@@ -311,6 +326,7 @@ def pq_decode(
     codebooks: DataFrame,
     m: int,
     id_col: str = "vec_id",
+    validate: bool = True,
 ) -> DataFrame:
     """(id, approx array<double>) — reconstruct each vector as the
     concatenation of its m codebook centroids (map-only gather; used
@@ -320,7 +336,8 @@ def pq_decode(
     averages would skip."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    _validate_codebooks(codebooks, m)
+    if validate:
+        _validate_codebooks(codebooks, m)
     # try_element_at: an unmatched code yields NULL (then the guard
     # below raises with a clear message) instead of ANSI's opaque
     # INVALID_ARRAY_INDEX from element_at on the empty filter result
@@ -330,8 +347,11 @@ def pq_decode(
             lambda j: F.try_element_at(
                 F.filter(
                     F.element_at(F.col("_cb"), j + 1),
+                    # try_element_at: a codes array shorter than m
+                    # compares NULL (empty filter -> guard's clear
+                    # message) instead of ANSI's opaque OOB error
                     lambda c: c["cid"]
-                    == F.element_at(F.col("codes"), j + 1),
+                    == F.try_element_at(F.col("codes"), j + 1),
                 ),
                 F.lit(1),
             )["cvec"],
@@ -340,22 +360,17 @@ def pq_decode(
     from vrl_spark.functions.parse import bind
 
     def _guard(a: Column) -> Column:
-        return (
-            F.when(
-                F.col("codes").isNull(),
-                F.lit(None).cast("array<double>"),
-            )
-            .when(
-                # flatten returns NULL when any per-subspace lookup
-                # missed
-                a.isNull(),
-                F.raise_error(
-                    "pq_decode: a code has no matching centroid in "
-                    "its subspace (codes from a different codebook?)"
-                ),
-            )
-            .otherwise(a)
-        )
+        # flatten returns NULL when any per-subspace lookup missed
+        # (NULL/short/foreign codes included) — raise, never emit a
+        # silent NULL a downstream average would skip
+        return F.when(
+            a.isNull(),
+            F.raise_error(
+                "pq_decode: codes row is NULL, shorter than m, or "
+                "has no matching centroid in a subspace (codes from "
+                "a different codebook?)"
+            ),
+        ).otherwise(a)
 
     return codes_df.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
@@ -396,23 +411,36 @@ def pq_search(
             F.collect_list("_key"), F.collect_list("_dist")
         ).alias("_dt")
     )
-    scored = codes_df.join(F.broadcast(dtab)).select(
-        F.col(id_col),
-        F.round(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.col("_dt"),
-                    j * k + F.element_at(F.col("codes"), j + 1),
-                ),
-            ),
-            6,
-        ).alias("adc"),
+    from vrl_spark.functions.parse import bind
+
+    # try_element_at on codes: a short/NULL codes row folds to a NULL
+    # sum instead of ANSI's opaque OOB; a foreign code misses the map
+    # the same way. Either MUST raise, not rank — a silent NULL row
+    # in a top-k is exactly the garbage-result class this module
+    # refuses elsewhere.
+    adc_raw = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_dt"),
+            j * k + F.try_element_at(F.col("codes"), j + 1),
+        ),
     )
-    # nulls_last as defense in depth: validation above should make a
-    # NULL adc impossible, but a NULL must never outrank a real match
+
+    def _guard(a: Column) -> Column:
+        return F.when(
+            a.isNull(),
+            F.raise_error(
+                "pq_search: codes row is NULL, shorter than m, or "
+                "references a centroid outside the codebook (wrong "
+                "m/k or foreign codebook?)"
+            ),
+        ).otherwise(F.round(a, 6))
+
+    scored = codes_df.join(F.broadcast(dtab)).select(
+        F.col(id_col), bind(adc_raw, _guard).alias("adc")
+    )
     return scored.orderBy(
-        F.col("adc").asc_nulls_last(), F.col(id_col).asc()
+        F.col("adc").asc(), F.col(id_col).asc()
     ).limit(top_k)
