@@ -207,3 +207,63 @@ def test_validator_rejects_null_centroid_id(trained, spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         pq.pq_encode(spark.range(0), nulled, DIM, m=M, k=K)
+
+
+def test_ivf_pq_degenerates_to_full_pq_search(trained, corpus, spark):
+    """nprobe == n_lists must return exactly pq_search over the full
+    corpus; nprobe=1 returns hits from the probed list only."""
+    from vrl_spark.operators import similarity
+
+    books, codes, _ = trained
+    n_lists = 4
+    cents = similarity.ivf_centroids(corpus, n_lists).localCheckpoint()
+    assigns = similarity.ivf_assign(corpus, cents).select(
+        "vec_id", "list_id"
+    ).localCheckpoint()
+    q = [0.5] * DIM
+    full = [
+        (r.vec_id, r.adc)
+        for r in pq.pq_search(q, codes, books, DIM, m=M, k=K, top_k=10)
+        .collect()
+    ]
+    comp = [
+        (r.vec_id, r.adc)
+        for r in pq.ivf_pq_search(
+            q, codes, books, assigns, cents, DIM,
+            m=M, k=K, nprobe=n_lists, top_k=10,
+        ).collect()
+    ]
+    assert comp == full
+
+    one = pq.ivf_pq_search(
+        q, codes, books, assigns, cents, DIM, m=M, k=K, nprobe=1,
+        top_k=10,
+    ).collect()
+    # replicate the probe: nearest centroid to q by rounded L2, then
+    # smallest id — every hit must belong to THAT list
+    cl = cents.collect()
+    best_list = min(
+        cl,
+        key=lambda r: (
+            round(
+                sum(
+                    (float(a) - b) ** 2
+                    for a, b in zip(r.centroid_vec, q)
+                ),
+                6,
+            ),
+            r.centroid_id,
+        ),
+    ).centroid_id
+    members = {
+        r.vec_id for r in assigns.collect() if r.list_id == best_list
+    }
+    got_ids = {r.vec_id for r in one}
+    assert got_ids and got_ids <= members
+    assert len(one) <= 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq.ivf_pq_search(
+            q, codes, books, assigns, cents, DIM, m=M, k=K, nprobe=0
+        )

@@ -444,3 +444,64 @@ def pq_search(
     return scored.orderBy(
         F.col("adc").asc(), F.col(id_col).asc()
     ).limit(top_k)
+
+
+def ivf_pq_search(
+    query: list[float],
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ composition (the FAISS IVFPQ shape): probe the
+    ``nprobe`` coarse lists nearest the query (by squared L2 against
+    the tiny ``centroids`` frame — consistent with ADC's metric),
+    restrict the code table to those lists' members via
+    ``assignments`` (id, list_id — from similarity.ivf_assign), and
+    ADC-score ONLY the candidates.
+
+    Metric note: similarity.ivf_assign buckets by COSINE argmax while
+    this probe (and ADC) use squared L2 — the two agree exactly when
+    vectors and centroids are unit-normalized (spherical k-means /
+    clustering.l2_normalize), which is how the index should be built;
+    on unnormalized data a vector can sit in a list the L2 probe
+    skips.
+
+    Scale shape: the probed list ids are a <=nprobe-row broadcast;
+    with the corpus codes stored bucketed/partitioned by list_id the
+    candidate restriction is a partition-pruned scan, so a query
+    touches nprobe/n_lists of the codes — and each surviving row
+    costs O(m) lookups. With nprobe = n_lists the result is exactly
+    pq_search over the full corpus (degeneration test pins this).
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    sub_dim = _check_params(dim, m, k)
+    if len(query) != dim:
+        raise ValueError(f"query has {len(query)} dims, expected {dim}")
+    _validate_codebooks(codebooks, m, sub_dim, k)
+    q = F.lit([float(x) for x in query])
+    probed = (
+        centroids.select(
+            F.col("centroid_id").alias("list_id"),
+            F.round(l2_sq(q, F.col("centroid_vec")), 6).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("list_id").asc())
+        .limit(nprobe)
+        .select("list_id")
+    )
+    candidates = codes_df.join(
+        assignments.join(F.broadcast(probed), "list_id").select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return pq_search(
+        query, candidates, codebooks, dim, m=m, k=k, top_k=top_k,
+        id_col=id_col, validate=False,
+    )
