@@ -261,9 +261,35 @@ def test_ivf_pq_degenerates_to_full_pq_search(trained, corpus, spark):
     got_ids = {r.vec_id for r in one}
     assert got_ids and got_ids <= members
     assert len(one) <= 10
-    import pytest
-
     with pytest.raises(ValueError):
         pq.ivf_pq_search(
             q, codes, books, assigns, cents, DIM, m=M, k=K, nprobe=0
         )
+
+
+def test_ivf_pq_validates_centroids(trained, corpus, spark):
+    books, codes, _ = trained
+    assigns = spark.createDataFrame([(0, 0)], ["vec_id", "list_id"])
+    q = [0.0] * DIM
+    empty = spark.createDataFrame(
+        [], "centroid_id int, centroid_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq.ivf_pq_search(q, codes, books, assigns, empty, DIM, m=M, k=K)
+    short = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [100.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="wrong-dim"):
+        pq.ivf_pq_search(q, codes, books, assigns, short, DIM, m=M, k=K)
+
+
+def test_search_raises_on_colliding_foreign_code(trained, spark):
+    """A code foreign only in a NON-final subspace used to collide
+    with another subspace's flattened map key and silently score."""
+    books, _, _ = trained
+    bad = spark.createDataFrame(
+        [(1, [K + 5] + [0] * (M - 1))], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(Exception, match="pq_search"):
+        pq.pq_search([0.0] * DIM, bad, books, DIM, m=M, k=K).collect()

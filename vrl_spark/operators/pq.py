@@ -105,6 +105,11 @@ def _validate_codebooks(
                 F.col("sub_id").isNull()
                 | F.col("centroid_id").isNull()
                 | F.col("centroid_vec").isNull()
+                # a NULL ELEMENT inside a centroid wins argmins via
+                # NULL distances and desyncs the ADC map arrays
+                | F.exists(
+                    F.col("centroid_vec"), lambda x: x.isNull()
+                )
             ).cast("int")
         ).alias("nulls"),
     ).collect()[0]
@@ -411,35 +416,61 @@ def pq_search(
             F.collect_list("_key"), F.collect_list("_dist")
         ).alias("_dt")
     )
+    # Per-element range check FIRST: the flattened j*k+code map key
+    # means an out-of-range code in a NON-final subspace collides
+    # with another subspace's legitimate key and would silently score
+    # a wrong-subspace distance (only the last subspace's overflow
+    # falls off the map). NULL/short/foreign codes all raise here.
+    bad_codes = (
+        F.col("codes").isNull()
+        | (F.size(F.col("codes")) != m)
+        | F.exists(
+            F.col("codes"),
+            lambda c: c.isNull() | (c < 0) | (c >= k),
+        )
+    )
+    # try_element_at: the fold is computed BEFORE the guard below
+    # (bind evaluates its subject first), so a short codes row must
+    # fold to NULL here rather than die in ANSI's opaque OOB — the
+    # bad_codes guard then raises the clear message
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("_dt"),
+                j * k + F.try_element_at(F.col("codes"), j + 1),
+            ),
+        ),
+        6,
+    )
     from vrl_spark.functions.parse import bind
 
-    # try_element_at on codes: a short/NULL codes row folds to a NULL
-    # sum instead of ANSI's opaque OOB; a foreign code misses the map
-    # the same way. Either MUST raise, not rank — a silent NULL row
-    # in a top-k is exactly the garbage-result class this module
-    # refuses elsewhere.
-    adc_raw = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.col("_dt"),
-            j * k + F.try_element_at(F.col("codes"), j + 1),
-        ),
-    )
-
     def _guard(a: Column) -> Column:
-        return F.when(
-            a.isNull(),
-            F.raise_error(
-                "pq_search: codes row is NULL, shorter than m, or "
-                "references a centroid outside the codebook (wrong "
-                "m/k or foreign codebook?)"
-            ),
-        ).otherwise(F.round(a, 6))
+        return (
+            F.when(
+                bad_codes,
+                F.raise_error(
+                    "pq_search: codes row is NULL, wrong length, or "
+                    "references a centroid outside [0, k) (wrong m/k "
+                    "or foreign codebook?)"
+                ),
+            )
+            .when(
+                # in-range code whose subspace trained fewer than k
+                # centroids: the map key is legitimately absent
+                a.isNull(),
+                F.raise_error(
+                    "pq_search: a code has no centroid in its "
+                    "subspace's codebook"
+                ),
+            )
+            .otherwise(a)
+        )
 
     scored = codes_df.join(F.broadcast(dtab)).select(
-        F.col(id_col), bind(adc_raw, _guard).alias("adc")
+        F.col(id_col), bind(adc, _guard).alias("adc")
     )
     return scored.orderBy(
         F.col("adc").asc(), F.col(id_col).asc()
@@ -478,7 +509,12 @@ def ivf_pq_search(
     candidate restriction is a partition-pruned scan, so a query
     touches nprobe/n_lists of the codes — and each surviving row
     costs O(m) lookups. With nprobe = n_lists the result is exactly
-    pq_search over the full corpus (degeneration test pins this).
+    pq_search over the full corpus (degeneration test pins this),
+    PROVIDED assignments cover every id in codes_df: build both from
+    the same snapshot — an id missing from assignments is
+    unsearchable at ANY nprobe (the semi-join drops it silently; at
+    scale, audit coverage once per index build with an anti-join
+    count, not per query).
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -486,13 +522,38 @@ def ivf_pq_search(
     if len(query) != dim:
         raise ValueError(f"query has {len(query)} dims, expected {dim}")
     _validate_codebooks(codebooks, m, sub_dim, k)
+    # validate the (tiny) coarse-centroid frame too: a NULL or
+    # wrong-dim centroid_vec yields a NULL probe distance, which
+    # would sort FIRST and silently win the probe over the true
+    # nearest list; an empty frame would return silently-empty hits
+    crow = centroids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("centroid_id").isNull()
+                | F.col("centroid_vec").isNull()
+                | (F.size("centroid_vec") != dim)
+                | F.exists(F.col("centroid_vec"), lambda x: x.isNull())
+            ).cast("int")
+        ).alias("bad"),
+        F.countDistinct("centroid_id").alias("uniq"),
+    ).collect()[0]
+    if crow["n"] == 0:
+        raise ValueError("centroids frame is empty")
+    if crow["bad"]:
+        raise ValueError(
+            f"centroids hold {crow['bad']} NULL/wrong-dim rows "
+            f"(expected every centroid_vec length == {dim})"
+        )
+    if crow["uniq"] != crow["n"]:
+        raise ValueError("centroids hold duplicate centroid_id rows")
     q = F.lit([float(x) for x in query])
     probed = (
         centroids.select(
             F.col("centroid_id").alias("list_id"),
             F.round(l2_sq(q, F.col("centroid_vec")), 6).alias("_d"),
         )
-        .orderBy(F.col("_d").asc(), F.col("list_id").asc())
+        .orderBy(F.col("_d").asc_nulls_last(), F.col("list_id").asc())
         .limit(nprobe)
         .select("list_id")
     )
