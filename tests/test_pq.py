@@ -293,3 +293,27 @@ def test_search_raises_on_colliding_foreign_code(trained, spark):
     )
     with pytest.raises(Exception, match="pq_search"):
         pq.pq_search([0.0] * DIM, bad, books, DIM, m=M, k=K).collect()
+
+
+def test_partial_codebook_absent_centroid_raises(spark):
+    """Corpus smaller than k -> partial codebooks pass validation;
+    an in-range code pointing at an untrained centroid must raise the
+    absent-centroid message (not fold to a silent NULL); a foreign
+    code in the LAST subspace takes the falls-off-the-map path and
+    must raise too."""
+    small = spark.createDataFrame(
+        [(i, [float(i)] * DIM) for i in range(3)],
+        ["vec_id", "embedding"],
+    )
+    books = pq.pq_train(small, DIM, m=M, k=K, iterations=1)
+    q = [0.0] * DIM
+    absent = spark.createDataFrame(
+        [(1, [K - 1] * M)], "vec_id long, codes array<int>"
+    )  # in [0, k) but only 3 centroids trained
+    with pytest.raises(Exception, match="no centroid in its"):
+        pq.pq_search(q, absent, books, DIM, m=M, k=K).collect()
+    last_foreign = spark.createDataFrame(
+        [(1, [0] * (M - 1) + [K + 5])], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(Exception, match="pq_search"):
+        pq.pq_search(q, last_foreign, books, DIM, m=M, k=K).collect()

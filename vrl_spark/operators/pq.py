@@ -489,6 +489,7 @@ def ivf_pq_search(
     nprobe: int = 2,
     top_k: int = 10,
     id_col: str = "vec_id",
+    validate: bool = True,
 ) -> DataFrame:
     """IVF + PQ composition (the FAISS IVFPQ shape): probe the
     ``nprobe`` coarse lists nearest the query (by squared L2 against
@@ -521,32 +522,37 @@ def ivf_pq_search(
     sub_dim = _check_params(dim, m, k)
     if len(query) != dim:
         raise ValueError(f"query has {len(query)} dims, expected {dim}")
-    _validate_codebooks(codebooks, m, sub_dim, k)
-    # validate the (tiny) coarse-centroid frame too: a NULL or
-    # wrong-dim centroid_vec yields a NULL probe distance, which
-    # would sort FIRST and silently win the probe over the true
-    # nearest list; an empty frame would return silently-empty hits
-    crow = centroids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (
-                F.col("centroid_id").isNull()
-                | F.col("centroid_vec").isNull()
-                | (F.size("centroid_vec") != dim)
-                | F.exists(F.col("centroid_vec"), lambda x: x.isNull())
-            ).cast("int")
-        ).alias("bad"),
-        F.countDistinct("centroid_id").alias("uniq"),
-    ).collect()[0]
-    if crow["n"] == 0:
-        raise ValueError("centroids frame is empty")
-    if crow["bad"]:
-        raise ValueError(
-            f"centroids hold {crow['bad']} NULL/wrong-dim rows "
-            f"(expected every centroid_vec length == {dim})"
-        )
-    if crow["uniq"] != crow["n"]:
-        raise ValueError("centroids hold duplicate centroid_id rows")
+    if validate:
+        _validate_codebooks(codebooks, m, sub_dim, k)
+        # validate the (tiny) coarse-centroid frame too: a NULL or
+        # wrong-dim centroid_vec yields a NULL probe distance, which
+        # would sort FIRST and silently win the probe over the true
+        # nearest list; an empty frame returns silently-empty hits
+        crow = centroids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("centroid_id").isNull()
+                    | F.col("centroid_vec").isNull()
+                    | (F.size("centroid_vec") != dim)
+                    | F.exists(
+                        F.col("centroid_vec"), lambda x: x.isNull()
+                    )
+                ).cast("int")
+            ).alias("bad"),
+            F.countDistinct("centroid_id").alias("uniq"),
+        ).collect()[0]
+        if crow["n"] == 0:
+            raise ValueError("centroids frame is empty")
+        if crow["bad"]:
+            raise ValueError(
+                f"centroids hold {crow['bad']} NULL/wrong-dim rows "
+                f"(expected every centroid_vec length == {dim})"
+            )
+        if crow["uniq"] != crow["n"]:
+            raise ValueError(
+                "centroids hold duplicate centroid_id rows"
+            )
     q = F.lit([float(x) for x in query])
     probed = (
         centroids.select(
