@@ -139,3 +139,58 @@ def test_is_nullish_unicode_whitespace_and_strict_parse(spark):
     assert row["thin_space"] is True
     assert row["padded_bool"] is None
     assert row["padded_float"] is None
+
+
+def test_to_regex_plan_time_vectors(spark):
+    """Reference test_function! vectors (src/stdlib/to_regex.rs:98-113):
+    a valid pattern round-trips; '(+)' errors with the reference's
+    'could not create regex' prefix — surfaced at PLAN time per the
+    regexes-are-plan-time-constants doctrine."""
+    import pytest
+
+    assert coerce.to_regex("^test[A-Za-z_]+$") == "^test[A-Za-z_]+$"
+    with pytest.raises(ValueError, match="could not create regex"):
+        coerce.to_regex("(+)")
+    # the validated pattern feeds the native JVM match path
+    row = spark.range(1).select(
+        F.lit("testWord").rlike(coerce.to_regex("^test[A-Za-z_]+$")).alias("m")
+    ).collect()[0]
+    assert row["m"] is True
+
+
+def test_to_regex_dynamic_and_rlike_dynamic(spark):
+    """Dynamic lane: per-row pattern columns, fallibility-as-data —
+    invalid patterns become error values (reference semantics), never
+    job failures (Spark's rlike(col, col) would throw)."""
+    df = spark.createDataFrame(
+        [
+            (1, "testWord", "^test[A-Za-z_]+$"),   # valid, matches
+            (2, "other", "^test[A-Za-z_]+$"),      # valid, no match
+            (3, "anything", "(+)"),                 # invalid pattern
+            (4, None, "^a"),                        # NULL value
+            (5, "x", None),                         # NULL pattern
+        ],
+        "id long, val string, pat string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            coerce.to_regex_dynamic(F.col("pat")).alias("rx"),
+            coerce.rlike_dynamic(F.col("val"), F.col("pat")).alias("m"),
+        ).collect()
+    }
+    assert out[1]["rx"]["regex"] == "^test[A-Za-z_]+$"
+    assert out[1]["rx"]["error"] is None
+    assert out[1]["m"]["matched"] is True
+    assert out[2]["m"]["matched"] is False
+    # invalid: error populated on both lanes, match NULL
+    assert out[3]["rx"]["regex"] is None
+    assert "could not create regex" in out[3]["rx"]["error"]
+    assert out[3]["m"]["matched"] is None
+    assert "could not create regex" in out[3]["m"]["error"]
+    # NULL value with a valid pattern: no match, no error
+    assert out[4]["m"]["matched"] is None and out[4]["m"]["error"] is None
+    # NULL pattern is an error, matching the null-coercion family
+    assert "pattern is null" in out[5]["rx"]["error"]
+    assert "pattern is null" in out[5]["m"]["error"]

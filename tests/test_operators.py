@@ -1425,3 +1425,73 @@ def test_curate_corpus_validates_lm_bucket(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="lm_drop_bucket"):
         curate_corpus(df, lm_drop_bucket="Tail")
+
+
+def test_curate_corpus_classifier_gate(spark):
+    """Trained quality-model gate (VERDICT r5 item 3): planted-
+    separable corpus — the gate drops exactly the classifier-scored
+    negative docs, fate 'quality_model' in attribution mode, and the
+    pre-trained-weights path agrees with in-call training."""
+    import pytest
+
+    from vrl_spark.operators import classifier
+    from vrl_spark.operators.curation import curate_corpus, curation_report
+
+    def text(i, good):
+        uniq = " ".join(f"d{i}w{j}" for j in range(10))
+        plant = ("wellwritten cited thorough" if good
+                 else "clickbait casino spammy")
+        return f"{uniq} {plant}"
+
+    # corpus: even ids positive, odd negative — every doc otherwise
+    # passes bounds/repetition/dedup (unique filler words per doc)
+    docs = spark.createDataFrame(
+        [(i, text(i, i % 2 == 0)) for i in range(12)],
+        ["doc_id", "text"],
+    )
+    # labeled seed set DISJOINT from the corpus (held-out scoring)
+    labeled = spark.createDataFrame(
+        [(100 + i, text(100 + i, i % 2 == 0), 1 if i % 2 == 0 else 0)
+         for i in range(20)],
+        "doc_id long, text string, label int",
+    )
+    ckw = dict(num_buckets=256, epochs=10, lr=8.0)
+    base = dict(min_tokens=3, max_tokens=100, max_top2gram_frac=0.25,
+                minhash_kwargs=dict(num_hashes=8, bands=4, shingle_n=2))
+
+    kept = {r["doc_id"] for r in curate_corpus(
+        docs, classifier_labeled=labeled, classifier_kwargs=ckw, **base
+    ).collect()}
+    assert kept == {i for i in range(12) if i % 2 == 0}
+
+    # control: gate off -> everything survives
+    assert curate_corpus(docs, **base).count() == 12
+
+    # pre-trained weights path: identical keeps
+    feats = classifier.featurize(labeled, label_col="label",
+                                 num_buckets=256)
+    weights = classifier.train_logistic(feats, num_buckets=256,
+                                        epochs=10, lr=8.0)
+    kept_w = {r["doc_id"] for r in curate_corpus(
+        docs, classifier_weights=weights,
+        classifier_kwargs=dict(num_buckets=256), **base
+    ).collect()}
+    assert kept_w == kept
+
+    # attribution mode: negatives get the 'quality_model' fate; the
+    # report shows the stage delta
+    fates_df = curate_corpus(
+        docs, classifier_labeled=labeled, classifier_kwargs=ckw,
+        with_fates=True, **base
+    )
+    fates = {r["doc_id"]: r["fate"] for r in fates_df.collect()}
+    assert fates == {i: ("kept" if i % 2 == 0 else "quality_model")
+                     for i in range(12)}
+    rep = {r["fate"]: r for r in curation_report(fates_df).collect()}
+    assert rep["quality_model"]["n_docs"] == 6
+    assert rep["kept"]["n_docs"] == 6
+
+    # exclusivity: labeled XOR weights
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(docs, classifier_labeled=labeled,
+                      classifier_weights=weights)

@@ -317,3 +317,25 @@ def test_partial_codebook_absent_centroid_raises(spark):
     )
     with pytest.raises(Exception, match="pq_search"):
         pq.pq_search(q, last_foreign, books, DIM, m=M, k=K).collect()
+
+
+def test_train_raises_on_bad_training_vectors(corpus, spark):
+    """pq_train applies the same in-plan guard as pq_encode: a NULL,
+    short, or NULL-element training vector raises instead of silently
+    winning argmins through NULL distances (ADVICE r5)."""
+    bad = corpus.union(spark.createDataFrame(
+        [(9001, [0.0] * (DIM - 4))], "vec_id long, embedding array<double>"
+    ))
+    with pytest.raises(Exception, match="pq_train: embedding NULL or length"):
+        pq.pq_train(bad, DIM, m=M, k=K, iterations=1)
+    nul_el = corpus.union(spark.createDataFrame(
+        [(9002, [0.0] * (DIM - 1) + [None])],
+        "vec_id long, embedding array<double>",
+    ))
+    with pytest.raises(Exception, match="pq_train: embedding NULL or length"):
+        pq.pq_train(nul_el, DIM, m=M, k=K, iterations=1)
+    # validate=False is the documented escape hatch for pre-screened
+    # corpora: the clean rows still train
+    books = pq.pq_train(corpus, DIM, m=M, k=K, iterations=1,
+                        validate=False)
+    assert books.count() == M * K

@@ -22,6 +22,8 @@ rows never throw (fallibility-as-data, SURVEY §2.1).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves annotations
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -173,3 +175,111 @@ def is_empty(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.ArrayType, T.MapType)):
         return F.size(col) == 0
     raise TypeError(f"is_empty: unsupported type {dtype}")
+
+
+def to_regex(pattern: str) -> str:
+    """VRL ``to_regex`` (reference src/stdlib/to_regex.rs:4-10,
+    registered src/stdlib/mod.rs:435), plan-time lane.
+
+    The engine's doctrine (SURVEY §1.1) keeps regexes PLAN-TIME
+    CONSTANTS — compiled once here, matched JVM-side by rlike /
+    regexp_extract — so the runtime coercion collapses to validation:
+    an invalid pattern raises ``ValueError("could not create regex:
+    ...")`` at plan build (the reference returns the same message as
+    an error value; with a literal argument that error is knowable
+    before any row flows). Returns the pattern unchanged for
+    composition into the parse/match builders.
+
+    Validation uses Python ``re`` — the shared Java/RE2/Python syntax
+    subset the repo standardizes on (``operators/pii.py`` doctrine);
+    patterns outside the subset are rejected by the JVM at run time
+    instead, which is the same fail-loudly outcome one stage later.
+    The reference's own notice applies: compiling regexes per event is
+    expensive — that is what :func:`to_regex_dynamic` is for, and why
+    it is the slow lane."""
+    import re
+
+    try:
+        re.compile(pattern)
+    except re.error as err:
+        raise ValueError(f"could not create regex: {err}") from None
+    return pattern
+
+
+def to_regex_dynamic(pattern: Column) -> Column:
+    """Dynamic-lane ``to_regex``: per-row pattern validation for a
+    pattern COLUMN, fallibility-as-data (struct<regex, error> — the
+    repo's error-column convention; exactly one side is non-NULL).
+
+    Arrow-batched with per-batch memoization of distinct patterns
+    (dynamic regex compilation is the reference's documented
+    throughput hazard — to_regex.rs's compile() warns on every use;
+    here the cost is one compile per DISTINCT pattern per batch).
+    Pair with :func:`rlike_dynamic` for matching, or pass validated
+    patterns to ``F.rlike(value, pattern)`` for the JVM path when the
+    producer is trusted."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<regex: string, error: string>")
+    def _v(s: pd.Series) -> pd.DataFrame:
+        cache: dict[str, str | None] = {}
+
+        def one(p):
+            if p is None:
+                return (None, "could not create regex: pattern is null")
+            if p not in cache:
+                try:
+                    re.compile(p)
+                    cache[p] = None
+                except re.error as err:
+                    cache[p] = f"could not create regex: {err}"
+            e = cache[p]
+            return (None, e) if e is not None else (p, None)
+
+        out = [one(p) for p in s]
+        return pd.DataFrame(out, columns=["regex", "error"])
+
+    return _v(pattern)
+
+
+def rlike_dynamic(value: Column, pattern: Column) -> Column:
+    """``value =~ to_regex(pattern_col)``: match against a PER-ROW
+    pattern with the reference's error semantics — returns
+    struct<matched boolean, error string> where an invalid pattern
+    yields (NULL, message) instead of failing the job (Spark's own
+    ``rlike(col, col)`` throws on the first bad pattern).
+
+    Un-anchored substring search (``re.search``), matching Spark
+    rlike / Rust ``Regex::is_match`` semantics. Arrow-batched, one
+    compile per distinct pattern per batch — the documented slow lane;
+    plan-time patterns should use :func:`to_regex` + native rlike."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<matched: boolean, error: string>")
+    def _m(v: pd.Series, p: pd.Series) -> pd.DataFrame:
+        cache: dict[str, object] = {}
+
+        def one(val, pat):
+            if pat is None:
+                return (None, "could not create regex: pattern is null")
+            got = cache.get(pat, False)
+            if got is False:
+                try:
+                    got = re.compile(pat)
+                except re.error as err:
+                    got = f"could not create regex: {err}"
+                cache[pat] = got
+            if isinstance(got, str):
+                return (None, got)
+            if val is None:
+                return (None, None)
+            return (got.search(val) is not None, None)
+
+        out = [one(val, pat) for val, pat in zip(v, p)]
+        return pd.DataFrame(out, columns=["matched", "error"])
+
+    return _m(value, pattern)

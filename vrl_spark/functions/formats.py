@@ -372,6 +372,13 @@ def encode_zstd(
     if engine not in ("python", "jvm"):
         raise ValueError(f"unknown zstd engine {engine!r}")
     info = _jvm_gateway_info() if engine == "jvm" else None
+    # compression_level=0 means "engine default" on BOTH lanes (libzstd
+    # convention; ZSTD_CLEVEL_DEFAULT = 3, the reference's default too).
+    # Map it explicitly — a truthiness `or` here once made an explicit
+    # level-0 request silently diverge between lanes. Negative/positive
+    # levels pass through to the jvm lane; the python lane has one
+    # strategy and accepts the level for API parity only.
+    jvm_level = 3 if compression_level == 0 else compression_level
 
     @pandas_udf(T.BinaryType())
     def _e(s: pd.Series) -> pd.Series:
@@ -382,7 +389,7 @@ def encode_zstd(
             if info is not None:
                 try:
                     z = _jvm_zstd(info)
-                    return bytes(z.compress(data, compression_level or 3))
+                    return bytes(z.compress(data, jvm_level))
                 except Exception:
                     pass  # unreachable gateway / jni error: python path
             return zstd_compress(data, compression_level)

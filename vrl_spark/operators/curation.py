@@ -46,6 +46,10 @@ def curate_corpus(
     strip_spans_ngram: int | None = None,
     scrub_pii: bool = False,
     gopher_filter: bool = False,
+    classifier_labeled: DataFrame | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_kwargs: dict | None = None,
     lm_drop_bucket: str | None = None,
     with_fates: bool = False,
 ) -> DataFrame:
@@ -55,6 +59,18 @@ def curate_corpus(
     'md5' is what the oracle pins). Repetition thresholds beyond
     top-2gram use the repetition_filter defaults.
 
+    ``classifier_labeled`` / ``classifier_weights`` enable the
+    fastText/CCNet-style trained quality-model gate
+    (``operators/classifier.py``), ordered right after the Gopher
+    rules: pass a labeled frame (text + 0/1 ``label``) to train
+    in-call, or a pre-trained (bucket, weight) frame to reuse a model
+    across corpora (exactly one of the two). Documents scoring below
+    ``classifier_threshold`` are dropped; ``classifier_kwargs``
+    forwards num_buckets/engine/seed/epochs/lr/l2/label_col. NULL-text
+    documents have no features and are dropped by this gate (featurize
+    contract). Scoring is map-only (broadcast weight array), so the
+    gate adds zero shuffles to the pipeline.
+
     ``lm_drop_bucket`` enables the CCNet-style trained-LM gate: fit
     the interpolated bigram LM on the repetition-filter survivors and
     drop documents whose perplexity bucket ('head'/'middle'/'tail')
@@ -62,9 +78,9 @@ def curate_corpus(
 
     ``with_fates`` switches the output to delta ATTRIBUTION mode:
     EVERY input document comes back with a ``fate`` column naming the
-    pipeline stage that dropped it ('gopher', 'token_bounds',
-    'repetition', 'lm_perplexity', 'near_dup' — the FIRST stage to
-    drop it, in pipeline order) or 'kept'; kept rows carry
+    pipeline stage that dropped it ('gopher', 'quality_model',
+    'token_bounds', 'repetition', 'lm_perplexity', 'near_dup' — the
+    FIRST stage to drop it, in pipeline order) or 'kept'; kept rows carry
     split/pack_id, dropped rows NULL. Token counts are measured after the optional text-rewriting
     stages, so boilerplate/PII/span stripping shows up as token delta
     within a fate, not as a fate. Feed the result to
@@ -76,6 +92,14 @@ def curate_corpus(
             f"lm_drop_bucket must be head/middle/tail, got "
             f"{lm_drop_bucket!r}"
         )
+    if classifier_labeled is not None and classifier_weights is not None:
+        raise ValueError(
+            "pass classifier_labeled (train in-call) OR "
+            "classifier_weights (pre-trained), not both"
+        )
+    use_classifier = (
+        classifier_labeled is not None or classifier_weights is not None
+    )
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     mh = dict(num_hashes=16, bands=4, shingle_n=3)
     mh.update(minhash_kwargs or {})
@@ -108,6 +132,21 @@ def curate_corpus(
         F.col(id_col), F.col(text_col),
         textstats.token_count(F.col(text_col)).alias("n_tokens"),
     )
+    # when a text-REWRITING stage ran, with_tok embeds the full regex-
+    # rewrite chain; with multiple DAG consumers (the gopher scan, the
+    # classifier featurize, the fates attribution frame) that chain
+    # would otherwise execute once per consumer — persist it. Without
+    # rewriting the recompute is a narrow map-side projection and the
+    # cache would cost more than it saves.
+    rewrote = (
+        strip_boilerplate_min_docs is not None
+        or strip_spans_ngram is not None
+        or scrub_pii
+    )
+    wt_persisted = False
+    if rewrote and (with_fates or gopher_filter or use_classifier):
+        with_tok = with_tok.persist(StorageLevel.MEMORY_AND_DISK)
+        wt_persisted = True
 
     # 0b) optional Gopher rule gate (full published family) before
     # the cheaper token-bound/repetition checks
@@ -124,6 +163,41 @@ def curate_corpus(
         gated = with_tok.join(gopher_keep, id_col, "left_semi")
     else:
         gated = with_tok
+
+    # 0c) optional trained quality-model gate (fastText/CCNet family),
+    # right after the rule gate: train on the seed-sized labeled frame
+    # (or reuse a pre-trained weight frame), then a MAP-ONLY scoring
+    # pass — broadcast (D+1)-row weight array, zero shuffles — and a
+    # left-semi keep on probability >= threshold.
+    clf_keep = None
+    if use_classifier:
+        from vrl_spark.operators import classifier as _clf
+
+        ck = dict(num_buckets=128, engine="xxh", seed=None,
+                  label_col="label", epochs=3, lr=5.0, l2=0.0)
+        ck.update(classifier_kwargs or {})
+        nb = ck["num_buckets"]
+        wframe = classifier_weights
+        if wframe is None:
+            tr = _clf.featurize(
+                classifier_labeled, text_col, id_col, ck["label_col"],
+                nb, ck["engine"], ck["seed"],
+            )
+            wframe = _clf.train_logistic(
+                tr, nb, ck["epochs"], ck["lr"], ck["l2"]
+            )
+        sc = _clf.featurize(
+            gated.select(id_col, text_col), text_col, id_col, None,
+            nb, ck["engine"], ck["seed"],
+        )
+        clf_keep = _clf.score(sc, wframe, num_buckets=nb).where(
+            F.col("prob") >= classifier_threshold
+        ).select(id_col)
+        if with_fates:
+            # two DAG consumers in fates mode (gate + attribution
+            # join): cache the tiny id set like gopher_keep
+            clf_keep = clf_keep.persist(StorageLevel.MEMORY_AND_DISK)
+        gated = gated.join(clf_keep, id_col, "left_semi")
 
     # 1) quality: token bounds, then repetition thresholds
     bounded = gated.where(
@@ -190,6 +264,13 @@ def curate_corpus(
                 gopher_keep.withColumn("_gk", F.lit(True)), id_col, "left"
             )
             fate = fate.when(F.col("_gk").isNull(), "gopher")
+        if clf_keep is not None:
+            full = full.join(
+                clf_keep.withColumn("_ck", F.lit(True)), id_col, "left"
+            )
+            # _gk is tested first, so gopher-dropped rows keep their
+            # gopher fate even though they never reached the model
+            fate = fate.when(F.col("_ck").isNull(), "quality_model")
         # bounds membership needs NO join: it's a predicate on the
         # row's own token count (gate-independent; the fate chain
         # tests _gk first, so gopher-dropped rows never reach it)
@@ -229,6 +310,10 @@ def curate_corpus(
     quality.unpersist()
     if gopher_keep is not None and with_fates:
         gopher_keep.unpersist()
+    if clf_keep is not None and with_fates:
+        clf_keep.unpersist()
+    if wt_persisted:
+        with_tok.unpersist()
     return out
 
 

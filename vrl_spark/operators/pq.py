@@ -172,20 +172,44 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: dict | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Train the m per-subspace codebooks; returns (sub_id,
     centroid_id, centroid_vec array<double>). All m subspaces train
-    in ONE joint Lloyd loop (one Spark job per iteration, not m)."""
+    in ONE joint Lloyd loop (one Spark job per iteration, not m).
+
+    Training vectors get the same in-plan NULL/length guard as
+    pq_encode (a NULL or short vector yields NULL subspace distances
+    that win every argmin via the NULL-first struct compare, silently
+    skewing centroid assignment); pass ``validate=False`` only for a
+    corpus already screened by the caller."""
     sub_dim = _check_params(dim, m, k)
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    vec = F.col(vec_col)
+    if validate:
+        vec = F.when(
+            F.col(vec_col).isNull()
+            | (F.size(F.col(vec_col)) != dim)
+            | F.exists(F.col(vec_col), lambda x: x.isNull()),
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_train: embedding NULL or length "),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" != dim ({dim})"),
+                )
+            ),
+        ).otherwise(F.col(vec_col))
     subs = corpus.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda j: F.transform(
-                    _sub(F.col(vec_col), j, sub_dim),
+                    _sub(vec, j, sub_dim),
                     lambda x: x.cast("double"),
                 ),
             )
@@ -198,7 +222,10 @@ def pq_train(
     sample = (
         corpus.select(
             F.col(id_col),
-            F.col(vec_col).alias("_v"),
+            # the guarded expression: a bad vector among the k
+            # smallest-md5 init rows must raise, not seed NULL
+            # centroid components
+            vec.alias("_v"),
             F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
         .orderBy("_h", id_col)

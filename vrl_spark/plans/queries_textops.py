@@ -2605,8 +2605,8 @@ s AS (
   FROM t
 )
 SELECT doc_id, mix_class, mix_rank, epoch, n_tok, perm_key,
-  (cum - n_tok) // 1500 AS shard_id,
-  ROW_NUMBER() OVER (PARTITION BY (cum - n_tok) // 1500
+  CAST((cum - n_tok) // 1500 AS BIGINT) AS shard_id,
+  ROW_NUMBER() OVER (PARTITION BY CAST((cum - n_tok) // 1500 AS BIGINT)
                      ORDER BY perm_key, copy_id) AS shard_pos
 FROM s
 """

@@ -263,6 +263,18 @@ def dedup_stream(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for a path string, resolved through the
+    session's Hadoop configuration — the same filesystem Spark's own
+    parquet reads/writes use, so existence/sidecar checks stay correct
+    on hdfs:// / s3a:// / file:// alike (driver-local os.path sees
+    only the local disk and reports False for everything else)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
 def bloom_ingest_batch(
     batch: DataFrame,
     filter_dir: str,
@@ -313,24 +325,39 @@ def bloom_ingest_batch(
     prefixes reads p/256 of the store's key column, not all of it.
     """
     import json
-    import os
 
     from vrl_spark.operators import bloom as _bloom
 
+    spark = batch.sparkSession
     # kp_scheme pins the accepted store's partition layout alongside
     # the hash family — a layout change is as corrupting as a hash
     # change (the prefix filter would prune every old partition)
     params = {
         "n_bits": n_bits, "k": k, "engine": engine, "kp_scheme": "p2",
     }
-    params_path = os.path.join(filter_dir, "_PARAMS.json")
-    have_params = os.path.exists(params_path)
-    has_segments = os.path.isdir(filter_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(filter_dir)
+    # ALL existence/sidecar IO goes through the Hadoop FileSystem the
+    # parquet reads/writes use: driver-local os.path returns False for
+    # hdfs://, s3a://, ... paths, which would read a committed filter
+    # as empty and silently re-ingest every key
+    fs, jfilter, jvm = _hadoop_fs(spark, filter_dir)
+    jparams = jvm.org.apache.hadoop.fs.Path(filter_dir, "_PARAMS.json")
+    have_params = fs.exists(jparams)
+    has_segments = (
+        fs.exists(jfilter)
+        and fs.getFileStatus(jfilter).isDirectory()
+        and any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(jfilter)
+        )
     )
     if have_params:
-        with open(params_path) as fh:
-            stored = json.load(fh)
+        ins = fs.open(jparams)
+        try:
+            stored = json.loads(bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+            ).decode("utf-8"))
+        finally:
+            ins.close()
         # sidecars written before the layout key existed are the
         # unchanged p2 scheme — backfill instead of bricking them
         stored.setdefault("kp_scheme", "p2")
@@ -354,7 +381,6 @@ def bloom_ingest_batch(
     def _kp(col: Column) -> Column:
         return F.concat(F.lit("p"), F.substring(col, 1, 2))
 
-    spark = batch.sparkSession
     # NULL keys can't be represented in the filter (their probe rows
     # hash to NULL) and would re-ingest on every replay — reject them
     batch = batch.where(F.col(key_col).isNotNull()).dropDuplicates(
@@ -376,8 +402,9 @@ def bloom_ingest_batch(
             F.col(key_col), F.lit(False).alias("bloom_hit")
         )
 
+    ofs, jout, _ = _hadoop_fs(spark, out_dir)
     pos = flagged.where("bloom_hit").select(key_col)
-    if os.path.isdir(out_dir):
+    if ofs.exists(jout) and ofs.getFileStatus(jout).isDirectory():
         prefixes = [
             r[0]
             for r in pos.select(
@@ -411,9 +438,12 @@ def bloom_ingest_batch(
         # segment-before-params would instead poison the dir into the
         # refuse-to-probe state above.
         if not have_params:
-            os.makedirs(filter_dir, exist_ok=True)
-            with open(params_path, "w") as fh:
-                json.dump(params, fh)
+            fs.mkdirs(jfilter)
+            out = fs.create(jparams, True)
+            try:
+                out.write(bytearray(json.dumps(params).encode("utf-8")))
+            finally:
+                out.close()
         new_words = _bloom.bloom_build(
             accept.select(key_col), key_col, n_bits, k, engine
         )
