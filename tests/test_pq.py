@@ -339,3 +339,159 @@ def test_train_raises_on_bad_training_vectors(corpus, spark):
     books = pq.pq_train(corpus, DIM, m=M, k=K, iterations=1,
                         validate=False)
     assert books.count() == M * K
+
+
+# ---------------------------------------------------------------------
+# residual PQ (FAISS IVFPQ by_residual)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def coarse(corpus):
+    from vrl_spark.operators import similarity
+
+    cents = similarity.ivf_centroids(corpus, 8).localCheckpoint()
+    assigns = similarity.ivf_assign(corpus, cents).select(
+        "vec_id", "list_id"
+    ).localCheckpoint()
+    return cents, assigns
+
+
+@pytest.fixture(scope="module")
+def residual_trained(corpus, coarse):
+    cents, _ = coarse
+    books = pq.ivfpq_train(
+        corpus, cents, DIM, m=M, k=K, iterations=8
+    ).localCheckpoint()
+    enc = pq.ivfpq_encode(
+        corpus, cents, books, DIM, m=M, k=K
+    ).localCheckpoint()
+    return books, enc
+
+
+def _query(corpus_rows):
+    # a point near cluster 2's planted center: average of its members
+    members = [r for i, r in enumerate(corpus_rows) if i % CENTERS == 2]
+    d = len(members[0][1])
+    return [sum(m[1][j] for m in members) / len(members) + 0.01
+            for j in range(d)]
+
+
+def test_ivfpq_search_exact_reconstruction_distance(
+    residual_trained, coarse, corpus, spark
+):
+    """nprobe = n_lists degeneration: the per-list ADC must equal the
+    brute-force reconstruction distance ||q - (c_list + decode)||^2
+    for EVERY row (exact identity — residual quantization is the only
+    approximation)."""
+    books, enc = residual_trained
+    cents, _ = coarse
+    rows = corpus.collect()
+    q = _query([(r.vec_id, r.embedding) for r in rows])
+
+    got = {
+        r.vec_id: r.adc
+        for r in pq.ivfpq_search(
+            q, enc, books, cents, DIM, m=M, k=K, nprobe=8, top_k=200
+        ).collect()
+    }
+    assert len(got) == len(rows)
+
+    cb = {
+        (r.sub_id, r.centroid_id): list(r.centroid_vec)
+        for r in books.collect()
+    }
+    cvec = {r.centroid_id: list(r.centroid_vec) for r in cents.collect()}
+    sub_dim = DIM // M
+    for e in enc.collect():
+        rec = list(cvec[e.list_id])
+        for j, code in enumerate(e.codes):
+            for d, x in enumerate(cb[(j, code)]):
+                rec[j * sub_dim + d] += x
+        want = round(sum((a - b) ** 2 for a, b in zip(q, rec)), 6)
+        assert got[e.vec_id] == pytest.approx(want, abs=2e-6), e.vec_id
+
+
+def test_ivfpq_beats_raw_ivf_pq_recall(
+    residual_trained, trained, coarse, corpus
+):
+    """The point of residuals (VERDICT r5 item 4): at equal
+    nprobe/m/k on the planted-cluster corpus, recall@10 vs exact
+    brute force improves over the non-residual composition (the
+    shared codebooks spend resolution on within-list noise, not the
+    between-cluster spread)."""
+    books_raw, codes_raw, _ = trained
+    books_res, enc_res = residual_trained
+    cents, assigns = coarse
+    rows = [(r.vec_id, list(r.embedding)) for r in corpus.collect()]
+    q = _query(rows)
+    exact_ids = {
+        r[0]
+        for r in sorted(
+            rows,
+            key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], q)),
+        )[:10]
+    }
+    for nprobe in (2, 8):
+        raw = {
+            r.vec_id
+            for r in pq.ivf_pq_search(
+                q, codes_raw, books_raw, assigns, cents, DIM,
+                m=M, k=K, nprobe=nprobe, top_k=10,
+            ).collect()
+        }
+        res = {
+            r.vec_id
+            for r in pq.ivfpq_search(
+                q, enc_res, books_res, cents, DIM,
+                m=M, k=K, nprobe=nprobe, top_k=10,
+            ).collect()
+        }
+        raw_rec = len(raw & exact_ids) / 10
+        res_rec = len(res & exact_ids) / 10
+        assert res_rec >= raw_rec, (nprobe, res_rec, raw_rec)
+        assert res_rec >= 0.5, (nprobe, res_rec)
+
+
+def test_ivfpq_probe_restriction_and_validation(
+    residual_trained, coarse, corpus, spark
+):
+    books, enc = residual_trained
+    cents, assigns = coarse
+    rows = [(r.vec_id, list(r.embedding)) for r in corpus.collect()]
+    q = _query(rows)
+    # nprobe=1: every hit belongs to the single probed list
+    one = pq.ivfpq_search(
+        q, enc, books, cents, DIM, m=M, k=K, nprobe=1, top_k=10
+    ).collect()
+    cl = cents.collect()
+    best = min(
+        cl,
+        key=lambda r: (
+            round(sum((float(a) - b) ** 2
+                      for a, b in zip(r.centroid_vec, q)), 6),
+            r.centroid_id,
+        ),
+    ).centroid_id
+    members = {r.vec_id for r in enc.collect() if r.list_id == best}
+    assert one and {r.vec_id for r in one} <= members
+
+    # plain pq_encode codes (no list_id) are rejected with direction
+    plain = enc.select("vec_id", "codes")
+    with pytest.raises(ValueError, match="list_id"):
+        pq.ivfpq_search(q, plain, books, cents, DIM, m=M, k=K)
+    with pytest.raises(ValueError):
+        pq.ivfpq_search(q, enc, books, cents, DIM, m=M, k=K, nprobe=0)
+    # negative list ids would corrupt the flattened table keys
+    neg = spark.createDataFrame(
+        [(-1, [0.0] * DIM)], "centroid_id int, centroid_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="negative"):
+        pq.ivfpq_search(q, enc, books, neg, DIM, m=M, k=K)
+    # residuals: an assignments frame referencing a missing list raises
+    bad_assign = assigns.select(
+        "vec_id", (F.col("list_id") + 1000).alias("list_id")
+    )
+    with pytest.raises(Exception, match="has no centroid"):
+        pq.pq_residuals(
+            corpus, cents, DIM, assignments=bad_assign
+        ).collect()

@@ -386,3 +386,33 @@ def test_pq_encode_plan_is_map_only(spark):
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivfpq_encode_plan_is_map_only(spark):
+    """Residual encode (ivfpq_encode with in-plan assignment): still
+    zero corpus-side exchanges — the coarse assignment is the
+    broadcast argmax fold, the centroid gather is a 1-row broadcast
+    map, and the residual argmins run in place. Every hash exchange
+    must live on the tiny codebook/centroid grain."""
+    from vrl_spark.operators import pq, similarity
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (i * F.col("id") % 7).cast("double"),
+        ).alias("embedding"),
+    )
+    cents = similarity.ivf_centroids(corpus, 4).localCheckpoint()
+    books = pq.ivfpq_train(corpus, cents, 16, m=4, k=4, iterations=1)
+    plan = plan_of(
+        pq.ivfpq_encode(corpus, cents, books, 16, m=4, k=4,
+                        validate=False)
+    )
+    assert "EvalPython" not in plan
+    import re
+
+    hash_cols = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c == "sub_id" for c in hash_cols), hash_cols
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

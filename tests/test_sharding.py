@@ -236,3 +236,85 @@ def test_mixture_resample_prefilter_equivalence(spark):
         sampling.mixture_resample(df, "klass", ratios, 60, prefilter=0.9)
     with pytest.raises(ValueError):
         sampling.mixture_resample(df, "klass", ratios, 0)
+
+
+def test_shard_and_pack_budgets_in_bpe_units(spark):
+    """Learned-tokenizer budgets (VERDICT r5 item 8): bpe_token_count
+    is just a column, so shard_assign/pack_documents measure budgets
+    in the trained tokenizer's units — what a training run actually
+    consumes — with the ws-count lane untouched as the oracle default.
+    The shard plan must be UNCHANGED modulo the one Arrow encode stage
+    (same exchange counts: the counter is a column, not an operator).
+    """
+    from vrl_spark.operators import bpe, sampling
+
+    vocab = ["lowest", "lower", "newest", "widest", "newer", "low",
+             "wide", "new", "est", "tokenization"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(vocab[(i + j) % len(vocab)]
+                      for j in range(i % 7 + 3)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    merges = bpe.bpe_train(docs, num_merges=12)
+    assert merges, "corpus must learn at least one merge"
+
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws"),
+        bpe.bpe_token_count(merges, F.col("text")).alias("bpe_tokens"),
+    ).localCheckpoint()
+    rows = counted.collect()
+    # the unit genuinely differs: subword splitting makes BPE counts
+    # exceed word counts for at least some docs
+    assert any(r["bpe_tokens"] > r["ws"] for r in rows)
+    assert all(r["bpe_tokens"] >= r["ws"] for r in rows)
+
+    budget = 40
+    placed = sharding.shard_assign(
+        counted, budget=budget, token_col="bpe_tokens", seed="bpe",
+        n_buckets=8,
+    ).collect()
+    # sequential reference in BPE units: sort by (perm_key, id),
+    # cumsum, shard = start // budget
+    ordered = sorted(placed, key=lambda r: (r["perm_key"], r["doc_id"]))
+    start = 0
+    for r in ordered:
+        assert r["shard_id"] == start // budget, r
+        start += r["bpe_tokens"]
+    # every shard's BPE mass stays within budget + one doc overhang
+    mass = {}
+    for r in placed:
+        mass[r["shard_id"]] = mass.get(r["shard_id"], 0) + r["bpe_tokens"]
+    biggest = max(r["bpe_tokens"] for r in placed)
+    assert all(m < budget + biggest for m in mass.values())
+
+    packed = sampling.pack_documents(
+        counted, budget=budget, token_col="bpe_tokens"
+    ).collect()
+    pmass = {}
+    for r in packed:
+        pmass[r["pack_id"]] = pmass.get(r["pack_id"], 0) + r["bpe_tokens"]
+    assert all(m <= budget for m in pmass.values())
+
+    # plan pin on the MATERIALIZED counted frame: identical shape to
+    # the ws-count shard plan (1 single-partition offsets stage +
+    # 3 hash exchanges) and zero Python — the counter is a column,
+    # not an operator
+    plan = sharding.shard_assign(
+        counted, budget=budget, token_col="bpe_tokens", n_buckets=8,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "EvalPython" not in plan, plan
+    # ... and the materialization is load-bearing: shard_assign reads
+    # its input in BOTH prefix-sum passes, so an unmaterialized BPE
+    # column embeds the encode UDF once per pass (Catalyst duplicates
+    # shared subtrees) — the doc contract is "count once, then shard"
+    lazy_plan = sharding.shard_assign(
+        docs.withColumn(
+            "bpe_tokens", bpe.bpe_token_count(merges, F.col("text"))
+        ),
+        budget=budget, token_col="bpe_tokens", n_buckets=8,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert lazy_plan.count("ArrowEvalPython") == 2, lazy_plan

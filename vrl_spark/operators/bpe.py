@@ -199,5 +199,11 @@ def bpe_decode_units(units: Column) -> Column:
 
 def bpe_token_count(merges: list[tuple[str, str]], text: Column) -> Column:
     """Learned-vocabulary token count — the budget metric a trained
-    tokenizer's pipeline shards/packs by."""
+    tokenizer's pipeline shards/packs by: pass it as ``token_col`` to
+    ``sharding.shard_assign`` / ``sampling.pack_documents`` so budgets
+    are measured in the units a training run actually consumes.
+    Materialize (localCheckpoint/persist) the counted frame before
+    sharding: shard_assign reads its input in both prefix-sum passes,
+    and an unmaterialized column re-runs the encode UDF per pass
+    (plan-pinned in tests/test_sharding.py)."""
     return F.size(bpe_encode(merges, text)).cast("long")

@@ -147,6 +147,43 @@ def _validate_codebooks(
         )
 
 
+def _validate_centroids(centroids: DataFrame, dim: int) -> None:
+    """Driver-side shape check on the tiny coarse-centroid frame: a
+    NULL or wrong-dim centroid_vec yields a NULL probe distance,
+    which would sort FIRST and silently win the probe over the true
+    nearest list; an empty frame returns silently-empty hits; and
+    negative list ids would corrupt the flattened per-list ADC map
+    keys in the residual composition."""
+    crow = centroids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.col("centroid_id").isNull()
+                | F.col("centroid_vec").isNull()
+                | (F.size("centroid_vec") != dim)
+                | F.exists(
+                    F.col("centroid_vec"), lambda x: x.isNull()
+                )
+            ).cast("int")
+        ).alias("bad"),
+        F.countDistinct("centroid_id").alias("uniq"),
+        F.min("centroid_id").alias("minc"),
+    ).collect()[0]
+    if crow["n"] == 0:
+        raise ValueError("centroids frame is empty")
+    if crow["bad"]:
+        raise ValueError(
+            f"centroids hold {crow['bad']} NULL/wrong-dim rows "
+            f"(expected every centroid_vec length == {dim})"
+        )
+    if crow["uniq"] != crow["n"]:
+        raise ValueError("centroids hold duplicate centroid_id rows")
+    if crow["minc"] is not None and crow["minc"] < 0:
+        raise ValueError(
+            f"centroids hold negative centroid_id {crow['minc']}"
+        )
+
+
 def _best_cid(subvec: Column, sub_id: Column | int) -> Column:
     """argmin centroid id for one subvector against the broadcast
     indexed `_cb` array (rounded distance, centroid-id tie-break)."""
@@ -316,13 +353,21 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     validate: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — MAP-ONLY: the folded codebooks
-    broadcast and each row computes its m argmins in place; the
-    corpus never expands or shuffles. Rows whose embedding length !=
-    dim raise in-plan (a short row would otherwise win every argmin
-    through NULL distances and encode as silent garbage)."""
+    """(id, *keep_cols, codes array<int>) — MAP-ONLY: the folded
+    codebooks broadcast and each row computes its m argmins in place;
+    the corpus never expands or shuffles. Rows whose embedding length
+    != dim raise in-plan (a short row would otherwise win every
+    argmin through NULL distances and encode as silent garbage).
+    ``keep_cols`` passes input columns through (e.g. the IVF list_id
+    in the residual composition) without a join-back."""
     sub_dim = _check_params(dim, m, k)
+    for c in keep_cols:
+        if c in (id_col, "codes"):
+            raise ValueError(f"keep_cols entry {c!r} clashes with output")
+        if c not in corpus.columns:
+            raise ValueError(f"keep_cols entry {c!r} not in input")
     if validate:
         _validate_codebooks(codebooks, m, sub_dim, k)
     codes = F.transform(
@@ -331,6 +376,7 @@ def pq_encode(
     )
     return corpus.join(F.broadcast(_fold_codebooks(codebooks))).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.when(
             # isNull spelled out: size(NULL) is NULL and a NULL
             # comparison would silently take the otherwise branch;
@@ -551,35 +597,7 @@ def ivf_pq_search(
         raise ValueError(f"query has {len(query)} dims, expected {dim}")
     if validate:
         _validate_codebooks(codebooks, m, sub_dim, k)
-        # validate the (tiny) coarse-centroid frame too: a NULL or
-        # wrong-dim centroid_vec yields a NULL probe distance, which
-        # would sort FIRST and silently win the probe over the true
-        # nearest list; an empty frame returns silently-empty hits
-        crow = centroids.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.col("centroid_id").isNull()
-                    | F.col("centroid_vec").isNull()
-                    | (F.size("centroid_vec") != dim)
-                    | F.exists(
-                        F.col("centroid_vec"), lambda x: x.isNull()
-                    )
-                ).cast("int")
-            ).alias("bad"),
-            F.countDistinct("centroid_id").alias("uniq"),
-        ).collect()[0]
-        if crow["n"] == 0:
-            raise ValueError("centroids frame is empty")
-        if crow["bad"]:
-            raise ValueError(
-                f"centroids hold {crow['bad']} NULL/wrong-dim rows "
-                f"(expected every centroid_vec length == {dim})"
-            )
-        if crow["uniq"] != crow["n"]:
-            raise ValueError(
-                "centroids hold duplicate centroid_id rows"
-            )
+        _validate_centroids(centroids, dim)
     q = F.lit([float(x) for x in query])
     probed = (
         centroids.select(
@@ -599,3 +617,251 @@ def ivf_pq_search(
         query, candidates, codebooks, dim, m=m, k=k, top_k=top_k,
         id_col=id_col, validate=False,
     )
+
+
+# ---------------------------------------------------------------------
+# residual PQ (FAISS IVFPQ's by_residual): quantize vec - centroid
+# ---------------------------------------------------------------------
+
+def pq_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """(id, list_id, residual array<double>) — each vector minus its
+    IVF list's coarse centroid, the frame residual-PQ trains and
+    encodes over. Residuals of a clustered corpus concentrate in a
+    small ball around the origin, so the SAME m/k codebook budget
+    spends its resolution on the within-list noise instead of the
+    between-list spread — the accuracy trick that makes IVF+PQ the
+    FAISS-style composition (quantize ``vec − c_list``, score
+    ``||(q − c_list) − decode(codes)||²``, an exact identity for
+    ``||q − (c_list + decode)||²``).
+
+    ``assignments`` (id, list_id) reuses a materialized assignment
+    snapshot (one corpus equi-join); by default the assignment is
+    recomputed IN-PLAN via similarity.ivf_assign — map-only, zero
+    shuffles, and by construction consistent with the centroids
+    frame. The centroid gather is a 1-row broadcast map; a list_id
+    with no centroid raises in-plan (it would otherwise flow NULL
+    residuals into downstream guards with a misleading message)."""
+    if validate:
+        _validate_centroids(centroids, dim)
+    if assignments is None:
+        from vrl_spark.operators import similarity
+
+        assigned = similarity.ivf_assign(corpus, centroids, id_col, vec_col)
+    else:
+        assigned = corpus.join(
+            assignments.select(id_col, "list_id"), id_col
+        )
+    cmap = centroids.agg(
+        F.map_from_arrays(
+            F.collect_list("centroid_id"),
+            F.collect_list("centroid_vec"),
+        ).alias("_cmap")
+    )
+    cvec = F.try_element_at(F.col("_cmap"), F.col("list_id"))
+    residual = F.when(
+        F.col("list_id").isNull() | cvec.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("pq_residuals: list_id "),
+                F.coalesce(F.col("list_id").cast("string"), F.lit("NULL")),
+                F.lit(" has no centroid (assignments from a different "
+                      "centroid set?)"),
+            )
+        ),
+    ).otherwise(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            cvec,
+            lambda a, b: a - b,
+        )
+    )
+    return assigned.join(F.broadcast(cmap)).select(
+        F.col(id_col), F.col("list_id"), residual.alias("residual")
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 8,
+    tol: float = 1e-9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    stats: dict | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Train the shared residual codebooks (one codebook set for ALL
+    lists, classic FAISS IVFPQ): pq_train over the residual frame.
+    Same loop discipline and determinism as pq_train."""
+    res = pq_residuals(
+        corpus, centroids, dim, id_col, vec_col, assignments, validate
+    )
+    return pq_train(
+        res, dim, m=m, k=k, iterations=iterations, tol=tol,
+        id_col=id_col, vec_col="residual", stats=stats, validate=validate,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """(id, list_id, codes array<int>) — MAP-ONLY like pq_encode (the
+    residual subtraction is a broadcast map gather, the argmins fold
+    in place; the corpus never shuffles). Store the result
+    partitioned/bucketed by list_id so ivfpq_search's probe becomes a
+    partition-pruned scan."""
+    res = pq_residuals(
+        corpus, centroids, dim, id_col, vec_col, assignments, validate
+    )
+    return pq_encode(
+        res, codebooks, dim, m=m, k=k, id_col=id_col,
+        vec_col="residual", validate=validate, keep_cols=("list_id",),
+    )
+
+
+def ivfpq_search(
+    query: list[float],
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    validate: bool = True,
+) -> DataFrame:
+    """Residual-PQ ADC top-k over the ``nprobe`` nearest lists.
+
+    Unlike the non-residual :func:`ivf_pq_search` (kept for the
+    plain-PQ degeneration contract), the distance table here is PER
+    PROBED LIST: for each list L the query's residual ``q − c_L``
+    scores against the shared residual codebooks, so a candidate in
+    list L folds lookups from ITS list's table —
+    ``||(q − c_L) − decode(codes)||²``, exactly
+    ``||q − (c_L + decode)||²``. All nprobe tables ride ONE 1-row
+    broadcast map of nprobe*m*k entries keyed
+    ``list_id*(m*k) + sub*k + code`` (the centroid validator pins
+    non-negative unique list ids, codes are range-checked per element,
+    so keys cannot collide); candidates come from a broadcast inner
+    join on the encoded frame's own list_id — partition-pruned when
+    the codes table is stored by list_id. Corpus-side cost is O(m)
+    lookups per candidate row, independent of dim and nprobe.
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    sub_dim = _check_params(dim, m, k)
+    if len(query) != dim:
+        raise ValueError(f"query has {len(query)} dims, expected {dim}")
+    if "list_id" not in encoded.columns:
+        raise ValueError(
+            "encoded frame has no list_id column — use ivfpq_encode "
+            "(ivf_pq_search is the composition for plain pq_encode "
+            "codes)"
+        )
+    if validate:
+        _validate_codebooks(codebooks, m, sub_dim, k)
+        _validate_centroids(centroids, dim)
+    q = F.lit([float(x) for x in query])
+    probed = (
+        centroids.select(
+            F.col("centroid_id").alias("list_id"),
+            F.col("centroid_vec").alias("_cvec"),
+            F.round(l2_sq(q, F.col("centroid_vec")), 6).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc_nulls_last(), F.col("list_id").asc())
+        .limit(nprobe)
+    )
+    # one flattened table for all probed lists: nprobe * m * k entries
+    qres = F.zip_with(
+        q, F.col("_cvec"), lambda a, b: a - b
+    )
+    dtab = codebooks.crossJoin(F.broadcast(probed)).select(
+        (
+            F.col("list_id").cast("long") * (m * k)
+            + F.col("sub_id") * k
+            + F.col("centroid_id")
+        ).alias("_key"),
+        l2_sq(
+            _sub(qres, F.col("sub_id"), sub_dim), F.col("centroid_vec")
+        ).alias("_dist"),
+    ).agg(
+        F.map_from_arrays(
+            F.collect_list("_key"), F.collect_list("_dist")
+        ).alias("_dt")
+    )
+    bad_codes = (
+        F.col("codes").isNull()
+        | (F.size(F.col("codes")) != m)
+        | F.exists(
+            F.col("codes"),
+            lambda c: c.isNull() | (c < 0) | (c >= k),
+        )
+    )
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("_dt"),
+                F.col("list_id").cast("long") * (m * k)
+                + j * k
+                + F.try_element_at(F.col("codes"), j + 1),
+            ),
+        ),
+        6,
+    )
+    from vrl_spark.functions.parse import bind
+
+    def _guard(a: Column) -> Column:
+        return (
+            F.when(
+                bad_codes,
+                F.raise_error(
+                    "ivfpq_search: codes row is NULL, wrong length, "
+                    "or references a centroid outside [0, k) (wrong "
+                    "m/k or foreign codebook?)"
+                ),
+            )
+            .when(
+                a.isNull(),
+                F.raise_error(
+                    "ivfpq_search: a code has no centroid in its "
+                    "subspace's codebook"
+                ),
+            )
+            .otherwise(a)
+        )
+
+    candidates = encoded.join(
+        F.broadcast(probed.select("list_id")), "list_id"
+    )
+    scored = candidates.join(F.broadcast(dtab)).select(
+        F.col(id_col), bind(adc, _guard).alias("adc")
+    )
+    return scored.orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    ).limit(top_k)
