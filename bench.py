@@ -180,9 +180,15 @@ def record_outcome_key(rec: dict) -> tuple:
     amplified docs/s descending) with the CPU probe floor only as a
     tiebreak: a lower probe floor does not imply a better measurement
     (IO storms are invisible to the probe — BENCH/BASELINE.md r5)."""
+    # a crashed flagship records the -1.0 error sentinel as "value";
+    # any non-positive wall is the WORST outcome, not the best — it
+    # must never displace a clean committed record
+    value = rec.get("value", float("inf"))
+    if not isinstance(value, (int, float)) or value <= 0:
+        value = float("inf")
     return (
         len(rec.get("steal_flagged", []) or []),
-        rec.get("value", float("inf")),
+        value,
         -(rec.get("amplified_docs_per_sec") or 0.0),
         rec.get("probe_floor_sec", float("inf")),
     )

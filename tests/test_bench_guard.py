@@ -45,3 +45,14 @@ def test_outcome_key_tolerates_missing_fields():
     assert key(no_amp) > key(with_amp)
     # and never raises
     assert isinstance(key({}), tuple)
+
+
+def test_outcome_key_treats_error_sentinel_as_worst():
+    from bench import record_outcome_key as key
+
+    committed = _rec(flagged=4, value=1.662, amp=507785.5, probe=0.314)
+    # a crashed flagship records value=-1.0 and is NOT flagged — it
+    # must sort after any real measurement, not before
+    crashed = _rec(flagged=4, value=-1.0, amp=507785.5, probe=0.2)
+    assert key(crashed) > key(committed)
+    assert key(_rec(value=0.0)) > key(_rec(value=5.0))

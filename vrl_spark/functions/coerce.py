@@ -251,10 +251,16 @@ def rlike_dynamic(value: Column, pattern: Column) -> Column:
     yields (NULL, message) instead of failing the job (Spark's own
     ``rlike(col, col)`` throws on the first bad pattern).
 
-    Un-anchored substring search (``re.search``), matching Spark
-    rlike / Rust ``Regex::is_match`` semantics. Arrow-batched, one
-    compile per distinct pattern per batch — the documented slow lane;
-    plan-time patterns should use :func:`to_regex` + native rlike."""
+    Un-anchored substring search (``re.search``) like rlike /
+    ``Regex::is_match`` — but executed by PYTHON ``re``, not the JVM:
+    patterns must stay in the repo's shared Java/Python syntax subset
+    (``operators/pii.py`` doctrine) for lane portability. Outside it
+    the lanes diverge — Python's ``\\d``/``\\w``/``\\s`` match Unicode
+    where Java's are ASCII-only, and Java-only syntax (possessive
+    quantifiers, ``\\h``) is an error value here but matches on the
+    JVM lane. Arrow-batched, one compile per distinct pattern per
+    batch — the documented slow lane; plan-time patterns should use
+    :func:`to_regex` + native rlike."""
     import re
 
     from pyspark.sql.functions import pandas_udf

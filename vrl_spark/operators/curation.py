@@ -155,10 +155,11 @@ def curate_corpus(
         gopher_keep = textstats.gopher_rules(
             with_tok, text_col, id_col
         ).where("keep").select(id_col)
-        if with_fates:
-            # two DAG consumers in fates mode (the gate below + the
-            # attribution join): cache the tiny id set or the full
-            # gopher_rules corpus scan executes twice
+        if with_fates or use_classifier:
+            # multiple DAG consumers of the gated frame (the fates
+            # attribution join, and/or the classifier's featurize +
+            # main-pipeline branches): cache the tiny id set or the
+            # full gopher_rules corpus scan executes once per branch
             gopher_keep = gopher_keep.persist(StorageLevel.MEMORY_AND_DISK)
         gated = with_tok.join(gopher_keep, id_col, "left_semi")
     else:
@@ -175,6 +176,15 @@ def curate_corpus(
 
         ck = dict(num_buckets=128, engine="xxh", seed=None,
                   label_col="label", epochs=3, lr=5.0, l2=0.0)
+        unknown = set(classifier_kwargs or {}) - set(ck)
+        if unknown:
+            # a typo'd key (num_bucket=512) would otherwise silently
+            # train in the default bucket space — the sibling
+            # minhash_kwargs fails loudly via **-splat, match it
+            raise ValueError(
+                f"unknown classifier_kwargs {sorted(unknown)}; "
+                f"valid keys: {sorted(ck)}"
+            )
         ck.update(classifier_kwargs or {})
         nb = ck["num_buckets"]
         wframe = classifier_weights
@@ -308,7 +318,7 @@ def curate_corpus(
     # a few narrow columns, so the checkpoint is small.
     out = out.localCheckpoint(eager=True)
     quality.unpersist()
-    if gopher_keep is not None and with_fates:
+    if gopher_keep is not None and (with_fates or use_classifier):
         gopher_keep.unpersist()
     if clf_keep is not None and with_fates:
         clf_keep.unpersist()

@@ -53,6 +53,31 @@ def _sub(vec: Column, j: Column | int, sub_dim: int) -> Column:
     return F.slice(vec, start, sub_dim)
 
 
+def _bad_vec(vec_col: str, dim: int) -> Column:
+    """The shared NULL/length/NULL-element predicate both train and
+    encode guard on (a bad vector otherwise wins every argmin through
+    NULL distances). isNull spelled out: size(NULL) is NULL and a NULL
+    comparison silently takes the otherwise branch; a NULL ELEMENT
+    inside a correct-length array likewise yields NULL distances."""
+    return (
+        F.col(vec_col).isNull()
+        | (F.size(F.col(vec_col)) != dim)
+        | F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+
+
+def _vec_error(fn: str, vec_col: str, dim: int) -> Column:
+    return F.raise_error(
+        F.concat(
+            F.lit(f"{fn}: embedding NULL or length "),
+            F.coalesce(
+                F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+            ),
+            F.lit(f" != dim ({dim})"),
+        )
+    )
+
+
 def _fold_codebooks(codebooks: DataFrame) -> DataFrame:
     """1-row frame for broadcasting: `_cb` is an array INDEXED BY
     sub_id (element j+1 = subspace j's array of (cid, cvec) structs),
@@ -226,19 +251,7 @@ def pq_train(
     vec = F.col(vec_col)
     if validate:
         vec = F.when(
-            F.col(vec_col).isNull()
-            | (F.size(F.col(vec_col)) != dim)
-            | F.exists(F.col(vec_col), lambda x: x.isNull()),
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_train: embedding NULL or length "),
-                    F.coalesce(
-                        F.size(F.col(vec_col)).cast("string"),
-                        F.lit("NULL"),
-                    ),
-                    F.lit(f" != dim ({dim})"),
-                )
-            ),
+            _bad_vec(vec_col, dim), _vec_error("pq_train", vec_col, dim)
         ).otherwise(F.col(vec_col))
     subs = corpus.select(
         F.col(id_col),
@@ -378,23 +391,7 @@ def pq_encode(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.when(
-            # isNull spelled out: size(NULL) is NULL and a NULL
-            # comparison would silently take the otherwise branch;
-            # a NULL ELEMENT inside a correct-length array would
-            # likewise win every argmin through a NULL distance
-            F.col(vec_col).isNull()
-            | (F.size(F.col(vec_col)) != dim)
-            | F.exists(F.col(vec_col), lambda x: x.isNull()),
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_encode: embedding NULL or length "),
-                    F.coalesce(
-                        F.size(F.col(vec_col)).cast("string"),
-                        F.lit("NULL"),
-                    ),
-                    F.lit(f" != dim ({dim})"),
-                )
-            ),
+            _bad_vec(vec_col, dim), _vec_error("pq_encode", vec_col, dim)
         ).otherwise(codes).alias("codes"),
     )
 
@@ -643,12 +640,17 @@ def pq_residuals(
     ``||q − (c_list + decode)||²``).
 
     ``assignments`` (id, list_id) reuses a materialized assignment
-    snapshot (one corpus equi-join); by default the assignment is
-    recomputed IN-PLAN via similarity.ivf_assign — map-only, zero
-    shuffles, and by construction consistent with the centroids
-    frame. The centroid gather is a 1-row broadcast map; a list_id
-    with no centroid raises in-plan (it would otherwise flow NULL
-    residuals into downstream guards with a misleading message)."""
+    snapshot (one corpus equi-join — LEFT, so a corpus id MISSING from
+    the snapshot raises in-plan instead of silently vanishing from the
+    index: an unindexed vector is unsearchable at any nprobe, the
+    failure ivf_pq_search's docstring tells callers to audit for.
+    Assignments must be unique per id — a duplicate fans the row out
+    into duplicate code rows). By default the assignment is recomputed
+    IN-PLAN via similarity.ivf_assign — map-only, zero shuffles, and
+    by construction consistent with the centroids frame. The centroid
+    gather is a 1-row broadcast map; a NULL/unknown list_id raises
+    in-plan (it would otherwise flow NULL residuals into downstream
+    guards with a misleading message)."""
     if validate:
         _validate_centroids(centroids, dim)
     if assignments is None:
@@ -657,7 +659,7 @@ def pq_residuals(
         assigned = similarity.ivf_assign(corpus, centroids, id_col, vec_col)
     else:
         assigned = corpus.join(
-            assignments.select(id_col, "list_id"), id_col
+            assignments.select(id_col, "list_id"), id_col, "left"
         )
     cmap = centroids.agg(
         F.map_from_arrays(
@@ -672,8 +674,9 @@ def pq_residuals(
             F.concat(
                 F.lit("pq_residuals: list_id "),
                 F.coalesce(F.col("list_id").cast("string"), F.lit("NULL")),
-                F.lit(" has no centroid (assignments from a different "
-                      "centroid set?)"),
+                F.lit(" has no centroid (corpus id missing from the "
+                      "assignments snapshot, or assignments from a "
+                      "different centroid set?)"),
             )
         ),
     ).otherwise(
