@@ -223,7 +223,7 @@ def main() -> None:
     # right after the headline queries, before the heavy dedup runs.
     amp_stats = {}
     try:
-        from bench_worker import materialize_pages
+        from bench_worker import flagship_pipeline, materialize_pages
 
         amp = 100
         path = materialize_pages(spark, sf_dir, amp)
@@ -231,11 +231,7 @@ def main() -> None:
         amp_docs = pages.count()
 
         def amp_pipeline():
-            df = spark.read.parquet(path)
-            df = weblog.parse_stage(df)
-            df = weblog.enrich_stage(spark, df)
-            df = weblog.route_stage(df)
-            return weblog.aggregate_stage(df)
+            return flagship_pipeline(spark, path)
 
         force(amp_pipeline())  # warmup
         # best-of-5: the host's CPU-steal windows can blanket several

@@ -52,13 +52,27 @@ def materialize_pages(spark, sf_dir: str, amp: int) -> str:
     return path
 
 
+def flagship_pipeline(spark, pages_path: str):
+    """The flagship parse -> enrich -> route -> aggregate plan over a
+    materialized pages table — THE stage chain every measurement lane
+    (bench.py's amplified record, this worker, the scaling ladder)
+    must share, so a stage change can't silently leave one lane
+    measuring a different pipeline."""
+    from vrl_spark.plans import weblog
+
+    df = spark.read.parquet(pages_path)
+    df = weblog.parse_stage(df)
+    df = weblog.enrich_stage(spark, df)
+    df = weblog.route_stage(df)
+    return weblog.aggregate_stage(df)
+
+
 def main() -> None:
     master = sys.argv[1]
     amp = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from vrl_spark.plans import weblog
     from vrl_spark.session import get_spark
 
     spark = get_spark("bench_scaling", master=master)
@@ -72,11 +86,7 @@ def main() -> None:
     n_docs, n_bytes = stats["rows"], stats["bytes"]
 
     def pipeline():
-        df = spark.read.parquet(pages_path)
-        df = weblog.parse_stage(df)
-        df = weblog.enrich_stage(spark, df)
-        df = weblog.route_stage(df)
-        return weblog.aggregate_stage(df)
+        return flagship_pipeline(spark, pages_path)
 
     # warmup (JVM JIT + parquet footing)
     pipeline().write.mode("overwrite").format("noop").save()

@@ -495,3 +495,15 @@ def test_ivfpq_probe_restriction_and_validation(
         pq.pq_residuals(
             corpus, cents, DIM, assignments=bad_assign
         ).collect()
+
+
+def test_residuals_raise_on_corpus_id_missing_from_assignments(
+    coarse, corpus
+):
+    """A corpus id absent from a stale assignments snapshot must raise
+    (left join + NULL-list_id guard), never silently vanish from the
+    index — an unindexed vector is unsearchable at any nprobe."""
+    cents, assigns = coarse
+    stale = assigns.where(F.col("vec_id") != 0)  # drop one id
+    with pytest.raises(Exception, match="has no centroid"):
+        pq.pq_residuals(corpus, cents, DIM, assignments=stale).collect()

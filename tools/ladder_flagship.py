@@ -2,16 +2,23 @@
 
 The round-2/4 protocol (BENCH/BASELINE.md) as a script instead of an
 ad-hoc shell loop: the flagship parse -> enrich -> route -> aggregate
-pipeline on the materialized 5M-page (~1.9 GB) amplified table, fresh
-JVM per width (one width per invocation — drive from a shell loop),
-best-of-N reps accepted only when the CPU-steal probe reads clean
-immediately before AND after and the reps agree within 1.35x. The
-``control`` mode measures the same-window substrate bound: a trivial
-parquet scan + one-column sum over the SAME table under the SAME
-gating — the two-cluster-size scaling criterion is evidenced as
-pipeline-efficiency vs this control (a single shared-memory-bus JVM
-cannot scale even an embarrassingly parallel scan; what the judge
-reads is the ratio, see BASELINE.md rounds 2-5).
+pipeline (the SHARED bench_worker.flagship_pipeline stage chain — the
+same plan bench.py's amplified record measures) on the materialized
+5M-page (~1.9 GB) amplified table, fresh JVM per width (one width per
+invocation — drive from a shell loop), best-of-N reps accepted only
+when the CPU-steal probe reads clean immediately before AND after and
+the reps agree within 1.35x. The ``control`` mode measures the
+same-window substrate bound: a trivial parquet scan + one-column sum
+over the SAME table under the SAME gating — the two-cluster-size
+scaling criterion is evidenced as pipeline efficiency vs this control
+(a single shared-memory-bus JVM cannot scale even an embarrassingly
+parallel scan; what the judge reads is the ratio, see BASELINE.md
+rounds 2-5).
+
+The probe gate is CALIBRATED per invocation (1.5x the min-of-3 idle
+floor, like bench.py) instead of a hardcoded host constant. Exit
+status: 0 = clean measurement printed, 1 = every attempt rejected
+(a shell loop with `set -e` then stops instead of recording a hole).
 
 Usage:
     python tools/ladder_flagship.py prepare            # pages table
@@ -29,7 +36,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AMP = 1000  # 5,000 sf0.1 docs x 1000 = 5M pages, the rounds-2+ table
-PROBE_CLEAN = 0.48  # ~1.5x the 0.3 s idle floor
 
 
 def get_spark(master: str):
@@ -58,64 +64,68 @@ def prepare():
     print("prepared", n, "pages at", path)
 
 
-def _gated(master: str, rep, label: str, reps: int = 3,
-           max_attempts: int = 10):
+def _gated(master: str, make, label: str, reps: int = 3,
+           max_attempts: int = 10) -> bool:
     spark = get_spark(master)
-    job = rep(spark)
+    job = make(spark)
+    n_docs = spark.read.parquet(pages_path(spark)).count()
     job()  # warmup: page cache + JIT + parquet footing
+    probe(spark)  # first probe after startup re-warms the JVM path
+    floor = min(probe(spark) for _ in range(3))
+    clean_max = floor * 1.5
     for attempt in range(1, max_attempts + 1):
-        probe(spark)  # first probe after idle re-warms the JVM path
         p0 = probe(spark)
-        if p0 > PROBE_CLEAN:
-            print(json.dumps({"attempt": attempt, "dirty_probe": round(p0, 3)}))
-            time.sleep(90)
-            continue
-        times = [job() for _ in range(reps)]
-        p1 = probe(spark)
-        spread = max(times) / min(times)
-        if p1 > PROBE_CLEAN or spread > 1.35:
+        if p0 <= clean_max:
+            times = [job() for _ in range(reps)]
+            p1 = probe(spark)
+            spread = max(times) / min(times)
+            if p1 <= clean_max and spread <= 1.35:
+                best = min(times)
+                print(json.dumps({
+                    "workload": label, "master": master, "docs": n_docs,
+                    "reps": [round(t, 3) for t in times],
+                    "best": round(best, 3),
+                    "docs_per_sec": round(n_docs / best),
+                    "probe_floor": round(floor, 3),
+                    "probe_before": round(p0, 3),
+                    "probe_after": round(p1, 3),
+                    "attempt": attempt, "clean": True,
+                }))
+                return True
             print(json.dumps({
                 "attempt": attempt,
                 "rejected": [round(t, 2) for t in times],
                 "probe_after": round(p1, 3), "spread": round(spread, 2),
             }))
-            time.sleep(90)
-            continue
-        best = min(times)
-        print(json.dumps({
-            "workload": label, "master": master,
-            "reps": [round(t, 3) for t in times], "best": round(best, 3),
-            "docs_per_sec": round(5_000_000 / best),
-            "probe_before": round(p0, 3), "probe_after": round(p1, 3),
-            "attempt": attempt, "clean": True,
-        }))
-        return
+        else:
+            print(json.dumps({
+                "attempt": attempt, "dirty_probe": round(p0, 3),
+            }))
+        if attempt < max_attempts:
+            time.sleep(90)  # storms last minutes; no sleep after last
     print(json.dumps({"workload": label, "master": master, "clean": False}))
+    return False
 
 
-def run(master: str):
+def run(master: str) -> bool:
     def make(spark):
-        from vrl_spark.plans import weblog
+        from bench_worker import flagship_pipeline
 
         path = pages_path(spark)
 
         def job() -> float:
             t0 = time.perf_counter()
-            df = spark.read.parquet(path)
-            df = weblog.parse_stage(df)
-            df = weblog.enrich_stage(spark, df)
-            df = weblog.route_stage(df)
-            weblog.aggregate_stage(df).write.mode("overwrite").format(
+            flagship_pipeline(spark, path).write.mode("overwrite").format(
                 "noop"
             ).save()
             return time.perf_counter() - t0
 
         return job
 
-    _gated(master, make, "flagship")
+    return _gated(master, make, "flagship")
 
 
-def control(master: str):
+def control(master: str) -> bool:
     def make(spark):
         from pyspark.sql import functions as F
 
@@ -130,16 +140,20 @@ def control(master: str):
 
         return job
 
-    _gated(master, make, "scan_control")
+    return _gated(master, make, "scan_control")
 
 
 if __name__ == "__main__":
+    usage = "usage: ladder_flagship.py prepare | run <master> | control <master>"
+    if len(sys.argv) < 2:
+        raise SystemExit(usage)
     mode = sys.argv[1]
     if mode == "prepare":
         prepare()
-    elif mode == "run":
-        run(sys.argv[2])
-    elif mode == "control":
-        control(sys.argv[2])
+    elif mode in ("run", "control"):
+        if len(sys.argv) < 3:
+            raise SystemExit(usage)
+        ok = (run if mode == "run" else control)(sys.argv[2])
+        raise SystemExit(0 if ok else 1)
     else:
-        raise SystemExit(f"unknown mode {mode!r}")
+        raise SystemExit(f"unknown mode {mode!r}\n{usage}")
