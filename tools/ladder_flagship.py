@@ -5,9 +5,15 @@ ad-hoc shell loop: the flagship parse -> enrich -> route -> aggregate
 pipeline (the SHARED bench_worker.flagship_pipeline stage chain — the
 same plan bench.py's amplified record measures) on the materialized
 5M-page (~1.9 GB) amplified table, fresh JVM per width (one width per
-invocation — drive from a shell loop), best-of-N reps accepted only
-when the CPU-steal probe reads clean immediately before AND after and
-the reps agree within 1.35x. The ``control`` mode measures the
+invocation — drive from a shell loop). Acceptance: the CPU-steal
+probe reads clean immediately before AND after, and the TWO FASTEST
+of 4 reps agree within 1.15x — the fast number must reproduce, while
+one rep is allowed to absorb a host burst (this box fires ~25 s
+steal/IO bursts every minute or two: an all-reps spread gate starves
+forever because P(some rep hit) ~ 1, yet the clean reps of every
+batch agree to within a few percent — observed round-6:
+[27.04, 2.72, 2.10], [3.23, 2.63, 27.18], [2.19, 1.97, 25.98]).
+The ``control`` mode measures the
 same-window substrate bound: a trivial parquet scan + one-column sum
 over the SAME table under the SAME gating — the two-cluster-size
 scaling criterion is evidenced as pipeline efficiency vs this control
@@ -64,7 +70,7 @@ def prepare():
     print("prepared", n, "pages at", path)
 
 
-def _gated(master: str, make, label: str, reps: int = 3,
+def _gated(master: str, make, label: str, reps: int = 4,
            max_attempts: int = 10) -> bool:
     spark = get_spark(master)
     job = make(spark)
@@ -78,8 +84,9 @@ def _gated(master: str, make, label: str, reps: int = 3,
         if p0 <= clean_max:
             times = [job() for _ in range(reps)]
             p1 = probe(spark)
-            spread = max(times) / min(times)
-            if p1 <= clean_max and spread <= 1.35:
+            fast2 = sorted(times)[:2]
+            spread = fast2[1] / fast2[0]
+            if p1 <= clean_max and spread <= 1.15:
                 best = min(times)
                 print(json.dumps({
                     "workload": label, "master": master, "docs": n_docs,
