@@ -475,3 +475,219 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic deduplication
+# ---------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iterations: int = 0,
+    centroids: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, cluster-bucketed — the SemDeDup
+    recipe (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): bucket the
+    corpus into ``n_clusters`` embedding clusters, then compare pairs
+    ONLY within a cluster by exact cosine. Semantic duplicates have
+    near-identical embeddings, so they land in the same cluster with
+    overwhelming probability; cross-cluster pairs are the deliberate
+    approximation that turns the all-pairs O(n^2) into
+    sum-over-clusters O((n/c)^2 * c).
+
+    Where :func:`cosine_dedup_pairs` buckets by sign bits (cheap,
+    geometry-blind, near-exact at very high thresholds), this buckets
+    by LEARNED geometry — the right tool at the paper's lower
+    thresholds (0.9-0.95) where sign blocks fragment true duplicate
+    groups across buckets.
+
+    Scale shape: assignment is similarity.ivf_assign — MAP-ONLY (the
+    centroids fold into one broadcast row, the argmax runs in place;
+    the corpus never expands). The self-join shuffles the corpus ONCE
+    on cluster_id (shuffle_hash-hinted — never broadcast a
+    corpus-sized side) and per-task pair work is bounded by the
+    largest cluster: ``n_clusters`` is the scale knob, raised with
+    corpus size exactly like LSH band count (the paper runs 50k
+    clusters at web scale; a hot cluster bounds a task at
+    (corpus/n_clusters * skew)^2).
+
+    ``train_iterations > 0`` refines the deterministic smallest-md5
+    sampled centroids with spherical k-means (cosine-correct, same as
+    ivf_topk's trained path); the default 0 keeps the sampled coarse
+    quantizer an oracle can replicate analytically. ``centroids``
+    overrides both (any (centroid_id, centroid_vec) frame).
+
+    Returns (id_a, id_b, cos, cluster_id) with id_a < id_b, cos
+    rounded 1e-6 — feed straight into dedup.dedup_clusters, or into
+    :func:`semantic_dedup` for the paper's keep rule. ``stats``
+    (out-param) records {"centroids": DataFrame}."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroids is None:
+        if n_clusters < 1:
+            raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+        if train_iterations > 0:
+            from vrl_spark.operators.clustering import kmeans
+
+            kstats: dict = {}
+            kmeans(
+                corpus, n_clusters, iterations=train_iterations,
+                id_col=id_col, vec_col=vec_col, spherical=True,
+                stats=kstats,
+            )
+            centroids = kstats["centroids"]
+        else:
+            centroids = ivf_centroids(corpus, n_clusters, id_col, vec_col)
+    if stats is not None:
+        stats["centroids"] = centroids
+    # norms ride on the assignment rows (one fold per ROW, map-side)
+    # so each candidate pair folds only the dot product — the naive
+    # cosine would re-fold both norms once per PAIR, tripling the
+    # dominant within-cluster scoring cost
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.col("list_id").alias("_cl"),
+        norm(F.col(vec_col)).alias("_nm"),
+    )
+    a, b = assigned.alias("a"), assigned.hint("shuffle_hash").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a._cl") == F.col("b._cl"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    from vrl_spark.functions.parse import materialize
+
+    # same float ops in the same order as cosine() (sqrt per side,
+    # multiply, divide) — bit-identical to the oracle's formulation
+    _d = F.col("a._nm") * F.col("b._nm")
+    pair_cos = F.when(
+        _d > 0, dot(F.col("a._vec"), F.col("b._vec")) / _d
+    ).otherwise(F.lit(0.0))
+    # materialize: the threshold filter would otherwise push through
+    # the projection and re-run the dot fold a second time per pair
+    scored = materialize(
+        joined,
+        cos=F.round(pair_cos, 6),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("cos"),
+        F.col("a._cl").alias("cluster_id"),
+    )
+    return scored.where(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iterations: int = 0,
+    centroids: DataFrame | None = None,
+    keep_policy: str = "centroid_far",
+    max_iterations: int = 30,
+    pairs: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, group_id, keep) — the full SemDeDup decision: pairs from
+    :func:`semantic_dedup_pairs`, duplicate GROUPS as connected
+    components (dedup.dedup_clusters — min-label propagation +
+    pointer jumping; every component stays inside one cluster because
+    edges never cross clusters), one survivor per group.
+
+    ``keep_policy``:
+    - ``"centroid_far"`` (the paper's rule): keep the member with the
+      LOWEST cosine to its cluster centroid — duplicates concentrate
+      near cluster cores, and keeping the outer example preserves the
+      most diversity per retained token (SemDeDup §3). Ties break to
+      the smallest id. One extra map-side broadcast gather (centroid
+      map) + one group-min — both on the component-member slice, not
+      the corpus.
+    - ``"min_id"``: dedup_clusters' canonical smallest-id survivor
+      (cheaper; deterministic baseline).
+
+    Docs in no pair are their own group with keep = true (singleton
+    pass-through, same contract as dedup_clusters).
+
+    ``pairs`` (optional): a precomputed / materialized
+    semantic_dedup_pairs frame — callers that also consume the pair
+    set directly should checkpoint it once and pass it here rather
+    than paying the within-cluster scoring twice. With
+    ``keep_policy='centroid_far'`` the ``centroids`` that PRODUCED the
+    pairs must ride along (the keep rule re-assigns against them;
+    foreign centroids would score members against the wrong lists)."""
+    if keep_policy not in ("centroid_far", "min_id"):
+        raise ValueError(
+            f"keep_policy must be 'centroid_far' or 'min_id', "
+            f"got {keep_policy!r}"
+        )
+    from vrl_spark.operators.dedup import dedup_clusters
+
+    pstats: dict = {}
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            corpus, n_clusters, threshold, id_col, vec_col,
+            train_iterations, centroids, stats=pstats,
+        )
+    else:
+        if centroids is None and keep_policy == "centroid_far":
+            raise ValueError(
+                "semantic_dedup: precomputed pairs with "
+                "keep_policy='centroid_far' need the centroids that "
+                "produced them"
+            )
+        pstats["centroids"] = centroids
+    ids = corpus.select(F.col(id_col))
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), ids=ids, id_col=id_col,
+        max_iterations=max_iterations, stats=stats,
+    ).withColumnRenamed("cluster_id", "group_id")
+    if stats is not None and pstats["centroids"] is not None:
+        stats["centroids"] = pstats["centroids"]
+    if keep_policy == "min_id":
+        return clusters.select(id_col, "group_id", "keep")
+    # paper rule: within each multi-member group keep the member
+    # farthest from its cluster centroid (min cosine, ties -> min id)
+    assigned = ivf_assign(
+        corpus, pstats["centroids"], id_col, vec_col
+    )
+    cmap = pstats["centroids"].agg(
+        F.map_from_arrays(
+            F.collect_list("centroid_id"),
+            F.collect_list("centroid_vec"),
+        ).alias("_cmap")
+    )
+    member = clusters.join(
+        assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
+        id_col,
+    ).join(F.broadcast(cmap)).select(
+        F.col(id_col),
+        F.col("group_id"),
+        F.struct(
+            F.round(
+                cosine(
+                    F.col(vec_col),
+                    F.element_at(F.col("_cmap"), F.col("list_id")),
+                ),
+                6,
+            ).alias("cs"),
+            F.col(id_col).alias("tie"),
+        ).alias("_key"),
+    )
+    winners = member.groupBy("group_id").agg(
+        F.min("_key").getField("tie").alias("_keep_id")
+    )
+    return member.join(winners, "group_id").select(
+        F.col(id_col),
+        F.col("group_id"),
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )

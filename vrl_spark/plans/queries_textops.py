@@ -1073,8 +1073,17 @@ _COS_SQL = """
       * sqrt(list_sum(list_transform(c.v, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 0)
 """
 
+# rounded cosine in DuckDB doubles (matches the engine's F.round(.,6)
+# discipline in ivf_assign / semantic_dedup_pairs)
+_RCOS_SQL = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> x[1] * x[2])) / NULLIF("
+    "sqrt(list_sum(list_transform({a}, y -> y * y))) * "
+    "sqrt(list_sum(list_transform({b}, y -> y * y))), 0), 6)"
+)
+
 _EMB_DEDUP_ORACLE = f"""
-WITH base AS (
+WITH RECURSIVE base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -1098,20 +1107,86 @@ b AS (
 pairs AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+-- SemDeDup lane: smallest-md5 sampled centroids (ivf_centroids),
+-- rounded-cosine argmax assignment (ivf_assign), within-cluster
+-- pairs, reachability-closure groups, centroid-far survivor
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+),
+asg AS (
+  SELECT vec_id, v, centroid_id AS list_id, cs FROM (
+    SELECT c2.vec_id, c2.v, ce.centroid_id,
+      {_RCOS_SQL.format(a='c2.v', b='ce.cv')} AS cs,
+      row_number() OVER (PARTITION BY c2.vec_id ORDER BY
+        {_RCOS_SQL.format(a='c2.v', b='ce.cv')} DESC, ce.centroid_id) AS rn
+    FROM corpus c2 CROSS JOIN cents ce
+  ) WHERE rn = 1
+),
+spairs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_RCOS_SQL.format(a='a.v', b='c.v')} AS cos
+    FROM asg a JOIN asg c ON a.list_id = c.list_id AND a.vec_id < c.vec_id
+  ) WHERE cos >= 0.99
+),
+sedges AS (
+  SELECT id_a AS src, id_b AS dst FROM spairs
+  UNION
+  SELECT id_b, id_a FROM spairs
+),
+sreach(id, r) AS (
+  SELECT src, dst FROM sedges
+  UNION
+  SELECT sreach.id, e.dst FROM sreach JOIN sedges e ON e.src = sreach.r
+),
+slabels AS (
+  SELECT id, LEAST(id, MIN(r)) AS group_id FROM sreach GROUP BY id
+),
+smember AS (
+  SELECT a.vec_id, COALESCE(l.group_id, a.vec_id) AS group_id, a.cs,
+    row_number() OVER (PARTITION BY COALESCE(l.group_id, a.vec_id)
+                       ORDER BY a.cs ASC, a.vec_id ASC) AS rn
+  FROM asg a LEFT JOIN slabels l ON l.id = a.vec_id
 )
-SELECT id_a, id_b, CAST(ROUND(cos * 1000000) AS BIGINT) AS cos_x1m
+SELECT 'signblock' AS variant, id_a, id_b,
+       CAST(ROUND(cos * 1000000) AS BIGINT) AS val
 FROM pairs WHERE cos >= 0.99
+UNION ALL
+SELECT 'sem_pairs', id_a, id_b, CAST(ROUND(cos * 1000000) AS BIGINT)
+FROM spairs
+UNION ALL
+SELECT 'sem_keep', vec_id, group_id, CAST(rn = 1 AS BIGINT)
+FROM smember
 """
 
 
 @register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup over a corpus with PLANTED duplicates
-    (every 10th vector re-enters with one dimension scaled 1.05 —
-    cosine ~0.999 to its source). Blocked-exact: sign-bit buckets +
-    exact cosine, the oracle replicating bucket and score byte-for-
-    byte in DuckDB doubles."""
-    from vrl_spark.operators.similarity import cosine_dedup_pairs
+    """Embedding near-dup over a corpus with PLANTED duplicates (every
+    10th vector re-enters with one dimension scaled 1.05 — cosine
+    ~0.999 to its source), three variants on one registry row:
+
+    - ``signblock``: blocked-exact cosine pairs (sign-bit buckets +
+      exact cosine); val = cos * 1e6.
+    - ``sem_pairs``: SemDeDup candidate pairs (smallest-md5 sampled
+      centroids -> rounded-cosine argmax clusters -> within-cluster
+      exact cosine at 0.99); val = cos * 1e6.
+    - ``sem_keep``: the full SemDeDup decision — duplicate groups as
+      pair-graph connected components, survivor = the member with the
+      LOWEST cosine to its cluster centroid (the paper's diversity-
+      preserving rule, ties -> smallest id); id_b = group_id,
+      val = keep flag.
+
+    The oracle replicates ALL of it in one DuckDB statement: sampling,
+    assignment, pair cosines, the reachability closure (recursive
+    CTE), and the keep rule."""
+    from vrl_spark.operators.similarity import (
+        cosine_dedup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select(
@@ -1125,14 +1200,33 @@ def dedup_embedding_cosine(spark, sf_dir):
             lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
         ).alias("v"),
     )
-    corpus = base.unionByName(planted)
+    corpus = base.unionByName(planted).localCheckpoint()
     pairs = cosine_dedup_pairs(
         corpus, id_col="vec_id", vec_col="v", threshold=0.99, block_bits=4
+    ).select(
+        F.lit("signblock").alias("variant"), "id_a", "id_b",
+        F.round(F.col("cos") * 1000000).cast("long").alias("val"),
     )
-    return pairs.select(
-        "id_a", "id_b",
-        F.round(F.col("cos") * 1000000).cast("long").alias("cos_x1m"),
+    sstats: dict = {}
+    sem = semantic_dedup_pairs(
+        corpus, n_clusters=32, threshold=0.99, id_col="vec_id",
+        vec_col="v", stats=sstats,
+    ).localCheckpoint()  # tiny; pays the within-cluster scoring once
+    spairs = sem.select(
+        F.lit("sem_pairs").alias("variant"), "id_a", "id_b",
+        F.round(F.col("cos") * 1000000).cast("long").alias("val"),
     )
+    keeps = semantic_dedup(
+        corpus, threshold=0.99, id_col="vec_id",
+        vec_col="v", keep_policy="centroid_far",
+        pairs=sem, centroids=sstats["centroids"],
+    ).select(
+        F.lit("sem_keep").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("group_id").alias("id_b"),
+        F.col("keep").cast("long").alias("val"),
+    )
+    return pairs.unionAll(spairs).unionAll(keeps)
 
 
 # ---------------------------------------------------------------------
