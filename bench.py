@@ -114,10 +114,12 @@ PREV_ROUND_REF = {
     "dataset_curation": 17.3,            # r5: with_fates attribution
                                          # output (full corpus + fate;
                                          # was 11.79 kept-only)
-    "dedup_embedding_cosine": 10.1,      # r6 merged: signblock 3.09 +
+    "dedup_embedding_cosine": 7.0,       # r6 merged: signblock 3.09 +
                                          # SemDeDup lanes (sem_pairs +
                                          # CC groups + centroid-far
-                                         # keep; warm local[32] solo)
+                                         # keep; warm local[32] solo
+                                         # after norm-precompute +
+                                         # pair-slice keep rule)
     "dedup_url": 0.58,
     "dataset_stratified": 0.32,
     "events_asof": 0.76,

@@ -121,13 +121,14 @@ def test_centroid_far_keep_rule(planted):
     }
 
     def cos_to_own_centroid(i):
-        best = max(
+        # min over (-cos, id): max cosine, ties to the SMALLEST
+        # centroid id — ivf_assign's rule, for any orderable id type
+        best = min(
             cents, key=lambda c: (
-                round(float(mat[i] @ cents[c] /
-                            (np.linalg.norm(mat[i]) *
-                             np.linalg.norm(cents[c]))), 6),
-                # ivf_assign ties break to the SMALLEST centroid id
-                -c if isinstance(c, int) else c,
+                -round(float(mat[i] @ cents[c] /
+                             (np.linalg.norm(mat[i]) *
+                              np.linalg.norm(cents[c]))), 6),
+                c,
             )
         )
         cv = cents[best]
@@ -166,9 +167,7 @@ def test_min_id_policy_matches_dedup_clusters(planted):
     want = sorted(
         (r.doc_id, r.cluster_id, r.keep)
         for r in dedup_clusters(
-            pairs.select(
-                F.col("id_a"), F.col("id_b")
-            ).withColumnRenamed("id_a", "id_a"),
+            pairs.select("id_a", "id_b"),
             ids=df.select(F.col("vec_id").alias("doc_id")),
             id_col="doc_id",
         ).collect()
@@ -191,3 +190,23 @@ def test_validation(planted):
         similarity.semantic_dedup_pairs(df, n_clusters=0)
     with pytest.raises(ValueError, match="keep_policy"):
         similarity.semantic_dedup(df, keep_policy="best")
+
+
+def test_foreign_centroids_raise_not_vanish(planted, spark):
+    """Precomputed pairs + a centroids frame that can't assign the
+    paired docs (empty here) must raise in-plan, never silently erase
+    duplicate groups from the verdict (ivf_assign DROPS unassignable
+    rows; the keep rule left-joins and raises on the hole)."""
+    df, _ = planted
+    pairs = similarity.semantic_dedup_pairs(
+        df, n_clusters=CENTERS * 2, threshold=THRESH
+    ).localCheckpoint()
+    assert pairs.count() > 0
+    empty = spark.createDataFrame(
+        [], "centroid_id long, centroid_vec array<double>"
+    )
+    with pytest.raises(Exception, match="no cluster assignment"):
+        similarity.semantic_dedup(
+            df, threshold=THRESH, keep_policy="centroid_far",
+            pairs=pairs, centroids=empty,
+        ).collect()

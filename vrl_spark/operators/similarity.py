@@ -151,6 +151,51 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return b
 
 
+def _blocked_exact_pairs(
+    sig: DataFrame,
+    threshold: float,
+    round6: bool = False,
+    extra: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Shared blocked-exact pair scorer behind both dedup paths
+    (:func:`cosine_dedup_pairs` sign blocks, :func:`semantic_dedup_pairs`
+    learned clusters). ``sig`` must carry ``(_id, _vec, _bucket, _nm)``
+    — id, float vector, block key, precomputed norm. Self-joins within
+    a bucket (shuffle_hash-hinted: never broadcast a corpus-sized
+    side) and scores exact cosine folding ONLY the dot product per
+    pair — the norms ride on the rows (one fold per ROW, map-side),
+    where a naive cosine() would re-fold both norms once per PAIR,
+    tripling the dominant within-bucket cost. Float-op order matches
+    :func:`cosine` exactly (sqrt per side, multiply, divide, 0.0 on
+    zero norms), so swapping a direct cosine() call for this helper is
+    bit-identical. ``extra`` carries a-side columns into the output
+    as ``[(out_name, sig_col), ...]``."""
+    from vrl_spark.functions.parse import materialize
+
+    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    _d = F.col("a._nm") * F.col("b._nm")
+    pair_cos = F.when(
+        _d > 0, dot(F.col("a._vec"), F.col("b._vec")) / _d
+    ).otherwise(F.lit(0.0))
+    # materialize: the threshold filter would otherwise push through
+    # the projection and re-run the dot fold a second time per pair
+    scored = materialize(
+        joined,
+        cos=F.round(pair_cos, 6) if round6 else pair_cos,
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("cos"),
+        *[F.col(f"a.{c}").alias(name) for name, c in (extra or [])],
+    )
+    return scored.where(F.col("cos") >= threshold)
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -196,23 +241,9 @@ def cosine_dedup_pairs(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
             sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
+            norm(F.col(vec_col)).alias("_nm"),
         )
-        a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
-        joined = a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        # materialize: the filter would otherwise push through the
-        # projection and re-run the 3 cosine folds a second time per pair
-        scored = materialize(
-            joined, cos=cosine(F.col("a._vec"), F.col("b._vec"))
-        ).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("cos"),
-        )
-        return scored.where(F.col("cos") >= threshold)
+        return _blocked_exact_pairs(sig, threshold)
 
     sig = df.select(
         F.col(id_col).alias("_id"),
@@ -547,42 +578,15 @@ def semantic_dedup_pairs(
             centroids = ivf_centroids(corpus, n_clusters, id_col, vec_col)
     if stats is not None:
         stats["centroids"] = centroids
-    # norms ride on the assignment rows (one fold per ROW, map-side)
-    # so each candidate pair folds only the dot product — the naive
-    # cosine would re-fold both norms once per PAIR, tripling the
-    # dominant within-cluster scoring cost
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    sig = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.col("list_id").alias("_cl"),
+        F.col("list_id").alias("_bucket"),
         norm(F.col(vec_col)).alias("_nm"),
     )
-    a, b = assigned.alias("a"), assigned.hint("shuffle_hash").alias("b")
-    joined = a.join(
-        b,
-        (F.col("a._cl") == F.col("b._cl"))
-        & (F.col("a._id") < F.col("b._id")),
+    return _blocked_exact_pairs(
+        sig, threshold, round6=True, extra=[("cluster_id", "_bucket")]
     )
-    from vrl_spark.functions.parse import materialize
-
-    # same float ops in the same order as cosine() (sqrt per side,
-    # multiply, divide) — bit-identical to the oracle's formulation
-    _d = F.col("a._nm") * F.col("b._nm")
-    pair_cos = F.when(
-        _d > 0, dot(F.col("a._vec"), F.col("b._vec")) / _d
-    ).otherwise(F.lit(0.0))
-    # materialize: the threshold filter would otherwise push through
-    # the projection and re-run the dot fold a second time per pair
-    scored = materialize(
-        joined,
-        cos=F.round(pair_cos, 6),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.col("cos"),
-        F.col("a._cl").alias("cluster_id"),
-    )
-    return scored.where(F.col("cos") >= threshold)
 
 
 def semantic_dedup(
@@ -656,9 +660,23 @@ def semantic_dedup(
     if keep_policy == "min_id":
         return clusters.select(id_col, "group_id", "keep")
     # paper rule: within each multi-member group keep the member
-    # farthest from its cluster centroid (min cosine, ties -> min id)
+    # farthest from its cluster centroid (min cosine, ties -> min id).
+    # Scored on the PAIR-GRAPH SLICE only: an id in no pair is a
+    # singleton (keep = true) by construction and never touches the
+    # assignment / group-min machinery — the naive formulation pays a
+    # second full-corpus assignment pass plus two corpus-wide shuffles
+    # to decide rows whose verdict is already known.
+    multi_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    singles = clusters.join(multi_ids, id_col, "left_anti").select(
+        id_col, "group_id", F.lit(True).alias("keep")
+    )
     assigned = ivf_assign(
-        corpus, pstats["centroids"], id_col, vec_col
+        corpus.join(multi_ids, id_col, "left_semi"),
+        pstats["centroids"], id_col, vec_col,
     )
     cmap = pstats["centroids"].agg(
         F.map_from_arrays(
@@ -666,28 +684,54 @@ def semantic_dedup(
             F.collect_list("centroid_vec"),
         ).alias("_cmap")
     )
-    member = clusters.join(
-        assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
-        id_col,
-    ).join(F.broadcast(cmap)).select(
-        F.col(id_col),
-        F.col("group_id"),
-        F.struct(
-            F.round(
-                cosine(
-                    F.col(vec_col),
-                    F.element_at(F.col("_cmap"), F.col("list_id")),
-                ),
-                6,
-            ).alias("cs"),
-            F.col(id_col).alias("tie"),
-        ).alias("_key"),
+    # left join + in-plan raise: ivf_assign DROPS rows that get no
+    # list (empty or foreign centroids frame) — an inner join here
+    # would silently erase whole duplicate groups from the verdict
+    member = (
+        clusters.join(multi_ids, id_col, "left_semi")
+        .join(
+            assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
+            id_col,
+            "left",
+        )
+        .join(F.broadcast(cmap))
+        .select(
+            F.col(id_col),
+            F.col("group_id"),
+            F.struct(
+                F.when(
+                    F.col("list_id").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("semantic_dedup: paired doc "),
+                            F.col(id_col).cast("string"),
+                            F.lit(
+                                " got no cluster assignment — empty "
+                                "or foreign centroids frame"
+                            ),
+                        )
+                    ),
+                ).otherwise(
+                    F.round(
+                        cosine(
+                            F.col(vec_col),
+                            F.element_at(
+                                F.col("_cmap"), F.col("list_id")
+                            ),
+                        ),
+                        6,
+                    )
+                ).alias("cs"),
+                F.col(id_col).alias("tie"),
+            ).alias("_key"),
+        )
     )
     winners = member.groupBy("group_id").agg(
         F.min("_key").getField("tie").alias("_keep_id")
     )
-    return member.join(winners, "group_id").select(
+    decided = member.join(winners, "group_id").select(
         F.col(id_col),
         F.col("group_id"),
         (F.col(id_col) == F.col("_keep_id")).alias("keep"),
     )
+    return decided.unionByName(singles)

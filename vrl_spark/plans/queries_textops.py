@@ -1116,12 +1116,17 @@ cents AS (
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
 ),
 asg AS (
+  -- cs computed in an inner subquery so the O(dim) fold runs ONCE
+  -- per (row x centroid), not again inside the window sort key
   SELECT vec_id, v, centroid_id AS list_id, cs FROM (
-    SELECT c2.vec_id, c2.v, ce.centroid_id,
-      {_RCOS_SQL.format(a='c2.v', b='ce.cv')} AS cs,
-      row_number() OVER (PARTITION BY c2.vec_id ORDER BY
-        {_RCOS_SQL.format(a='c2.v', b='ce.cv')} DESC, ce.centroid_id) AS rn
-    FROM corpus c2 CROSS JOIN cents ce
+    SELECT vec_id, v, centroid_id, cs,
+      row_number() OVER (PARTITION BY vec_id ORDER BY
+        cs DESC, centroid_id) AS rn
+    FROM (
+      SELECT c2.vec_id, c2.v, ce.centroid_id,
+        {_RCOS_SQL.format(a='c2.v', b='ce.cv')} AS cs
+      FROM corpus c2 CROSS JOIN cents ce
+    )
   ) WHERE rn = 1
 ),
 spairs AS (
