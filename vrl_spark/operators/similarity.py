@@ -245,34 +245,48 @@ def cosine_dedup_pairs(
         )
         return _blocked_exact_pairs(sig, threshold)
 
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        quantize_embedding(F.col(vec_col)).getField("q").alias("_q"),
-        sign_bucket(F.col(vec_col), block_bits).alias("_bucket"),
+    from vrl_spark.functions.parse import bind
+
+    # materialize + bind: _vec and _nm both read the quantized array
+    # through ONE evaluation — plain projections (even chained
+    # selects) CollapseProject-inline quantize_embedding once per
+    # downstream reference, and a bare norm(quantize(...)) would
+    # re-quantize per row a second time
+    qsig = materialize(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_fv"),
+        ),
+        _qn=bind(
+            quantize_embedding(F.col("_fv")).getField("q"),
+            lambda q: F.struct(q.alias("v"), norm(q).alias("n")),
+        ),
+    ).select(
+        "_id",
+        F.col("_qn").getField("v").alias("_vec"),
+        F.col("_qn").getField("n").alias("_nm"),
+        sign_bucket(F.col("_fv"), block_bits).alias("_bucket"),
     )
-    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
-    joined = a.join(
-        b,
-        (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col("a._id") < F.col("b._id")),
+    cand = _blocked_exact_pairs(qsig, threshold - quant_margin).select(
+        "id_a", "id_b"
     )
-    cand = materialize(
-        joined, qcos=cosine(F.col("a._q"), F.col("b._q"))
-    ).where(F.col("qcos") >= threshold - quant_margin).select(
-        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-    )
-    # exact verify: only candidate ids pull their float vectors
+    # exact verify: only candidate ids pull their float vectors (norms
+    # ride per ROW here too — each verified pair folds one dot)
     vecs = df.select(F.col(id_col), F.col(vec_col))
     va = vecs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
     )
     vb = vecs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
     )
+    _d = F.col("_na") * F.col("_nb")
     verified = materialize(
         cand.join(va.hint("shuffle_hash"), "id_a")
         .join(vb.hint("shuffle_hash"), "id_b"),
-        cos=cosine(F.col("_va"), F.col("_vb")),
+        cos=F.when(_d > 0, dot(F.col("_va"), F.col("_vb")) / _d)
+        .otherwise(F.lit(0.0)),
     ).select("id_a", "id_b", "cos")
     return verified.where(F.col("cos") >= threshold)
 
@@ -561,6 +575,16 @@ def semantic_dedup_pairs(
     (out-param) records {"centroids": DataFrame}."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroids is not None and centroids.isEmpty():
+        # ivf_assign DROPS unassignable rows, so an empty caller-
+        # supplied frame would silently yield ZERO pairs (every doc
+        # a singleton) — fail loudly instead. One limit-1 job on a
+        # frame that is tiny by contract. The internal paths inherit
+        # emptiness from the corpus itself, which IS consistent.
+        raise ValueError(
+            "semantic_dedup_pairs: centroids frame is empty — every "
+            "doc would silently become unassignable (zero pairs)"
+        )
     if centroids is None:
         if n_clusters < 1:
             raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
@@ -627,8 +651,11 @@ def semantic_dedup(
     set directly should checkpoint it once and pass it here rather
     than paying the within-cluster scoring twice. With
     ``keep_policy='centroid_far'`` the ``centroids`` that PRODUCED the
-    pairs must ride along (the keep rule re-assigns against them;
-    foreign centroids would score members against the wrong lists)."""
+    pairs must ride along: the keep rule re-assigns against them, and
+    a NON-EMPTY foreign frame is UNDETECTABLE (every vector happily
+    assigns to its nearest foreign centroid) — the verdict would be
+    scored against the wrong geometry. Empty frames and pairs/corpus
+    mismatches do fail loudly (eager check + in-plan raise)."""
     if keep_policy not in ("centroid_far", "min_id"):
         raise ValueError(
             f"keep_policy must be 'centroid_far' or 'min_id', "
@@ -642,12 +669,25 @@ def semantic_dedup(
             corpus, n_clusters, threshold, id_col, vec_col,
             train_iterations, centroids, stats=pstats,
         )
+        if keep_policy == "centroid_far":
+            # the keep rule reads the pair frame three more times
+            # (singles anti-join, corpus semi-join, member semi-join)
+            # on top of dedup_clusters' consumption; uncheckpointed,
+            # each read re-executes the whole within-cluster scoring
+            # join — the operator's dominant cost. The frame is tiny
+            # (duplicate pairs only).
+            pairs = pairs.localCheckpoint()
     else:
         if centroids is None and keep_policy == "centroid_far":
             raise ValueError(
                 "semantic_dedup: precomputed pairs with "
                 "keep_policy='centroid_far' need the centroids that "
                 "produced them"
+            )
+        if centroids is not None and centroids.isEmpty():
+            raise ValueError(
+                "semantic_dedup: centroids frame is empty — the "
+                "keep rule could not assign any paired doc"
             )
         pstats["centroids"] = centroids
     ids = corpus.select(F.col(id_col))
@@ -706,8 +746,9 @@ def semantic_dedup(
                             F.lit("semantic_dedup: paired doc "),
                             F.col(id_col).cast("string"),
                             F.lit(
-                                " got no cluster assignment — empty "
-                                "or foreign centroids frame"
+                                " got no cluster assignment — the "
+                                "pairs and corpus frames disagree "
+                                "(pairs from a different corpus?)"
                             ),
                         )
                     ),
