@@ -219,12 +219,11 @@ def test_empty_centroids_raise_not_vanish(planted, spark):
 
 
 def test_pairs_corpus_mismatch_raises_in_plan(planted, spark):
-    """Pairs whose endpoints are missing from the corpus slice used
-    for the keep rule: the assignment left-join raises in-plan rather
-    than silently dropping the hole. Exercised by scoring against a
-    corpus that is missing one paired doc's vector — the clusters
-    frame still lists the id (dedup_clusters takes ids from the pair
-    graph too), but ivf_assign has no vector for it."""
+    """Pairs whose endpoints are missing from the corpus used for the
+    keep rule raise in-plan (dedup_clusters emits corpus ids only, so
+    the hole would otherwise silently drop the doc — and its group's
+    correct survivor — from the verdict; multi_ids drives the member
+    join precisely so the left-join NULL surfaces it)."""
     df, _ = planted
     stats: dict = {}
     pairs = similarity.semantic_dedup_pairs(
@@ -232,17 +231,18 @@ def test_pairs_corpus_mismatch_raises_in_plan(planted, spark):
     ).localCheckpoint()
     some_paired = pairs.first().id_a
     hole = df.where(F.col("vec_id") != some_paired)
-    try:
-        got = similarity.semantic_dedup(
+    with pytest.raises(Exception, match="missing from the corpus"):
+        similarity.semantic_dedup(
             hole, threshold=THRESH, keep_policy="centroid_far",
             pairs=pairs, centroids=stats["centroids"],
         ).collect()
-    except Exception as e:  # the loud path: in-plan raise
-        assert "no cluster assignment" in str(e)
-    else:
-        # if dedup_clusters only emits corpus ids, the missing doc
-        # is absent from the verdict but its partners still decide
-        # correctly — either way, no silent half-group wipeout
-        ids = {r.vec_id for r in got}
-        assert some_paired not in ids
-        assert len(ids) == hole.count()
+    # min_id is indifferent to centroids: an empty frame passes
+    # through (it is never consumed) and every doc gets a verdict
+    got = similarity.semantic_dedup(
+        df, threshold=THRESH, keep_policy="min_id",
+        pairs=pairs,
+        centroids=spark.createDataFrame(
+            [], "centroid_id long, centroid_vec array<double>"
+        ),
+    )
+    assert got.count() == df.count()

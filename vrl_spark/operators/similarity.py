@@ -36,9 +36,16 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    d = norm(a) * norm(b)
+def _guarded_cosine(a: Column, b: Column, d: Column) -> Column:
+    """dot(a,b)/d with the zero-norm guard — ``d`` is the precomputed
+    norm product. THE single definition of the guarded-cosine float-op
+    order (sqrt per side upstream, multiply, divide, 0.0 sentinel):
+    cosine(), _blocked_exact_pairs, and every oracle replicate it."""
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _guarded_cosine(a, b, norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -178,10 +185,10 @@ def _blocked_exact_pairs(
         (F.col("a._bucket") == F.col("b._bucket"))
         & (F.col("a._id") < F.col("b._id")),
     )
-    _d = F.col("a._nm") * F.col("b._nm")
-    pair_cos = F.when(
-        _d > 0, dot(F.col("a._vec"), F.col("b._vec")) / _d
-    ).otherwise(F.lit(0.0))
+    pair_cos = _guarded_cosine(
+        F.col("a._vec"), F.col("b._vec"),
+        F.col("a._nm") * F.col("b._nm"),
+    )
     # materialize: the threshold filter would otherwise push through
     # the projection and re-run the dot fold a second time per pair
     scored = materialize(
@@ -270,23 +277,24 @@ def cosine_dedup_pairs(
     cand = _blocked_exact_pairs(qsig, threshold - quant_margin).select(
         "id_a", "id_b"
     )
-    # exact verify: only candidate ids pull their float vectors (norms
-    # ride per ROW here too — each verified pair folds one dot)
+    # exact verify: only candidate ids pull their float vectors.
+    # Per-PAIR cosine deliberately: candidates are sparse at dedup
+    # thresholds (|pairs| << N), so folding norms per surviving pair
+    # (3 folds x |pairs|) beats precomputing them per ROW below the
+    # join (2N folds the anti-joined majority never uses) — the
+    # opposite trade from the candidate stage, where every in-bucket
+    # pair is scored.
     vecs = df.select(F.col(id_col), F.col(vec_col))
     va = vecs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )
     vb = vecs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
-    _d = F.col("_na") * F.col("_nb")
     verified = materialize(
         cand.join(va.hint("shuffle_hash"), "id_a")
         .join(vb.hint("shuffle_hash"), "id_b"),
-        cos=F.when(_d > 0, dot(F.col("_va"), F.col("_vb")) / _d)
-        .otherwise(F.lit(0.0)),
+        cos=cosine(F.col("_va"), F.col("_vb")),
     ).select("id_a", "id_b", "cos")
     return verified.where(F.col("cos") >= threshold)
 
@@ -599,7 +607,14 @@ def semantic_dedup_pairs(
             )
             centroids = kstats["centroids"]
         else:
-            centroids = ivf_centroids(corpus, n_clusters, id_col, vec_col)
+            # localCheckpoint: the sampled-centroid lineage is a full
+            # corpus TakeOrdered — downstream consumers (the assign
+            # fold here, semantic_dedup's isEmpty + keep rule via
+            # stats["centroids"]) would each re-execute it otherwise.
+            # kmeans checkpoints its own centroids already.
+            centroids = ivf_centroids(
+                corpus, n_clusters, id_col, vec_col
+            ).localCheckpoint()
     if stats is not None:
         stats["centroids"] = centroids
     sig = ivf_assign(corpus, centroids, id_col, vec_col).select(
@@ -684,7 +699,12 @@ def semantic_dedup(
                 "keep_policy='centroid_far' need the centroids that "
                 "produced them"
             )
-        if centroids is not None and centroids.isEmpty():
+        if keep_policy == "centroid_far" and centroids.isEmpty():
+            # only the centroid_far keep rule consumes centroids —
+            # min_id with a (useless) empty frame stays valid. The
+            # check executes the frame's lineage once: pass a
+            # materialized frame (stats["centroids"] from
+            # semantic_dedup_pairs already is).
             raise ValueError(
                 "semantic_dedup: centroids frame is empty — the "
                 "keep rule could not assign any paired doc"
@@ -724,11 +744,15 @@ def semantic_dedup(
             F.collect_list("centroid_vec"),
         ).alias("_cmap")
     )
-    # left join + in-plan raise: ivf_assign DROPS rows that get no
-    # list (empty or foreign centroids frame) — an inner join here
-    # would silently erase whole duplicate groups from the verdict
+    # multi_ids DRIVES the join: a pair endpoint missing from the
+    # corpus is absent from clusters (dedup_clusters emits corpus ids
+    # only) and from the assignment — left joins surface the hole as
+    # a NULL group_id and the in-plan raise makes the pairs/corpus
+    # mismatch loud instead of silently dropping the doc (and its
+    # group's correct survivor) from the verdict.
     member = (
-        clusters.join(multi_ids, id_col, "left_semi")
+        multi_ids
+        .join(clusters, id_col, "left")
         .join(
             assigned.select(F.col(id_col), F.col(vec_col), "list_id"),
             id_col,
@@ -737,19 +761,32 @@ def semantic_dedup(
         .join(F.broadcast(cmap))
         .select(
             F.col(id_col),
-            F.col("group_id"),
+            F.when(
+                F.col("group_id").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("semantic_dedup: paired doc "),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " is missing from the corpus (pairs "
+                            "from a different corpus?)"
+                        ),
+                    )
+                ),
+            ).otherwise(F.col("group_id")).alias("group_id"),
             F.struct(
+                # defensive only: with the eager empty check above, a
+                # corpus-present doc always assigns (even a NULL
+                # vector cosines to 0.0 and picks a list) — but a
+                # NULL cs here would sort FIRST in the group-min and
+                # silently crown the wrong survivor, so raise
                 F.when(
                     F.col("list_id").isNull(),
                     F.raise_error(
                         F.concat(
                             F.lit("semantic_dedup: paired doc "),
                             F.col(id_col).cast("string"),
-                            F.lit(
-                                " got no cluster assignment — the "
-                                "pairs and corpus frames disagree "
-                                "(pairs from a different corpus?)"
-                            ),
+                            F.lit(" got no cluster assignment"),
                         )
                     ),
                 ).otherwise(
