@@ -607,14 +607,19 @@ def semantic_dedup_pairs(
             )
             centroids = kstats["centroids"]
         else:
-            # localCheckpoint: the sampled-centroid lineage is a full
+            # persist (lazy): the sampled-centroid lineage is a full
             # corpus TakeOrdered — downstream consumers (the assign
             # fold here, semantic_dedup's isEmpty + keep rule via
             # stats["centroids"]) would each re-execute it otherwise.
-            # kmeans checkpoints its own centroids already.
+            # Deliberately NOT an eager localCheckpoint: this is a
+            # plan builder and must stay action-free at call time.
+            # The frame is n_clusters rows; kmeans materializes its
+            # own centroids already.
+            from pyspark import StorageLevel
+
             centroids = ivf_centroids(
                 corpus, n_clusters, id_col, vec_col
-            ).localCheckpoint()
+            ).persist(StorageLevel.MEMORY_AND_DISK)
     if stats is not None:
         stats["centroids"] = centroids
     sig = ivf_assign(corpus, centroids, id_col, vec_col).select(
@@ -669,8 +674,12 @@ def semantic_dedup(
     pairs must ride along: the keep rule re-assigns against them, and
     a NON-EMPTY foreign frame is UNDETECTABLE (every vector happily
     assigns to its nearest foreign centroid) — the verdict would be
-    scored against the wrong geometry. Empty frames and pairs/corpus
-    mismatches do fail loudly (eager check + in-plan raise)."""
+    scored against the wrong geometry. Under ``centroid_far``, empty
+    frames and pairs/corpus mismatches DO fail loudly (eager check +
+    in-plan raise); ``min_id`` never reads vectors and TRUSTS the
+    caller — a pair endpoint missing from ``corpus`` silently labels
+    its group with an id that is never emitted (a zero-survivor
+    group), so validate pair provenance externally on that path."""
     if keep_policy not in ("centroid_far", "min_id"):
         raise ValueError(
             f"keep_policy must be 'centroid_far' or 'min_id', "
@@ -686,11 +695,12 @@ def semantic_dedup(
         )
         if keep_policy == "centroid_far":
             # the keep rule reads the pair frame three more times
-            # (singles anti-join, corpus semi-join, member semi-join)
-            # on top of dedup_clusters' consumption; uncheckpointed,
-            # each read re-executes the whole within-cluster scoring
-            # join — the operator's dominant cost. The frame is tiny
-            # (duplicate pairs only).
+            # (multi_ids feeds the singles anti-join, the assignment
+            # corpus semi-join, and the member join) on top of
+            # dedup_clusters' consumption; uncheckpointed, each read
+            # re-executes the whole within-cluster scoring join — the
+            # operator's dominant cost. The frame is tiny (duplicate
+            # pairs only).
             pairs = pairs.localCheckpoint()
     else:
         if centroids is None and keep_policy == "centroid_far":
@@ -702,9 +712,9 @@ def semantic_dedup(
         if keep_policy == "centroid_far" and centroids.isEmpty():
             # only the centroid_far keep rule consumes centroids —
             # min_id with a (useless) empty frame stays valid. The
-            # check executes the frame's lineage once: pass a
-            # materialized frame (stats["centroids"] from
-            # semantic_dedup_pairs already is).
+            # check runs the frame's lineage once: stats["centroids"]
+            # from semantic_dedup_pairs is persisted, so this first
+            # action warms the cache the keep rule then reuses.
             raise ValueError(
                 "semantic_dedup: centroids frame is empty — the "
                 "keep rule could not assign any paired doc"
