@@ -129,7 +129,10 @@ PREV_ROUND_REF = {
     "text_vocab_stats": 0.85,
     "text_chunks": 0.32,
     "text_domain_stats": 0.43,
-    "dataset_weighted_sample": 0.28,
+    "dataset_weighted_sample": 3.9,     # r6 merged: E-S 0.28 + DSIR
+                                        # lane (2 featurize count-aggs
+                                        # + map-only scoring + Gumbel
+                                        # top-k; warm local[32] solo)
     "events_funnel": 0.43,
     "text_profile_stats": 0.25,
     "pipeline_log_templates": 0.33,

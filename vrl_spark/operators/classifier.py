@@ -165,16 +165,16 @@ def _weight_array(
     )
 
 
-def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
-    """Map-side margin: fold the gram buckets through the weight
-    array, normalize by the gram total, add the bias (last slot)."""
-    acc = F.aggregate(
+def bucket_sum(bks: Column, w_arr: Column) -> Column:
+    """Map-side fold of gram buckets through a dense weight array
+    (shared by the classifier margin and dsir importance scoring).
+    Feature lookups are hard-bounded BELOW the bias slot: a bucket id
+    at/beyond the frame's bias row (mismatched num_buckets) reads 0.0
+    — never the bias, never an ANSI INVALID_ARRAY_INDEX task
+    failure."""
+    return F.aggregate(
         bks,
         F.lit(0.0),
-        # feature lookups are hard-bounded BELOW the bias slot: a
-        # bucket id at/beyond the frame's bias row (mismatched
-        # num_buckets) reads 0.0 — never the bias, never an ANSI
-        # INVALID_ARRAY_INDEX task failure
         lambda a, b: F.when(
             (b + 1).cast("int") < F.size(w_arr),
             a + F.coalesce(
@@ -182,7 +182,12 @@ def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
             ),
         ).otherwise(a),
     )
-    return acc / total + F.element_at(w_arr, F.size(w_arr))
+
+
+def _margin(bks: Column, total: Column, w_arr: Column) -> Column:
+    """Map-side margin: fold the gram buckets through the weight
+    array, normalize by the gram total, add the bias (last slot)."""
+    return bucket_sum(bks, w_arr) / total + F.element_at(w_arr, F.size(w_arr))
 
 
 def train_logistic(

@@ -1,0 +1,191 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Select raw-corpus examples whose hashed-n-gram distribution looks
+like a small TARGET corpus: fit bag-of-hashed-ngrams unigram models
+over feature buckets on both corpora, weight every raw doc by the
+log-likelihood ratio of its grams, and resample with Gumbel-top-k —
+sampling without replacement with inclusion probability proportional
+to the (exponentiated) importance weights.
+
+The whole recipe is three relational jobs, each 100 TB-shaped:
+
+- :func:`dsir_fit`: two bucket-count aggregations (target + raw)
+  left-joined onto the dense bucket range (``num_buckets`` rows —
+  tiny), totals attached as 1-row broadcast crossJoins. The only
+  corpus-scale work is the two counts, bounded at ``num_buckets``
+  cells per task by map-side partial aggregation.
+- :func:`dsir_score`: MAP-ONLY — the (bucket, log-ratio) frame folds
+  into one broadcast array (classifier's dense-weight pattern) and
+  every doc sums its gram lookups in place; the corpus never
+  shuffles and no Python runs.
+- :func:`dsir_sample`: key = log-weight + Gumbel(md5 fraction);
+  top-n lowers to TakeOrderedAndProject per-partition heaps and the
+  rank window runs on n rows (same shape as
+  sampling.weighted_sample).
+
+Feature space = classifier.ngram_buckets (hashed word unigrams +
+adjacent bigrams), so a DuckDB oracle replicates every bucket id
+with the md5 family and the fitted models with two GROUP BYs — see
+the dataset_weighted_sample registry vehicle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vrl_spark.operators.classifier import (
+    _weight_array,
+    bucket_sum,
+    featurize,
+)
+
+
+def dsir_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 128,
+    alpha: float = 1.0,
+    engine: str = "xxh",
+    seed: str | None = None,
+) -> DataFrame:
+    """(bucket, weight) log-likelihood-ratio frame:
+    ``weight[b] = ln p_target[b] - ln p_raw[b]`` with add-``alpha``
+    smoothing over hashed unigram+bigram counts
+    (``p[b] = (c_b + alpha) / (total + alpha * num_buckets)``), plus
+    the bias row at bucket ``num_buckets`` with weight 0.0 that sizes
+    the dense scoring array (classifier._weight_array contract).
+
+    An empty target or raw corpus raises IN-PLAN at first action
+    (p would be undefined; a NULL-weight frame would silently score
+    every doc NULL). This stays a lazy plan builder — no job runs at
+    call time."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        feats = featurize(df, text_col, id_col, None, num_buckets, engine, seed)
+        return (
+            feats.select(F.explode("bks").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias(name))
+        )
+
+    tc = counts(target, "_tc")
+    rc = counts(raw, "_rc")
+    # totals as 1-row broadcast attaches (collect-free scalar pattern)
+    tt = tc.agg(F.sum("_tc").alias("_tt"))
+    rt = rc.agg(F.sum("_rc").alias("_rt"))
+    spark = target.sparkSession
+    buckets = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    a, b = float(alpha), float(num_buckets)
+    ratio = (
+        F.log((F.coalesce(F.col("_tc"), F.lit(0.0)) + a) / (F.col("_tt") + a * b))
+        - F.log((F.coalesce(F.col("_rc"), F.lit(0.0)) + a) / (F.col("_rt") + a * b))
+    )
+    weights = (
+        buckets.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            F.col("bucket"),
+            F.when(
+                F.col("_tt").isNull() | F.col("_rt").isNull(),
+                F.raise_error(
+                    "dsir_fit: empty target or raw corpus — the "
+                    "bucket models are undefined"
+                ),
+            ).otherwise(ratio).alias("weight"),
+        )
+    )
+    bias = spark.range(1).select(
+        F.lit(num_buckets).cast("long").alias("bucket"),
+        F.lit(0.0).alias("weight"),
+    )
+    return weights.unionByName(bias)
+
+
+def dsir_score(
+    corpus: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 128,
+    engine: str = "xxh",
+    seed: str | None = None,
+) -> DataFrame:
+    """(id, log_weight) — per-doc importance log-weight
+    ``sum_b count_b(x) * weight[b]`` (the log of the paper's product
+    of per-gram likelihood ratios). Map-only: one 1-row broadcast
+    crossJoin of the dense weight array, then a per-doc JVM fold —
+    the corpus never shuffles. ``num_buckets`` must match the space
+    the weights were fitted in (enforced loudly by the weight-array
+    fold). NULL-text docs are dropped (featurize contract)."""
+    feats = featurize(corpus, text_col, id_col, None, num_buckets, engine, seed)
+    warr = _weight_array(weights, num_buckets)
+    return feats.crossJoin(F.broadcast(warr)).select(
+        F.col(id_col),
+        bucket_sum(F.col("bks"), F.col("w_arr")).alias("log_weight"),
+    )
+
+
+def _gumbel(col: Column, salt: str) -> Column:
+    """Deterministic standard-Gumbel draw from md5(salt|id): map the
+    top 8 hex chars to u = (h + 0.5) / 2^32 — strictly inside (0,1),
+    so neither log can hit 0 or -inf — then g = -ln(-ln(u))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    return -F.log(-F.log(u))
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    weights: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 128,
+    engine: str = "xxh",
+    seed: str | None = None,
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id, log_weight, sample_rank) — the paper's resampling step:
+    Gumbel-top-k without replacement, inclusion probability
+    proportional to exp(log_weight). key = log_weight + Gumbel(md5
+    fraction of salt|id); the n largest keys win; fully reproducible
+    (a pure function of salt, id and the fitted weights). Join the
+    winning ids (n rows — broadcastable) back to the corpus for full
+    rows.
+
+    Scale: scoring is map-only; top-n lowers to
+    TakeOrderedAndProject per-partition heaps (no global sort); the
+    rank window runs on n rows."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    scored = dsir_score(
+        corpus, weights, text_col, id_col, num_buckets, engine, seed
+    )
+    ranked = (
+        scored.withColumn("_key", F.col("log_weight") + _gumbel(F.col(id_col), salt))
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    win = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn(
+            "sample_rank", F.row_number().over(win).cast("long")
+        ).select(id_col, "log_weight", "sample_rank")
+    )

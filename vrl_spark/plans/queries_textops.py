@@ -1974,9 +1974,17 @@ def graph_pagerank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# deterministic weighted sampling (quality-weighted subset)
+# deterministic weighted sampling (quality-weighted subset) + DSIR
+# importance resampling, two variants on one registry row
 # ---------------------------------------------------------------------
-# weight = doc token count; same md5-fraction + power key in DuckDB.
+# es lane: weight = doc token count; same md5-fraction + power key in
+# DuckDB. dsir lane: the FULL DSIR recipe (Xie et al. 2023) — hashed
+# unigram+bigram bucket models fit on a target split (doc_id % 7 = 0)
+# vs the raw pool, per-doc log-likelihood-ratio weights, Gumbel-top-k
+# resampling — every bucket id, both fitted models, every log-weight
+# and every Gumbel key replicated in DuckDB (md5 feature family, the
+# classifier oracle's featurization CTEs, the (h + 0.5) / 2^32
+# strictly-interior uniform).
 
 _WSAMPLE_ORACLE = """
 WITH h AS (
@@ -1997,23 +2005,103 @@ r AS (
   SELECT doc_id, n_tokens,
     ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS sample_rank
   FROM k
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, unnest(list_concat(tk,
+    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))) AS g
+  FROM toks
+),
+feats AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 128 AS bucket
+  FROM grams
+),
+tcnt AS (
+  SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM feats
+  WHERE doc_id % 7 = 0 GROUP BY bucket
+),
+rcnt AS (
+  SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM feats
+  WHERE doc_id % 7 != 0 GROUP BY bucket
+),
+ratio AS (
+  SELECT b.bucket,
+      ln((COALESCE(t.c, 0) + 1.0) / ((SELECT SUM(c) FROM tcnt) + 128.0))
+    - ln((COALESCE(rr.c, 0) + 1.0) / ((SELECT SUM(c) FROM rcnt) + 128.0))
+    AS w
+  FROM (SELECT unnest(range(0, 128)) AS bucket) b
+  LEFT JOIN tcnt t ON b.bucket = t.bucket
+  LEFT JOIN rcnt rr ON b.bucket = rr.bucket
+),
+lw AS (
+  SELECT f.doc_id, SUM(ra.w) AS logw
+  FROM feats f JOIN ratio ra ON f.bucket = ra.bucket
+  WHERE f.doc_id % 7 != 0 GROUP BY f.doc_id
+),
+gk AS (
+  SELECT doc_id, logw,
+    logw + (-ln(-ln((list_sum(list_transform(generate_series(1, 8),
+      kk -> (strpos('0123456789abcdef',
+                    substr(md5('dsir|' || doc_id), kk, 1)) - 1)
+            * power(16, 8 - kk))) + 0.5) / 4294967296.0))) AS key
+  FROM lw
+),
+dr AS (
+  SELECT doc_id, logw,
+    ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS sample_rank
+  FROM gk
 )
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT 'es' AS variant, doc_id, CAST(n_tokens AS BIGINT) AS val,
   CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 50
+UNION ALL
+SELECT 'dsir', doc_id, CAST(ROUND(logw * 1000000) AS BIGINT),
+  CAST(sample_rank AS BIGINT)
+FROM dr WHERE sample_rank <= 50
 """
 
 
 @register("dataset_weighted_sample", _WSAMPLE_ORACLE)
 def dataset_weighted_sample(spark, sf_dir):
-    from vrl_spark.operators import sampling
+    """Two deterministic sampling recipes on one row:
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    - ``es``: Efraimidis-Spirakis A-Res weighted sampling without
+      replacement, weight = token count (sampling.weighted_sample);
+      val = n_tokens.
+    - ``dsir``: DSIR importance resampling (operators/dsir.py) —
+      target split doc_id % 7 = 0, raw pool the rest, add-1 smoothed
+      hashed-n-gram bucket models (md5 engine, 128 buckets), per-doc
+      log-likelihood-ratio weights, Gumbel-top-k; val = log-weight
+      x1e6. The oracle refits BOTH bucket models and re-derives every
+      log-weight and Gumbel key in DuckDB."""
+    from vrl_spark.operators import dsir, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    es = sampling.weighted_sample(
+        docs.select(
+            "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+        ),
+        "n_tokens", n=50, id_col="doc_id", salt="wsample",
+    ).select(
+        F.lit("es").alias("variant"), "doc_id",
+        F.col("n_tokens").cast("long").alias("val"),
+        "sample_rank",
     )
-    return sampling.weighted_sample(
-        docs, "n_tokens", n=50, id_col="doc_id", salt="wsample"
-    ).select("doc_id", "n_tokens", "sample_rank")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    w = dsir.dsir_fit(target, raw, num_buckets=128, alpha=1.0, engine="md5")
+    picked = dsir.dsir_sample(
+        raw, w, n=50, num_buckets=128, engine="md5", salt="dsir"
+    ).select(
+        F.lit("dsir").alias("variant"), "doc_id",
+        F.round(F.col("log_weight") * 1000000).cast("long").alias("val"),
+        "sample_rank",
+    )
+    return es.unionAll(picked)
 
 
 # ---------------------------------------------------------------------
