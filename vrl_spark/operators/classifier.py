@@ -119,7 +119,7 @@ def featurize(
     return out.withColumn("total", F.size("bks").cast("double"))
 
 
-def _weight_array(
+def weight_array(
     weights: DataFrame, num_buckets: int | None = None
 ) -> DataFrame:
     """Fold the (bucket, weight) frame into ONE row holding the dense
@@ -219,7 +219,7 @@ def train_logistic(
         F.col("id").alias("bucket"), F.lit(0.0).alias("weight")
     ).localCheckpoint()
     for _ in range(epochs):
-        warr = _weight_array(weights)
+        warr = weight_array(weights)
         resid = feats.crossJoin(F.broadcast(warr)).select(
             "bks", "total",
             (
@@ -268,7 +268,7 @@ def score(
     no shuffle, no Python. Pass ``num_buckets`` (the width the feats
     were hashed with) to fail loudly on a weights frame from a
     different bucket space instead of scoring through 0.0 holes."""
-    warr = _weight_array(weights, num_buckets)
+    warr = weight_array(weights, num_buckets)
     return feats.crossJoin(F.broadcast(warr)).withColumn(
         out_col,
         F.lit(1.0)

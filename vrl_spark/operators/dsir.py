@@ -36,10 +36,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vrl_spark.operators.classifier import (
-    _weight_array,
     bucket_sum,
     featurize,
+    weight_array,
 )
+from vrl_spark.operators.sampling import _hash_frac, top_n_ranked
 
 
 def dsir_fit(
@@ -51,13 +52,21 @@ def dsir_fit(
     alpha: float = 1.0,
     engine: str = "xxh",
     seed: str | None = None,
+    raw_feats: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, weight) log-likelihood-ratio frame:
     ``weight[b] = ln p_target[b] - ln p_raw[b]`` with add-``alpha``
     smoothing over hashed unigram+bigram counts
     (``p[b] = (c_b + alpha) / (total + alpha * num_buckets)``), plus
     the bias row at bucket ``num_buckets`` with weight 0.0 that sizes
-    the dense scoring array (classifier._weight_array contract).
+    the dense scoring array (classifier.weight_array contract).
+
+    ``raw_feats``: a precomputed ``featurize(raw, ...)`` frame (same
+    text/id/num_buckets/engine/seed) — callers that also SCORE the
+    raw pool should featurize it once, persist/checkpoint it, and
+    pass it to both fit and score; otherwise the raw corpus pays the
+    md5 split+hash pass twice (Spark performs no common-subplan
+    elimination across the two consumers).
 
     An empty target or raw corpus raises IN-PLAN at first action
     (p would be undefined; a NULL-weight frame would silently score
@@ -68,16 +77,20 @@ def dsir_fit(
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        feats = featurize(df, text_col, id_col, None, num_buckets, engine, seed)
+    def counts(feats: DataFrame, name: str) -> DataFrame:
         return (
             feats.select(F.explode("bks").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("double").alias(name))
         )
 
-    tc = counts(target, "_tc")
-    rc = counts(raw, "_rc")
+    if raw_feats is None:
+        raw_feats = featurize(raw, text_col, id_col, None, num_buckets, engine, seed)
+    tc = counts(
+        featurize(target, text_col, id_col, None, num_buckets, engine, seed),
+        "_tc",
+    )
+    rc = counts(raw_feats, "_rc")
     # totals as 1-row broadcast attaches (collect-free scalar pattern)
     tt = tc.agg(F.sum("_tc").alias("_tt"))
     rt = rc.agg(F.sum("_rc").alias("_rt"))
@@ -119,6 +132,7 @@ def dsir_score(
     num_buckets: int = 128,
     engine: str = "xxh",
     seed: str | None = None,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, log_weight) — per-doc importance log-weight
     ``sum_b count_b(x) * weight[b]`` (the log of the paper's product
@@ -126,9 +140,11 @@ def dsir_score(
     crossJoin of the dense weight array, then a per-doc JVM fold —
     the corpus never shuffles. ``num_buckets`` must match the space
     the weights were fitted in (enforced loudly by the weight-array
-    fold). NULL-text docs are dropped (featurize contract)."""
-    feats = featurize(corpus, text_col, id_col, None, num_buckets, engine, seed)
-    warr = _weight_array(weights, num_buckets)
+    fold). NULL-text docs are dropped (featurize contract).
+    ``feats``: a precomputed featurize frame (see dsir_fit)."""
+    if feats is None:
+        feats = featurize(corpus, text_col, id_col, None, num_buckets, engine, seed)
+    warr = weight_array(weights, num_buckets)
     return feats.crossJoin(F.broadcast(warr)).select(
         F.col(id_col),
         bucket_sum(F.col("bks"), F.col("w_arr")).alias("log_weight"),
@@ -136,17 +152,11 @@ def dsir_score(
 
 
 def _gumbel(col: Column, salt: str) -> Column:
-    """Deterministic standard-Gumbel draw from md5(salt|id): map the
-    top 8 hex chars to u = (h + 0.5) / 2^32 — strictly inside (0,1),
-    so neither log can hit 0 or -inf — then g = -ln(-ln(u))."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8
-        ),
-        16, 10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(2**32))
-    return -F.log(-F.log(u))
+    """Deterministic standard-Gumbel draw from md5(salt|id):
+    u = (h + 0.5) / 2^32 (sampling._hash_frac with the half-step
+    offset — strictly inside (0,1), so neither log can hit 0 or
+    -inf), then g = -ln(-ln(u))."""
+    return -F.log(-F.log(_hash_frac(col, salt, offset=0.5)))
 
 
 def dsir_sample(
@@ -159,6 +169,7 @@ def dsir_sample(
     engine: str = "xxh",
     seed: str | None = None,
     salt: str = "dsir",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, log_weight, sample_rank) — the paper's resampling step:
     Gumbel-top-k without replacement, inclusion probability
@@ -166,26 +177,19 @@ def dsir_sample(
     fraction of salt|id); the n largest keys win; fully reproducible
     (a pure function of salt, id and the fitted weights). Join the
     winning ids (n rows — broadcastable) back to the corpus for full
-    rows.
+    rows. ``feats``: a precomputed featurize frame (see dsir_fit).
 
     Scale: scoring is map-only; top-n lowers to
     TakeOrderedAndProject per-partition heaps (no global sort); the
-    rank window runs on n rows."""
-    from pyspark.sql import Window
-
+    rank window runs on n rows (sampling.top_n_ranked)."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     scored = dsir_score(
-        corpus, weights, text_col, id_col, num_buckets, engine, seed
+        corpus, weights, text_col, id_col, num_buckets, engine, seed, feats
     )
-    ranked = (
-        scored.withColumn("_key", F.col("log_weight") + _gumbel(F.col(id_col), salt))
-        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
-        .limit(n)
+    keyed = scored.withColumn(
+        "_key", F.col("log_weight") + _gumbel(F.col(id_col), salt)
     )
-    win = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
-    return (
-        ranked.withColumn(
-            "sample_rank", F.row_number().over(win).cast("long")
-        ).select(id_col, "log_weight", "sample_rank")
+    return top_n_ranked(keyed, "_key", n, id_col).select(
+        id_col, "log_weight", "sample_rank"
     )

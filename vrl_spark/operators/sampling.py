@@ -165,12 +165,19 @@ def pack_documents(
     return df.join(packed, id_col)
 
 
-def _hash_frac(col: Column, salt: str) -> Column:
-    """[0,1) bucket from md5(salt|value) — shared with hash_split."""
-    return F.conv(
+def _hash_frac(col: Column, salt: str, offset: float = 0.0) -> Column:
+    """[0,1) bucket from md5(salt|value) — shared with hash_split.
+    ``offset=0.5`` shifts the 32-bit integer half a step before the
+    divide, giving the strictly-interior (0,1) uniform dsir's Gumbel
+    transform needs (neither log can hit 0 or -inf). The default 0.0
+    keeps the oracle-pinned [0,1) expression byte-identical."""
+    h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
         16, 10,
-    ).cast("double") / F.lit(float(2**32))
+    ).cast("double")
+    if offset:
+        h = h + F.lit(float(offset))
+    return h / F.lit(float(2**32))
 
 
 def sample_per_stratum(
@@ -381,20 +388,31 @@ def weighted_sample(
     TakeOrderedAndProject per-partition heaps (no global sort); the
     rank window runs on n rows.
     """
-    from pyspark.sql import Window
-
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     w = F.col(weight_col).cast("double")
     key = F.pow(_hash_frac(F.col(id_col), salt), 1.0 / w)
-    ranked = (
-        df.where(w > 0)
-        .withColumn("_key", key)
-        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
-        .limit(n)
-    )
-    win = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
-    return (
-        ranked.withColumn("sample_rank", F.row_number().over(win).cast("long"))
-        .drop("_key")
+    return top_n_ranked(
+        df.where(w > 0).withColumn("_key", key), "_key", n, id_col
+    ).drop("_key")
+
+
+def top_n_ranked(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """The shared top-n-with-rank idiom (weighted_sample, dsir):
+    n largest keys win, ties break to the smallest id, ``rank_col``
+    is 1..n by (key desc, id asc). ``orderBy().limit(n)`` lowers to
+    TakeOrderedAndProject per-partition heaps — no global sort — and
+    the rank window runs on the n survivors only."""
+    from pyspark.sql import Window
+
+    ranked = df.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(n)
+    win = Window.orderBy(F.col(key_col).desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        rank_col, F.row_number().over(win).cast("long")
     )

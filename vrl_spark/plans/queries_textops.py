@@ -2093,9 +2093,20 @@ def dataset_weighted_sample(spark, sf_dir):
     )
     target = docs.where(F.col("doc_id") % 7 == 0)
     raw = docs.where(F.col("doc_id") % 7 != 0)
-    w = dsir.dsir_fit(target, raw, num_buckets=128, alpha=1.0, engine="md5")
+    # featurize the raw pool ONCE: both the fit's count agg and the
+    # scorer fold consume it, and Spark has no cross-consumer
+    # common-subplan elimination — uncheckpointed, the md5 split+hash
+    # pass would run twice over the pool
+    from vrl_spark.operators.classifier import featurize
+
+    rfeats = featurize(raw, num_buckets=128, engine="md5").localCheckpoint()
+    w = dsir.dsir_fit(
+        target, raw, num_buckets=128, alpha=1.0, engine="md5",
+        raw_feats=rfeats,
+    )
     picked = dsir.dsir_sample(
-        raw, w, n=50, num_buckets=128, engine="md5", salt="dsir"
+        raw, w, n=50, num_buckets=128, engine="md5", salt="dsir",
+        feats=rfeats,
     ).select(
         F.lit("dsir").alias("variant"), "doc_id",
         F.round(F.col("log_weight") * 1000000).cast("long").alias("val"),
