@@ -125,6 +125,43 @@ def test_n_overflow_returns_pool(corpora):
                             engine="md5").count() == raw.count()
 
 
+def test_precomputed_feats_identical_and_guarded(corpora, spark):
+    """The raw_feats/target_feats/feats escape hatches produce
+    byte-identical results to the internal featurize path, and a
+    frame hashed into a WIDER bucket space raises in-plan instead of
+    silently dropping counts (fit) or reading 0.0 holes (score)."""
+    from vrl_spark.operators.classifier import featurize
+
+    target, raw, _, _ = corpora
+    rfeats = featurize(raw, num_buckets=B, engine="md5").localCheckpoint()
+    tfeats = featurize(target, num_buckets=B, engine="md5").localCheckpoint()
+    w_pre = dsir.dsir_fit(
+        target, raw, num_buckets=B, engine="md5",
+        raw_feats=rfeats, target_feats=tfeats,
+    )
+    w_int = dsir.dsir_fit(target, raw, num_buckets=B, engine="md5")
+    assert sorted(map(tuple, w_pre.collect())) == sorted(
+        map(tuple, w_int.collect())
+    )
+    s_pre = dsir.dsir_sample(
+        raw, w_pre, n=10, num_buckets=B, engine="md5", feats=rfeats
+    )
+    s_int = dsir.dsir_sample(raw, w_int, n=10, num_buckets=B, engine="md5")
+    assert sorted(map(tuple, s_pre.collect())) == sorted(
+        map(tuple, s_int.collect())
+    )
+    # wider-space frame: both consumers fail loudly
+    wide = featurize(raw, num_buckets=B * 4, engine="md5").localCheckpoint()
+    with pytest.raises(Exception, match="outside"):
+        dsir.dsir_fit(
+            target, raw, num_buckets=B, engine="md5", raw_feats=wide
+        ).collect()
+    with pytest.raises(Exception, match="outside"):
+        dsir.dsir_score(
+            raw, w_int, num_buckets=B, engine="md5", feats=wide
+        ).collect()
+
+
 def test_validation(corpora, spark):
     target, raw, _, _ = corpora
     with pytest.raises(ValueError, match="alpha"):

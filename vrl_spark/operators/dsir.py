@@ -12,7 +12,7 @@ The whole recipe is three relational jobs, each 100 TB-shaped:
 
 - :func:`dsir_fit`: two bucket-count aggregations (target + raw)
   left-joined onto the dense bucket range (``num_buckets`` rows —
-  tiny), totals attached as 1-row broadcast crossJoins. The only
+  tiny), totals as window sums over that joined tiny frame. The only
   corpus-scale work is the two counts, bounded at ``num_buckets``
   cells per task by map-side partial aggregation.
 - :func:`dsir_score`: MAP-ONLY — the (bucket, log-ratio) frame folds
@@ -40,7 +40,7 @@ from vrl_spark.operators.classifier import (
     featurize,
     weight_array,
 )
-from vrl_spark.operators.sampling import _hash_frac, top_n_ranked
+from vrl_spark.operators.sampling import hash_frac, top_n_ranked
 
 
 def dsir_fit(
@@ -53,6 +53,7 @@ def dsir_fit(
     engine: str = "xxh",
     seed: str | None = None,
     raw_feats: DataFrame | None = None,
+    target_feats: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, weight) log-likelihood-ratio frame:
     ``weight[b] = ln p_target[b] - ln p_raw[b]`` with add-``alpha``
@@ -61,12 +62,19 @@ def dsir_fit(
     the bias row at bucket ``num_buckets`` with weight 0.0 that sizes
     the dense scoring array (classifier.weight_array contract).
 
-    ``raw_feats``: a precomputed ``featurize(raw, ...)`` frame (same
-    text/id/num_buckets/engine/seed) — callers that also SCORE the
-    raw pool should featurize it once, persist/checkpoint it, and
-    pass it to both fit and score; otherwise the raw corpus pays the
-    md5 split+hash pass twice (Spark performs no common-subplan
-    elimination across the two consumers).
+    ``raw_feats`` / ``target_feats``: precomputed ``featurize(...)``
+    frames — callers that also SCORE the raw pool should featurize it
+    once, persist/checkpoint it, and pass it to both fit and score;
+    otherwise the raw corpus pays the md5 split+hash pass per
+    consumer (Spark performs no cross-consumer common-subplan
+    elimination). Each corpus's count frame is consumed ONCE here —
+    the model totals come from a window sum over the joined
+    ``num_buckets``-row frame (counts are integer-valued doubles, so
+    the total is exact regardless of summation order), not a second
+    agg pass. A precomputed frame hashed into a WIDER bucket space
+    raises in-plan (the count frame carries a range guard); a frame
+    from a different engine/seed at the SAME width is undetectable —
+    matching featurize parameters are the caller's contract.
 
     An empty target or raw corpus raises IN-PLAN at first action
     (p would be undefined; a NULL-weight frame would silently score
@@ -76,40 +84,63 @@ def dsir_fit(
         raise ValueError(f"alpha must be > 0, got {alpha}")
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    from pyspark.sql import Window
 
     def counts(feats: DataFrame, name: str) -> DataFrame:
-        return (
+        grouped = (
             feats.select(F.explode("bks").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("double").alias(name))
         )
+        # range guard on the GROUPED frame (<= distinct-bucket rows,
+        # not per gram): a precomputed feats frame from a wider
+        # bucket space would otherwise silently drop its out-of-range
+        # counts at the bucket join while still inflating the total
+        bucket = F.col("bucket")
+        return grouped.select(
+            F.when(
+                (bucket < 0) | (bucket >= num_buckets),
+                F.raise_error(
+                    F.concat(
+                        F.lit("dsir_fit: feature bucket "),
+                        bucket.cast("string"),
+                        F.lit(
+                            f" outside [0, {num_buckets}) — feats "
+                            "from a different num_buckets?"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(bucket).alias("bucket"),
+            F.col(name),
+        )
 
     if raw_feats is None:
         raw_feats = featurize(raw, text_col, id_col, None, num_buckets, engine, seed)
-    tc = counts(
-        featurize(target, text_col, id_col, None, num_buckets, engine, seed),
-        "_tc",
-    )
+    if target_feats is None:
+        target_feats = featurize(
+            target, text_col, id_col, None, num_buckets, engine, seed
+        )
+    tc = counts(target_feats, "_tc")
     rc = counts(raw_feats, "_rc")
-    # totals as 1-row broadcast attaches (collect-free scalar pattern)
-    tt = tc.agg(F.sum("_tc").alias("_tt"))
-    rt = rc.agg(F.sum("_rc").alias("_rt"))
     spark = target.sparkSession
     buckets = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    # totals as window sums over the joined num_buckets-row frame
+    # (single-partition window on <= num_buckets rows — trivial);
+    # sum() skips NULLs, so an empty corpus surfaces as a NULL total
+    w0 = Window.partitionBy()
+    tt, rt = F.sum("_tc").over(w0), F.sum("_rc").over(w0)
     a, b = float(alpha), float(num_buckets)
     ratio = (
-        F.log((F.coalesce(F.col("_tc"), F.lit(0.0)) + a) / (F.col("_tt") + a * b))
-        - F.log((F.coalesce(F.col("_rc"), F.lit(0.0)) + a) / (F.col("_rt") + a * b))
+        F.log((F.coalesce(F.col("_tc"), F.lit(0.0)) + a) / (tt + a * b))
+        - F.log((F.coalesce(F.col("_rc"), F.lit(0.0)) + a) / (rt + a * b))
     )
     weights = (
         buckets.join(tc, "bucket", "left")
         .join(rc, "bucket", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
         .select(
             F.col("bucket"),
             F.when(
-                F.col("_tt").isNull() | F.col("_rt").isNull(),
+                tt.isNull() | rt.isNull(),
                 F.raise_error(
                     "dsir_fit: empty target or raw corpus — the "
                     "bucket models are undefined"
@@ -141,22 +172,41 @@ def dsir_score(
     the corpus never shuffles. ``num_buckets`` must match the space
     the weights were fitted in (enforced loudly by the weight-array
     fold). NULL-text docs are dropped (featurize contract).
-    ``feats``: a precomputed featurize frame (see dsir_fit)."""
+    ``feats``: a precomputed featurize frame (see dsir_fit) —
+    validated in-plan against the bucket range (bucket_sum's bounded
+    lookup would otherwise silently read 0.0 for every out-of-range
+    feature of a wider-space frame); a same-width different-engine
+    frame is undetectable and the caller's contract."""
+    provided = feats is not None
     if feats is None:
         feats = featurize(corpus, text_col, id_col, None, num_buckets, engine, seed)
     warr = weight_array(weights, num_buckets)
+    lw = bucket_sum(F.col("bks"), F.col("w_arr"))
+    if provided:
+        bad = F.exists(
+            F.col("bks"),
+            lambda x: x.isNull() | (x < 0) | (x >= num_buckets),
+        )
+        lw = F.when(
+            bad,
+            F.raise_error(
+                f"dsir_score: feats carry a bucket outside "
+                f"[0, {num_buckets}) — frame from a different "
+                f"num_buckets?"
+            ),
+        ).otherwise(lw)
     return feats.crossJoin(F.broadcast(warr)).select(
         F.col(id_col),
-        bucket_sum(F.col("bks"), F.col("w_arr")).alias("log_weight"),
+        lw.alias("log_weight"),
     )
 
 
 def _gumbel(col: Column, salt: str) -> Column:
     """Deterministic standard-Gumbel draw from md5(salt|id):
-    u = (h + 0.5) / 2^32 (sampling._hash_frac with the half-step
+    u = (h + 0.5) / 2^32 (sampling.hash_frac with the half-step
     offset — strictly inside (0,1), so neither log can hit 0 or
     -inf), then g = -ln(-ln(u))."""
-    return -F.log(-F.log(_hash_frac(col, salt, offset=0.5)))
+    return -F.log(-F.log(hash_frac(col, salt, offset=0.5)))
 
 
 def dsir_sample(

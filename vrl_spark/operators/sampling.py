@@ -30,7 +30,7 @@ def hash_split(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0, got {total}")
     # 32-bit bucket in [0, 1): conv of 8 hex chars / 2^32
-    frac = _hash_frac(col, salt)
+    frac = hash_frac(col, salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -165,7 +165,7 @@ def pack_documents(
     return df.join(packed, id_col)
 
 
-def _hash_frac(col: Column, salt: str, offset: float = 0.0) -> Column:
+def hash_frac(col: Column, salt: str, offset: float = 0.0) -> Column:
     """[0,1) bucket from md5(salt|value) — shared with hash_split.
     ``offset=0.5`` shifts the 32-bit integer half a step before the
     divide, giving the strictly-interior (0,1) uniform dsir's Gumbel
@@ -212,7 +212,7 @@ def sample_per_stratum(
 
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    frac = _hash_frac(F.col(id_col), salt)
+    frac = hash_frac(F.col(id_col), salt)
     base = df
     if prefilter is not None:
         if prefilter <= 1.0:
@@ -301,7 +301,7 @@ def mixture_resample(
     qdf = spark.createDataFrame(
         sorted(quotas.items()), schema=f"{class_col} string, _quota long"
     )
-    frac = _hash_frac(F.col(id_col), salt)
+    frac = hash_frac(F.col(id_col), salt)
     base = df.join(F.broadcast(qdf), class_col, "inner")
     if prefilter is not None:
         if prefilter <= 1.0:
@@ -353,7 +353,7 @@ def mixture_upsample(
     fdf = spark.createDataFrame(
         sorted(factors.items()), schema=f"{class_col} string, _f double"
     )
-    frac = _hash_frac(F.col(id_col), salt)
+    frac = hash_frac(F.col(id_col), salt)
     f = F.coalesce(F.col("_f"), F.lit(1.0))
     n_copies = (
         F.floor(f) + F.when(frac < (f - F.floor(f)), 1).otherwise(0)
@@ -391,7 +391,7 @@ def weighted_sample(
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     w = F.col(weight_col).cast("double")
-    key = F.pow(_hash_frac(F.col(id_col), salt), 1.0 / w)
+    key = F.pow(hash_frac(F.col(id_col), salt), 1.0 / w)
     return top_n_ranked(
         df.where(w > 0).withColumn("_key", key), "_key", n, id_col
     ).drop("_key")

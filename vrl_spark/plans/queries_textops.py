@@ -1842,11 +1842,11 @@ FROM lmdocs CROSS JOIN lmth t
 
 def text_bigram_lm(spark, sf_dir):
     from vrl_spark.operators import retrieval as _r
-    from vrl_spark.operators.sampling import _hash_frac
+    from vrl_spark.operators.sampling import hash_frac
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text",
-        (_hash_frac(F.col("doc_id"), "lm") < 0.6).alias("_lm_train"),
+        (hash_frac(F.col("doc_id"), "lm") < 0.6).alias("_lm_train"),
     )
     return _r.bigram_perplexity(docs, train_col="_lm_train")
 
