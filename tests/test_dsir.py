@@ -152,13 +152,30 @@ def test_precomputed_feats_identical_and_guarded(corpora, spark):
     )
     # wider-space frame: both consumers fail loudly
     wide = featurize(raw, num_buckets=B * 4, engine="md5").localCheckpoint()
-    with pytest.raises(Exception, match="outside"):
+    with pytest.raises(Exception, match="raw feature bucket.*outside"):
         dsir.dsir_fit(
             target, raw, num_buckets=B, engine="md5", raw_feats=wide
         ).collect()
     with pytest.raises(Exception, match="outside"):
         dsir.dsir_score(
             raw, w_int, num_buckets=B, engine="md5", feats=wide
+        ).collect()
+    # NULL bucket ids in a hand-built frame: loud on both sides too
+    # (a NULL comparison silently takes the otherwise branch unless
+    # isNull is spelled out — the guard must not accept what the
+    # other consumer rejects)
+    nullish = rfeats.select(
+        "doc_id",
+        F.array(F.lit(None).cast("long"), F.lit(3)).alias("bks"),
+        "total",
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="NULL"):
+        dsir.dsir_fit(
+            target, raw, num_buckets=B, engine="md5", raw_feats=nullish
+        ).collect()
+    with pytest.raises(Exception, match="NULL or out-of-range"):
+        dsir.dsir_score(
+            raw, w_int, num_buckets=B, engine="md5", feats=nullish
         ).collect()
 
 

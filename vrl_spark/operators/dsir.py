@@ -86,7 +86,7 @@ def dsir_fit(
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     from pyspark.sql import Window
 
-    def counts(feats: DataFrame, name: str) -> DataFrame:
+    def counts(feats: DataFrame, name: str, label: str) -> DataFrame:
         grouped = (
             feats.select(F.explode("bks").alias("bucket"))
             .groupBy("bucket")
@@ -94,16 +94,18 @@ def dsir_fit(
         )
         # range guard on the GROUPED frame (<= distinct-bucket rows,
         # not per gram): a precomputed feats frame from a wider
-        # bucket space would otherwise silently drop its out-of-range
-        # counts at the bucket join while still inflating the total
+        # bucket space (or with NULL bucket ids — isNull spelled out,
+        # a NULL comparison silently takes the otherwise branch)
+        # would otherwise silently drop those counts at the bucket
+        # join while excluding them from the totals
         bucket = F.col("bucket")
         return grouped.select(
             F.when(
-                (bucket < 0) | (bucket >= num_buckets),
+                bucket.isNull() | (bucket < 0) | (bucket >= num_buckets),
                 F.raise_error(
                     F.concat(
-                        F.lit("dsir_fit: feature bucket "),
-                        bucket.cast("string"),
+                        F.lit(f"dsir_fit: {label} feature bucket "),
+                        F.coalesce(bucket.cast("string"), F.lit("NULL")),
                         F.lit(
                             f" outside [0, {num_buckets}) — feats "
                             "from a different num_buckets?"
@@ -120,8 +122,8 @@ def dsir_fit(
         target_feats = featurize(
             target, text_col, id_col, None, num_buckets, engine, seed
         )
-    tc = counts(target_feats, "_tc")
-    rc = counts(raw_feats, "_rc")
+    tc = counts(target_feats, "_tc", "target")
+    rc = counts(raw_feats, "_rc", "raw")
     spark = target.sparkSession
     buckets = spark.range(num_buckets).select(F.col("id").alias("bucket"))
     # totals as window sums over the joined num_buckets-row frame
@@ -181,20 +183,37 @@ def dsir_score(
     if feats is None:
         feats = featurize(corpus, text_col, id_col, None, num_buckets, engine, seed)
     warr = weight_array(weights, num_buckets)
-    lw = bucket_sum(F.col("bks"), F.col("w_arr"))
+    bks = F.col("bks")
     if provided:
-        bad = F.exists(
-            F.col("bks"),
-            lambda x: x.isNull() | (x < 0) | (x >= num_buckets),
+        # stricter fold for foreign frames, fused into the ONE array
+        # traversal (a separate F.exists pre-check would walk every
+        # doc's gram array twice on the map-only hot path): any NULL
+        # or out-of-range element raises; in-range x+1 is always
+        # below the bias slot (w_arr has num_buckets+1 entries), so
+        # the lookup never misreads the bias. A NULL bks row raises
+        # too (F.exists/aggregate over NULL is NULL, which would
+        # silently skip a condition — isNull spelled out).
+        msg = F.raise_error(
+            f"dsir_score: feats carry a NULL or out-of-range bucket "
+            f"(outside [0, {num_buckets})) — frame from a different "
+            f"num_buckets?"
         )
-        lw = F.when(
-            bad,
-            F.raise_error(
-                f"dsir_score: feats carry a bucket outside "
-                f"[0, {num_buckets}) — frame from a different "
-                f"num_buckets?"
+        fold = F.aggregate(
+            bks,
+            F.lit(0.0),
+            lambda a, x: a + F.when(
+                x.isNull() | (x < 0) | (x >= num_buckets),
+                msg.cast("double"),
+            ).otherwise(
+                F.coalesce(
+                    F.try_element_at(F.col("w_arr"), (x + 1).cast("int")),
+                    F.lit(0.0),
+                )
             ),
-        ).otherwise(lw)
+        )
+        lw = F.when(bks.isNull(), msg.cast("double")).otherwise(fold)
+    else:
+        lw = bucket_sum(bks, F.col("w_arr"))
     return feats.crossJoin(F.broadcast(warr)).select(
         F.col(id_col),
         lw.alias("log_weight"),
