@@ -1,0 +1,320 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization"
+— the SentencePiece unigram model): learned piece vocabulary via EM
+over a seed set of substrings, Viterbi segmentation for encoding.
+
+The learned-tokenizer family's second member next to
+``operators/bpe.py``; same split of labor, different loop home:
+
+- **Corpus pass (the 100 TB part) happens ONCE**: the same
+  explode -> word-count aggregation BPE uses (bpe.word_counts). All
+  training below runs on the WORD-FREQUENCY TABLE, weighted by
+  count — byte-identical to training on the raw corpus.
+- **The EM loop is DISTRIBUTED over the word table** (unlike BPE's
+  documented driver-side merge loop): at web scale the word-type
+  table reaches tens of millions of rows, so each hard-EM round is a
+  Spark job — Viterbi-segment every distinct word (Arrow-batched
+  pandas UDF, piece log-probs broadcast), explode the piece uses
+  weighted by word count, one map-side-combined agg for the M-step,
+  ``localCheckpoint`` per round (the kmeans/dedup_clusters loop
+  discipline). Only the PIECE table (vocab-sized by construction,
+  bounded by ``max_seed``) is ever collected for the broadcast.
+- **Encoding is map-only**: Viterbi with the final piece log-probs
+  broadcast into an Arrow-batched pandas UDF, per-batch memoization
+  (bpe_encode's shape).
+
+Simplifications vs full SentencePiece, stated honestly: hard EM
+(Viterbi counts) instead of forward-backward expected counts, and a
+single final prune to ``vocab_size`` by (count desc, piece asc)
+instead of iterative loss-based pruning. Both keep training fully
+deterministic and oracle/reference-replicable; the segmentation
+model class (argmax unigram LM) is identical.
+
+Word-boundary convention: every word is prefixed with the
+SentencePiece marker ``▁`` before segmentation, so decode is
+lossless for the repo-wide whitespace-lowercase tokenization:
+concat units, turn ``▁`` back into a space, strip the leading one.
+Characters unseen at training time segment as single-char pieces
+scored with a fixed unknown penalty (below every vocab piece), so
+encode never fails and decode stays lossless.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module level: pandas_udf resolves 'pd.Series' hints
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vrl_spark.operators.bpe import word_counts
+
+WB = "▁"  # ▁ SentencePiece word-boundary marker
+_UNK_GAP = 10.0  # unk piece scores this far below the worst vocab piece
+
+
+# ---------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------
+
+
+def seed_pieces(
+    words: DataFrame,
+    max_piece_len: int = 8,
+    max_seed: int = 20000,
+) -> DataFrame:
+    """(piece, cnt) — every substring up to ``max_piece_len`` of every
+    (boundary-marked) word type, counted with word frequencies; kept
+    are ALL single characters (segmentation coverage) plus the top
+    multi-char substrings by (cnt desc, piece asc) up to ``max_seed``
+    rows total. Pure Catalyst: the substring grid is a nested
+    transform over sequence(), exploded once over the word table —
+    the corpus itself is never touched."""
+    w = F.concat(F.lit(WB), F.col("word"))
+    n = F.length(w)
+    grid = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - s + 1)),
+                lambda l: F.substring(w, s, l),
+            ),
+        )
+    )
+    counts = (
+        words.select(F.explode(grid).alias("piece"), F.col("cnt"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars = counts.where(F.length("piece") == 1)
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(max_seed)
+    )
+    return chars.unionByName(multi)
+
+
+def _viterbi(word: str, logp: dict, unk: float, max_len: int):
+    """Argmax unigram segmentation. DP over end positions; ties break
+    to FEWER pieces, then to the longer last piece (smaller start) —
+    fully deterministic, mirrored by the in-test reference. Unknown
+    single chars score ``unk``."""
+    n = len(word)
+    # (score, -pieces) per prefix; back[j] = start of last piece
+    best = [(-float("inf"), 0)] * (n + 1)
+    best[0] = (0.0, 0)
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            piece = word[i:j]
+            sc = logp.get(piece)
+            if sc is None:
+                if j - i > 1:
+                    continue
+                sc = unk
+            cand = (best[i][0] + sc, best[i][1] - 1)
+            # strictly-better score/pieces wins; exact tie -> smaller
+            # i (longer last piece) wins because we scan i ascending
+            # and replace only on >
+            if cand > (best[j][0], best[j][1]) or (
+                cand == (best[j][0], best[j][1]) and i < back[j]
+            ):
+                best[j] = cand
+                back[j] = i
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def _logp_map(pieces: DataFrame) -> tuple[dict, float]:
+    """Collect the vocab-sized piece table into the broadcastable
+    (piece -> logp) dict + the unk score. The ONLY collect in the
+    module; bounded by max_seed/vocab_size by construction (same
+    contract as bpe's merge-rank collect)."""
+    import math
+
+    rows = pieces.select("piece", "cnt").collect()
+    total = sum(r.cnt for r in rows)
+    if total <= 0:
+        raise ValueError("unigram: empty piece table (empty corpus?)")
+    logp = {r.piece: math.log(r.cnt / total) for r in rows if r.cnt > 0}
+    if not logp:
+        raise ValueError("unigram: no piece has positive count")
+    return logp, min(logp.values()) - _UNK_GAP
+
+
+def _segment_words(
+    words: DataFrame, logp: dict, unk: float, max_len: int
+) -> DataFrame:
+    """(word, cnt, units array<string>) — Viterbi-segment every
+    distinct (marked) word under the current model. Arrow-batched;
+    the model rides the closure as a broadcast-sized dict."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(s: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def one(wd):
+            got = memo.get(wd)
+            if got is None:
+                got = memo[wd] = _viterbi(WB + wd, logp, unk, max_len)
+            return got
+
+        return s.map(one)
+
+    return words.select("word", "cnt", seg(F.col("word")).alias("units"))
+
+
+def unigram_train(
+    corpus: DataFrame,
+    vocab_size: int = 2000,
+    text_col: str = "text",
+    iterations: int = 3,
+    max_piece_len: int = 8,
+    max_seed: int = 20000,
+    max_types: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Train the unigram LM; returns the (piece, cnt, logp) frame
+    (single chars always retained for coverage; at most ``vocab_size``
+    rows). ``iterations`` hard-EM rounds run DISTRIBUTED over the
+    word-frequency table, then one prune to ``vocab_size`` by
+    (cnt desc, piece asc), then one final EM round renormalizes the
+    pruned model. ``stats`` (out-param) records
+    {"word_types": int, "seed_pieces": int}."""
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    words = word_counts(corpus, text_col, max_types).localCheckpoint()
+    pieces = seed_pieces(words, max_piece_len, max_seed).localCheckpoint()
+    if stats is not None:
+        stats["word_types"] = words.count()
+        stats["seed_pieces"] = pieces.count()
+
+    def em_round(p: DataFrame) -> DataFrame:
+        logp, unk = _logp_map(p)
+        segged = _segment_words(words, logp, unk, max_piece_len)
+        used = (
+            segged.select(F.explode("units").alias("piece"), F.col("cnt"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # chars must survive even when Viterbi stops using them (an
+        # unseen char at ENCODE time needs its neighbors' fallback):
+        # keep zero-count single chars with cnt 0 -> they drop from
+        # logp (cnt > 0 filter in _logp_map) but stay prunable rows
+        kept_chars = p.where(F.length("piece") == 1).select(
+            "piece", F.lit(0).cast("bigint").alias("cnt")
+        )
+        merged = (
+            used.unionByName(kept_chars)
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return merged.localCheckpoint()
+
+    for _ in range(iterations):
+        pieces = em_round(pieces)
+    # prune: every single char + top multi-char by (cnt, piece)
+    chars = pieces.where(F.length("piece") == 1)
+    n_multi = max(0, vocab_size - chars.count())
+    multi = (
+        pieces.where(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(n_multi)
+    )
+    pieces = chars.unionByName(multi).localCheckpoint()
+    pieces = em_round(pieces)
+    # informational logp column, pure Catalyst (total via a window
+    # sum over the vocab-sized frame — encode re-derives its own
+    # dict from cnt, so the two lanes cannot drift)
+    from pyspark.sql import Window
+
+    total = F.sum("cnt").over(Window.partitionBy())
+    return pieces.withColumn(
+        "logp",
+        F.when(F.col("cnt") > 0, F.log(F.col("cnt") / total)),
+    )
+
+
+# ---------------------------------------------------------------------
+# encode / decode / count
+# ---------------------------------------------------------------------
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    out_col: str = "units",
+) -> DataFrame:
+    """df + ``out_col`` array<string>: Viterbi-segment each
+    whitespace-lowercase word (boundary-marked) under the trained
+    model. Map-only: the piece log-probs broadcast into one
+    Arrow-batched pandas UDF with per-batch word memoization; decode
+    via :func:`unigram_decode_units` is lossless."""
+    logp, unk = _logp_map(pieces)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(s: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def word_units(wd):
+            got = memo.get(wd)
+            if got is None:
+                got = memo[wd] = _viterbi(WB + wd, logp, unk, max_piece_len)
+            return got
+
+        def one(t):
+            if t is None:
+                return None
+            out = []
+            for wd in t.strip().lower().split():
+                out.extend(word_units(wd))
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def unigram_decode_units(units: Column) -> Column:
+    """Lossless inverse for single-spaced lowercase text: concat the
+    units, turn each word-boundary marker back into a space, strip
+    the leading one. Pure Catalyst."""
+    joined = F.concat_ws("", units)
+    return F.ltrim(F.replace(joined, F.lit(WB), F.lit(" ")))
+
+
+def unigram_token_count(
+    pieces: DataFrame, text: Column, max_piece_len: int = 8
+) -> Column:
+    """Token count under the trained unigram model — the learned
+    counter lane for pack_documents/shard_assign budgets (same
+    contract as bpe_token_count: budgets measured in the units a
+    training run actually consumes)."""
+    logp, unk = _logp_map(pieces)
+
+    @F.pandas_udf(T.LongType())
+    def cnt(s: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def word_n(wd):
+            got = memo.get(wd)
+            if got is None:
+                got = memo[wd] = len(_viterbi(WB + wd, logp, unk, max_piece_len))
+            return got
+
+        def one(t):
+            if t is None:
+                return None
+            return sum(word_n(wd) for wd in t.strip().lower().split())
+
+        return s.map(one)
+
+    return cnt(text)
