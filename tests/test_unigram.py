@@ -150,7 +150,7 @@ def test_training_matches_reference(trained):
 
 def test_encode_matches_reference_and_roundtrips(trained, spark):
     df, pieces, _ = trained
-    enc = unigram.unigram_encode(df, pieces, max_piece_len=L)
+    enc = unigram.unigram_encode(df, pieces)
     got = {r.doc_id: r.units for r in enc.collect()}
     want_pieces = _ref_train(CORPUS, vocab_size=60, iterations=2)
     logp, unk = _ref_logp(want_pieces)
@@ -173,7 +173,7 @@ def test_unseen_chars_fallback_lossless(trained, spark):
     alien = spark.createDataFrame(
         [(0, "the zzzqx dog über fox")], ["doc_id", "text"]
     )
-    enc = unigram.unigram_encode(alien, pieces, max_piece_len=L)
+    enc = unigram.unigram_encode(alien, pieces)
     row = enc.first()
     dec = enc.select(unigram.unigram_decode_units(F.col("units")).alias("b"))
     assert dec.first().b == "the zzzqx dog über fox"
@@ -194,14 +194,48 @@ def test_prune_bound_and_determinism(trained, spark):
 
 def test_token_count_lane(trained):
     df, pieces, _ = trained
-    enc = unigram.unigram_encode(df, pieces, max_piece_len=L)
+    enc = unigram.unigram_encode(df, pieces)
     counted = df.select(
         "doc_id",
-        unigram.unigram_token_count(pieces, F.col("text"), L).alias("n"),
+        unigram.unigram_token_count(pieces, F.col("text")).alias("n"),
     )
     want = {r.doc_id: len(r.units) for r in enc.collect()}
     for r in counted.collect():
         assert r.n == want[r.doc_id]
+
+
+def test_model_reuse_and_null_and_java_ws(trained, spark):
+    """model= reuses one collect across encode and count with
+    identical results; NULL text encodes to NULL units and DECODES to
+    NULL (array_join semantics — never a silent ''); the Python
+    encode lane tokenizes with the JVM's ASCII-only whitespace
+    charset, so a U+00A0 word survives as ONE word type exactly as
+    word_counts trained it."""
+    df, pieces, _ = trained
+    model = unigram.unigram_model(pieces)
+    e1 = unigram.unigram_encode(df, None, model=model)
+    e2 = unigram.unigram_encode(df, pieces)
+    assert [r.units for r in e1.orderBy("doc_id").collect()] == [
+        r.units for r in e2.orderBy("doc_id").collect()
+    ]
+    c1 = df.select(
+        unigram.unigram_token_count(None, F.col("text"), model=model).alias("n")
+    )
+    c2 = df.select(unigram.unigram_token_count(pieces, F.col("text")).alias("n"))
+    assert [r.n for r in c1.collect()] == [r.n for r in c2.collect()]
+    # NULL text: units NULL, decode NULL
+    nul = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    enc = unigram.unigram_encode(nul, None, model=model)
+    row = enc.select(
+        "units", unigram.unigram_decode_units(F.col("units")).alias("b")
+    ).first()
+    assert row.units is None and row.b is None
+    # U+00A0 is NOT whitespace to the JVM tokenization: one word type
+    nbsp = spark.createDataFrame([(0, "the dog runs")], ["doc_id", "text"])
+    got = unigram.unigram_encode(nbsp, None, model=model).first().units
+    back = "".join(got).replace(unigram.WB, " ").lstrip()
+    assert back == "the dog runs"
+    assert sum(1 for u in got if u.startswith(unigram.WB)) == 2  # 2 words
 
 
 def test_validation(trained, spark):
@@ -239,7 +273,7 @@ def test_roundtrip_hypothesis(spark, texts):
     pieces = unigram.unigram_train(
         df, vocab_size=40, iterations=1, max_piece_len=4, max_seed=100
     )
-    enc = unigram.unigram_encode(df, pieces, max_piece_len=4)
+    enc = unigram.unigram_encode(df, pieces)
     dec = {
         r.doc_id: r.b
         for r in enc.select(

@@ -30,12 +30,29 @@ concat symbols, strip the marker, join on space.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # module level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EOW = "</w>"
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_ws_words(t: str) -> list[str]:
+    """Python-side mirror of the JVM tokenization ``word_counts``
+    trains on (``split(lower(trim(text)), '\\s+')`` + the non-empty
+    filter): Java's ``\\s`` is ASCII-only ([ \\t\\n\\x0B\\f\\r]),
+    while Python's ``str.split()`` also eats U+00A0 and other Unicode
+    whitespace — on such text the two produce DIFFERENT word types,
+    so the encode lanes must match the charset training counted with
+    or vocab mass lands on words the encoder never sees. (Case-
+    mapping differences between Java toLowerCase and ``str.lower``
+    on exotic codepoints remain out of scope.)"""
+    return [w for w in _JAVA_WS.split(t.lower()) if w]
 
 
 # ---------------------------------------------------------------------
@@ -177,7 +194,7 @@ def bpe_encode(
             if t is None:
                 return None
             out: list[str] = []
-            for w in t.strip().lower().split():
+            for w in java_ws_words(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)

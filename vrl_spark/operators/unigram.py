@@ -45,7 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from vrl_spark.operators.bpe import word_counts
+from vrl_spark.operators.bpe import java_ws_words, word_counts
 
 WB = "▁"  # ▁ SentencePiece word-boundary marker
 _UNK_GAP = 10.0  # unk piece scores this far below the worst vocab piece
@@ -64,10 +64,10 @@ def seed_pieces(
     """(piece, cnt) — every substring up to ``max_piece_len`` of every
     (boundary-marked) word type, counted with word frequencies; kept
     are ALL single characters (segmentation coverage) plus the top
-    multi-char substrings by (cnt desc, piece asc) up to ``max_seed``
-    rows total. Pure Catalyst: the substring grid is a nested
-    transform over sequence(), exploded once over the word table —
-    the corpus itself is never touched."""
+    ``max_seed`` multi-char substrings by (cnt desc, piece asc) — so
+    at most ``n_distinct_chars + max_seed`` rows. Pure Catalyst: the
+    substring grid is a nested transform over sequence(), exploded
+    once over the word table — the corpus itself is never touched."""
     w = F.concat(F.lit(WB), F.col("word"))
     n = F.length(w)
     grid = F.flatten(
@@ -112,12 +112,10 @@ def _viterbi(word: str, logp: dict, unk: float, max_len: int):
                     continue
                 sc = unk
             cand = (best[i][0] + sc, best[i][1] - 1)
-            # strictly-better score/pieces wins; exact tie -> smaller
-            # i (longer last piece) wins because we scan i ascending
-            # and replace only on >
-            if cand > (best[j][0], best[j][1]) or (
-                cand == (best[j][0], best[j][1]) and i < back[j]
-            ):
+            # strictly-better (score, fewer-pieces) wins; on an exact
+            # tie the SMALLER i (longer last piece) stands, because i
+            # scans ascending and equal candidates never replace
+            if cand > best[j]:
                 best[j] = cand
                 back[j] = i
     out = []
@@ -129,11 +127,16 @@ def _viterbi(word: str, logp: dict, unk: float, max_len: int):
     return out[::-1]
 
 
-def _logp_map(pieces: DataFrame) -> tuple[dict, float]:
+def unigram_model(pieces: DataFrame) -> tuple[dict, float, int]:
     """Collect the vocab-sized piece table into the broadcastable
-    (piece -> logp) dict + the unk score. The ONLY collect in the
-    module; bounded by max_seed/vocab_size by construction (same
-    contract as bpe's merge-rank collect)."""
+    model: ((piece -> logp) dict, unk score, max piece length). The
+    only collect in the module; bounded by max_seed/vocab_size by
+    construction (same contract as bpe's merge-rank collect). Pass
+    the result to :func:`unigram_encode` / :func:`unigram_token_count`
+    via ``model=`` when both run on the same trained pieces — each
+    would otherwise collect and serialize its own copy. max piece
+    length is DERIVED here so encode can never silently skip vocab
+    pieces longer than a mismatched caller-supplied cap."""
     import math
 
     rows = pieces.select("piece", "cnt").collect()
@@ -143,7 +146,8 @@ def _logp_map(pieces: DataFrame) -> tuple[dict, float]:
     logp = {r.piece: math.log(r.cnt / total) for r in rows if r.cnt > 0}
     if not logp:
         raise ValueError("unigram: no piece has positive count")
-    return logp, min(logp.values()) - _UNK_GAP
+    max_len = max(len(p) for p in logp)
+    return logp, min(logp.values()) - _UNK_GAP, max_len
 
 
 def _segment_words(
@@ -178,9 +182,11 @@ def unigram_train(
     max_types: int | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
-    """Train the unigram LM; returns the (piece, cnt, logp) frame
-    (single chars always retained for coverage; at most ``vocab_size``
-    rows). ``iterations`` hard-EM rounds run DISTRIBUTED over the
+    """Train the unigram LM; returns the (piece, cnt, logp) frame —
+    at most ``max(vocab_size, n_distinct_chars)`` rows (single chars
+    are ALWAYS retained for segmentation coverage, so a corpus with
+    more distinct characters than ``vocab_size`` — CJK, say — keeps
+    them all). ``iterations`` hard-EM rounds run DISTRIBUTED over the
     word-frequency table, then one prune to ``vocab_size`` by
     (cnt desc, piece asc), then one final EM round renormalizes the
     pruned model. ``stats`` (out-param) records
@@ -196,7 +202,7 @@ def unigram_train(
         stats["seed_pieces"] = pieces.count()
 
     def em_round(p: DataFrame) -> DataFrame:
-        logp, unk = _logp_map(p)
+        logp, unk, _ = unigram_model(p)
         segged = _segment_words(words, logp, unk, max_piece_len)
         used = (
             segged.select(F.explode("units").alias("piece"), F.col("cnt"))
@@ -248,17 +254,20 @@ def unigram_train(
 
 def unigram_encode(
     df: DataFrame,
-    pieces: DataFrame,
+    pieces: DataFrame | None,
     text_col: str = "text",
-    max_piece_len: int = 8,
     out_col: str = "units",
+    model: tuple[dict, float, int] | None = None,
 ) -> DataFrame:
-    """df + ``out_col`` array<string>: Viterbi-segment each
-    whitespace-lowercase word (boundary-marked) under the trained
-    model. Map-only: the piece log-probs broadcast into one
-    Arrow-batched pandas UDF with per-batch word memoization; decode
-    via :func:`unigram_decode_units` is lossless."""
-    logp, unk = _logp_map(pieces)
+    """df + ``out_col`` array<string>: Viterbi-segment each word of
+    the JVM tokenization (java_ws_words — the SAME whitespace charset
+    training counted with), boundary-marked, under the trained model.
+    Map-only: the piece log-probs broadcast into one Arrow-batched
+    pandas UDF with per-batch word memoization; the Viterbi piece cap
+    is DERIVED from the vocab (no drift knob). Pass ``model=``
+    (:func:`unigram_model`) when also calling unigram_token_count on
+    the same pieces — each call otherwise collects its own copy."""
+    logp, unk, max_len = model if model is not None else unigram_model(pieces)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def enc(s: pd.Series) -> pd.Series:
@@ -267,14 +276,14 @@ def unigram_encode(
         def word_units(wd):
             got = memo.get(wd)
             if got is None:
-                got = memo[wd] = _viterbi(WB + wd, logp, unk, max_piece_len)
+                got = memo[wd] = _viterbi(WB + wd, logp, unk, max_len)
             return got
 
         def one(t):
             if t is None:
                 return None
             out = []
-            for wd in t.strip().lower().split():
+            for wd in java_ws_words(t):
                 out.extend(word_units(wd))
             return out
 
@@ -284,21 +293,30 @@ def unigram_encode(
 
 
 def unigram_decode_units(units: Column) -> Column:
-    """Lossless inverse for single-spaced lowercase text: concat the
-    units, turn each word-boundary marker back into a space, strip
-    the leading one. Pure Catalyst."""
-    joined = F.concat_ws("", units)
+    """Inverse of unigram_encode for single-spaced lowercase text:
+    concat the units (array_join: a NULL units row stays NULL, like
+    bpe_decode_units — never a silent ''), turn each word-boundary
+    marker back into a space, strip the leading one. Pure Catalyst.
+    Caveat (as in real SentencePiece, which escapes it): input text
+    containing the literal marker character ▁ decodes those
+    occurrences to spaces — the lossless contract covers text free
+    of the marker."""
+    joined = F.array_join(units, "")
     return F.ltrim(F.replace(joined, F.lit(WB), F.lit(" ")))
 
 
 def unigram_token_count(
-    pieces: DataFrame, text: Column, max_piece_len: int = 8
+    pieces: DataFrame | None,
+    text: Column,
+    model: tuple[dict, float, int] | None = None,
 ) -> Column:
     """Token count under the trained unigram model — the learned
     counter lane for pack_documents/shard_assign budgets (same
     contract as bpe_token_count: budgets measured in the units a
-    training run actually consumes)."""
-    logp, unk = _logp_map(pieces)
+    training run actually consumes; materialize the counted frame
+    before shard_assign, which reads its input in both prefix-sum
+    passes). Pass ``model=`` to reuse unigram_encode's collect."""
+    logp, unk, max_len = model if model is not None else unigram_model(pieces)
 
     @F.pandas_udf(T.LongType())
     def cnt(s: pd.Series) -> pd.Series:
@@ -307,13 +325,13 @@ def unigram_token_count(
         def word_n(wd):
             got = memo.get(wd)
             if got is None:
-                got = memo[wd] = len(_viterbi(WB + wd, logp, unk, max_piece_len))
+                got = memo[wd] = len(_viterbi(WB + wd, logp, unk, max_len))
             return got
 
         def one(t):
             if t is None:
                 return None
-            return sum(word_n(wd) for wd in t.strip().lower().split())
+            return sum(word_n(wd) for wd in java_ws_words(t))
 
         return s.map(one)
 
