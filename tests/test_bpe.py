@@ -139,3 +139,19 @@ def test_merges_table_and_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = df.select(bpe.bpe_encode(merges, F.col("text")).alias("u")).collect()
     assert r[0]["u"] is None  # NULL text -> NULL units, no crash
+
+
+def test_encode_uses_jvm_whitespace_charset(spark):
+    """bpe_encode tokenizes with the JVM's ASCII-only \\s charset
+    (java_ws_words), matching what word_counts trained on: a U+00A0
+    joins its neighbors into ONE word type instead of Python
+    str.split()'s two (which would desynchronize encode from the
+    trained vocabulary)."""
+    assert bpe.java_ws_words("the dog runs") == ["the dog", "runs"]
+    df = spark.createDataFrame([(0, "the dog runs")], ["doc_id", "text"])
+    units = df.select(
+        bpe.bpe_encode([], F.col("text")).alias("u")
+    ).first().u
+    # no merges: chars + </w> per word; exactly TWO end-of-word units
+    assert sum(1 for u in units if u.endswith(bpe.EOW)) == 2
+    assert "".join(units).replace(bpe.EOW, " ").rstrip() == "the dog runs"

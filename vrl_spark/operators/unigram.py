@@ -202,8 +202,11 @@ def unigram_train(
         stats["seed_pieces"] = pieces.count()
 
     def em_round(p: DataFrame) -> DataFrame:
-        logp, unk, _ = unigram_model(p)
-        segged = _segment_words(words, logp, unk, max_piece_len)
+        # the derived cap (max piece length in the CURRENT model) can
+        # only tighten the Viterbi scan vs max_piece_len — anything
+        # longer is a guaranteed dict miss per position per word
+        logp, unk, mlen = unigram_model(p)
+        segged = _segment_words(words, logp, unk, mlen)
         used = (
             segged.select(F.explode("units").alias("piece"), F.col("cnt"))
             .groupBy("piece")
@@ -267,6 +270,11 @@ def unigram_encode(
     is DERIVED from the vocab (no drift knob). Pass ``model=``
     (:func:`unigram_model`) when also calling unigram_token_count on
     the same pieces — each call otherwise collects its own copy."""
+    if (pieces is None) == (model is None):
+        raise ValueError(
+            "pass exactly one of pieces= or model= (a model from "
+            "DIFFERENT pieces would silently govern the call)"
+        )
     logp, unk, max_len = model if model is not None else unigram_model(pieces)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -316,6 +324,11 @@ def unigram_token_count(
     training run actually consumes; materialize the counted frame
     before shard_assign, which reads its input in both prefix-sum
     passes). Pass ``model=`` to reuse unigram_encode's collect."""
+    if (pieces is None) == (model is None):
+        raise ValueError(
+            "pass exactly one of pieces= or model= (a model from "
+            "DIFFERENT pieces would silently govern the call)"
+        )
     logp, unk, max_len = model if model is not None else unigram_model(pieces)
 
     @F.pandas_udf(T.LongType())
