@@ -155,17 +155,37 @@ def test_find_table_row_no_fact_shuffle(spark, sf_dir):
 
 
 def test_embedding_dedup_join_shape(spark, sf_dir):
-    """Embedding near-dup: candidate generation must be a shuffled
-    equi-join on the bucket key — never a broadcast of the expensive
-    bucketed subplan, never a cross join — and the cosine fold runs
-    once per pair (Generate barrier keeps the filter from re-running
-    it)."""
+    """Embedding near-dup: BOTH candidate-generation self-joins (sign
+    blocks + SemDeDup clusters) must be shuffled equi-joins on their
+    bucket keys — never a broadcast of the expensive bucketed corpus
+    subplan, never a cartesian — and the cosine fold runs once per
+    pair (Generate barrier keeps the filter from re-running it). The
+    SemDeDup keep rule's broadcasts of TINY frames (the 1-row
+    centroid map attach, the n-group winners join) are the wanted
+    plan, so broadcast joins are no longer banned outright; the
+    corpus-sized pair joins staying ShuffledHashJoin is what the
+    count pins."""
+    from vrl_spark.operators.similarity import semantic_dedup_pairs
     from vrl_spark.plans.queries_textops import dedup_embedding_cosine
 
     plan = plan_of(dedup_embedding_cosine(spark, sf_dir))
+    # the sem_pairs lane is localCheckpointed inside the vehicle (its
+    # join shape is pinned standalone below), so the final plan shows
+    # the signblock self-join
     assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    sem = plan_of(semantic_dedup_pairs(
+        emb, n_clusters=8, threshold=0.95, id_col="vec_id", vec_col="v"
+    ))
+    assert "ShuffledHashJoin" in sem, sem
+    assert "CartesianProduct" not in sem, sem
+    # the corpus side of the cluster self-join is never broadcast
+    # (the only broadcast is the folded 1-row centroid array)
+    assert sem.count("BroadcastHashJoin") == 0, sem
 
 
 def test_hash_split_is_pure_projection(spark, sf_dir):
