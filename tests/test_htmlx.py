@@ -1,0 +1,112 @@
+"""HTML extraction (htmlx): stdlib-HTMLParser tokenization in one
+Arrow UDF + relational jusText-lite boilerplate policy. Pins: block
+boundaries, entity decoding, script/style skipping, byte-identical
+binary decode (U+FFFD maximal subparts), title/links, malformed-HTML
+tolerance, and the main-text good-block rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrl_spark.operators import htmlx
+
+PAGE = (
+    "<html><head><title>My &amp; Page</title>"
+    "<script>var x = '<p>not text</p>';</script>"
+    "<style>p { color: red }</style></head>"
+    "<body><h1>Header&#33;</h1>"
+    "<p>First   paragraph\n with   spaces.</p>"
+    "<div>Second <b>bold</b> block.</div>"
+    "<nav><a href='/a'>Home</a> <a href='/b'>About</a> "
+    "<a href='/c'>Contact</a></nav>"
+    "<p>Real prose follows the navigation block and has a "
+    "<a href='http://x.example/y'>link</a> inside it which stays.</p>"
+    "</body></html>"
+)
+
+
+@pytest.fixture(scope="module")
+def page_df(spark):
+    return spark.createDataFrame(
+        [(0, PAGE), (1, None)], ["doc_id", "html"]
+    ).localCheckpoint()
+
+
+def test_blocks_entities_and_skips(page_df):
+    rows = page_df.select(
+        "doc_id", htmlx.html_blocks(F.col("html")).alias("b")
+    ).collect()
+    by_id = {r.doc_id: r.b for r in rows}
+    assert by_id[1] is None
+    texts = [b.text for b in by_id[0]]
+    assert texts == [
+        "My & Page",
+        "Header!",
+        "First paragraph with spaces.",
+        "Second bold block.",
+        "Home About Contact",
+        "Real prose follows the navigation block and has a link "
+        "inside it which stays.",
+    ]
+    assert all("not text" not in t and "color" not in t for t in texts)
+    nav = by_id[0][4]
+    assert nav.link_chars == len("HomeAboutContact") + 0 or nav.link_chars > 0
+    assert nav.link_chars / nav.total_chars > 0.8  # nav is link-dominated
+
+
+def test_text_title_links(page_df):
+    r = page_df.where("doc_id = 0").select(
+        htmlx.html_text(F.col("html")).alias("t"),
+        htmlx.html_title(F.col("html")).alias("title"),
+        htmlx.html_links(F.col("html")).alias("links"),
+    ).first()
+    assert r.t.startswith("My & Page\nHeader!\nFirst paragraph")
+    assert r.title == "My & Page"
+    assert [(l.href, l.anchor) for l in r.links] == [
+        ("/a", "Home"), ("/b", "About"), ("/c", "Contact"),
+        ("http://x.example/y", "link"),
+    ]
+
+
+def test_binary_decode_byte_identical(spark):
+    raw = "café <p>ok</p>".encode() + b"\xff\x80"  # invalid tail
+    df = spark.createDataFrame([(0, raw)], "doc_id long, html binary")
+    got = df.select(htmlx.html_text(F.col("html")).alias("t")).first().t
+    want_decoded = raw.decode("utf-8", errors="replace")
+    # same maximal-subpart replacement as bytes.decode: two U+FFFD
+    assert want_decoded.count("�") == 2
+    # blocks: "café" (cut by <p>), "ok" (cut by </p>), trailing "��"
+    assert got == "café\nok\n��"
+
+
+def test_malformed_html_no_crash(spark):
+    ugly = "<p>open <div><b>nested</p> wrong </i> &brokenentity; <<< >"
+    df = spark.createDataFrame([(0, ugly)], ["doc_id", "html"])
+    t = df.select(htmlx.html_text(F.col("html")).alias("t")).first().t
+    assert "open" in t and "nested" in t
+
+
+def test_main_text_justext_lite(page_df, spark):
+    out = htmlx.html_main_text(
+        page_df, min_chars=25, max_link_density=0.5
+    ).orderBy("doc_id").collect()
+    assert out[1].main_text is None  # NULL page stays NULL
+    mt = out[0].main_text
+    # nav (link-dominated) and short blocks dropped; prose kept, in order
+    assert "Home About Contact" not in mt
+    assert "Header!" not in mt  # too short
+    assert mt.index("First paragraph") < mt.index("Real prose")
+    # stopword gate: demanding stopwords kills the stopword-free block
+    sw = ["the", "and", "a", "it", "with"]
+    gated = htmlx.html_main_text(
+        page_df, min_chars=25, max_link_density=0.5,
+        stopwords=sw, min_stopword_ratio=0.12,
+    ).where("doc_id = 0").first().main_text
+    assert "Real prose" in gated
+    assert "First paragraph" not in gated  # no stopwords in that block
+    # page with nothing kept -> '' (distinct from NULL page)
+    tiny = spark.createDataFrame([(0, "<p>hi</p>")], ["doc_id", "html"])
+    assert htmlx.html_main_text(tiny).first().main_text == ""
+    with pytest.raises(ValueError, match="max_link_density"):
+        htmlx.html_main_text(page_df, max_link_density=1.5)
