@@ -98,7 +98,7 @@ def test_main_text_justext_lite(page_df, spark):
     assert "Header!" not in mt  # too short
     assert mt.index("First paragraph") < mt.index("Real prose")
     # stopword gate: demanding stopwords kills the stopword-free block
-    sw = ["the", "and", "a", "it", "with"]
+    sw = ["the", "and", "a", "it"]  # none occur in the first block
     gated = htmlx.html_main_text(
         page_df, min_chars=25, max_link_density=0.5,
         stopwords=sw, min_stopword_ratio=0.12,
