@@ -51,7 +51,8 @@ def test_blocks_entities_and_skips(page_df):
     ]
     assert all("not text" not in t and "color" not in t for t in texts)
     nav = by_id[0][4]
-    assert nav.link_chars == len("HomeAboutContact") + 0 or nav.link_chars > 0
+    assert nav.link_chars == len("HomeAboutContact")  # anchors only
+    assert nav.total_chars == len("Home About Contact")
     assert nav.link_chars / nav.total_chars > 0.8  # nav is link-dominated
 
 
@@ -105,6 +106,25 @@ def test_main_text_justext_lite(page_df, spark):
     ).where("doc_id = 0").first().main_text
     assert "Real prose" in gated
     assert "First paragraph" not in gated  # no stopwords in that block
+    # density counts OCCURRENCES over word tokens (not distinct
+    # stopwords: array_intersect-style dedup would score this block
+    # 1/12 and wrongly drop it), strips punctuation ('it.' counts),
+    # and matches case-insensitively on the caller's list
+    dens = spark.createDataFrame(
+        [(0,
+          "<p>so the cat sat by the mat and the dog slept near it.</p>")],
+        ["doc_id", "html"],
+    )
+    got = htmlx.html_main_text(
+        dens, min_chars=10, stopwords=["The", "and", "it"],
+        min_stopword_ratio=0.35,  # 5 hits / 13 words = 0.385
+    ).first().main_text
+    assert "cat sat" in got
+    got2 = htmlx.html_main_text(
+        dens, min_chars=10, stopwords=["The", "and", "it"],
+        min_stopword_ratio=0.45,  # above the true density -> dropped
+    ).first().main_text
+    assert got2 == ""
     # page with nothing kept -> '' (distinct from NULL page)
     tiny = spark.createDataFrame([(0, "<p>hi</p>")], ["doc_id", "html"])
     assert htmlx.html_main_text(tiny).first().main_text == ""

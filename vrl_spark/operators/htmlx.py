@@ -296,11 +296,22 @@ def html_main_text(
             )
         )
         if stopwords:
-            toks = F.split(F.lower(b.getField("text")), r"\s+")
-            sw = F.array(*[F.lit(w) for w in stopwords])
-            ratio = F.size(F.array_intersect(toks, sw)) / F.greatest(
-                F.size(toks), F.lit(1)
+            # jusText's stopword DENSITY: stopword TOKEN OCCURRENCES
+            # over word tokens. Split on non-word runs so punctuation
+            # never glues to a word ('it.' must count as 'it'), count
+            # via filter+array_contains (array_intersect DEDUPLICATES
+            # — it would cap the ratio at n_distinct_stopwords/len and
+            # reject every long prose block), and lowercase the
+            # caller's list to match the lowercased tokens.
+            words = F.filter(
+                F.split(F.lower(b.getField("text")), r"\W+"),
+                lambda w: w != "",
             )
+            sw = F.array(*[F.lit(w.lower()) for w in stopwords])
+            hits = F.size(
+                F.filter(words, lambda w: F.array_contains(sw, w))
+            )
+            ratio = hits / F.greatest(F.size(words), F.lit(1))
             ok = ok & (ratio >= min_stopword_ratio)
         return ok
 
