@@ -106,10 +106,11 @@ def test_main_text_justext_lite(page_df, spark):
     ).where("doc_id = 0").first().main_text
     assert "Real prose" in gated
     assert "First paragraph" not in gated  # no stopwords in that block
-    # density counts OCCURRENCES over word tokens (not distinct
-    # stopwords: array_intersect-style dedup would score this block
-    # 1/12 and wrongly drop it), strips punctuation ('it.' counts),
-    # and matches case-insensitively on the caller's list
+    # density counts OCCURRENCES over word tokens (distinct-counting
+    # — array_intersect dedup — would score this block 3/13 and
+    # wrongly drop it at the 0.35 bar), strips punctuation ('it.'
+    # counts as 'it'), and matches case-insensitively on the
+    # caller's list
     dens = spark.createDataFrame(
         [(0,
           "<p>so the cat sat by the mat and the dog slept near it.</p>")],
@@ -125,6 +126,27 @@ def test_main_text_justext_lite(page_df, spark):
         min_stopword_ratio=0.45,  # above the true density -> dropped
     ).first().main_text
     assert got2 == ""
+    # unicode tokenization: accented words are NOT shredded (bare
+    # Java \W is ASCII-only; (?U) keeps 'été'/'à' whole) so a French
+    # list scores French prose
+    fr = spark.createDataFrame(
+        [(0, "<p>l'été à paris a été très beau cette année là</p>")],
+        ["doc_id", "html"],
+    )
+    got_fr = htmlx.html_main_text(
+        fr, min_chars=10, stopwords=["été", "à", "a", "là", "l"],
+        min_stopword_ratio=0.4,  # 6 hits / 11 words = 0.545
+    ).first().main_text
+    assert "paris" in got_fr
+    # loud contracts: unreachable stopword entries and orphan ratios
+    with pytest.raises(ValueError, match="single word tokens"):
+        htmlx.html_main_text(
+            fr, stopwords=["don't"], min_stopword_ratio=0.1
+        )
+    with pytest.raises(ValueError, match="requires a non-empty"):
+        htmlx.html_main_text(fr, min_stopword_ratio=0.1)
+    with pytest.raises(ValueError, match="min_stopword_ratio"):
+        htmlx.html_main_text(fr, stopwords=["a"], min_stopword_ratio=3.0)
     # page with nothing kept -> '' (distinct from NULL page)
     tiny = spark.createDataFrame([(0, "<p>hi</p>")], ["doc_id", "html"])
     assert htmlx.html_main_text(tiny).first().main_text == ""

@@ -283,6 +283,28 @@ def html_main_text(
         raise ValueError(
             f"max_link_density must be in [0, 1], got {max_link_density}"
         )
+    if not 0.0 <= min_stopword_ratio <= 1.0:
+        raise ValueError(
+            f"min_stopword_ratio must be in [0, 1], got {min_stopword_ratio}"
+        )
+    if min_stopword_ratio > 0 and not stopwords:
+        # the `if stopwords` gate below would otherwise silently skip
+        # the filter the caller believes is active
+        raise ValueError(
+            "min_stopword_ratio > 0 requires a non-empty stopwords list"
+        )
+    if stopwords:
+        import re as _re
+
+        bad = [w for w in stopwords if _re.search(r"\W", w)]
+        if bad:
+            # tokens from the \W+ split can never contain non-word
+            # chars, so entries like \"don't\" would be silently
+            # unreachable while still inflating nothing — reject them
+            raise ValueError(
+                f"stopwords must be single word tokens (no punctuation/"
+                f"spaces); offending entries: {bad[:5]}"
+            )
     from vrl_spark.functions.parse import materialize
 
     base = materialize(df, _blocks=html_blocks(F.col(html_col)))
@@ -297,20 +319,22 @@ def html_main_text(
         )
         if stopwords:
             # jusText's stopword DENSITY: stopword TOKEN OCCURRENCES
-            # over word tokens. Split on non-word runs so punctuation
-            # never glues to a word ('it.' must count as 'it'), count
-            # via filter+array_contains (array_intersect DEDUPLICATES
-            # — it would cap the ratio at n_distinct_stopwords/len and
-            # reject every long prose block), and lowercase the
-            # caller's list to match the lowercased tokens.
+            # over word tokens. Split on UNICODE non-word runs —
+            # Java's bare \W is ASCII-only and would shred accented/
+            # non-Latin words ('été' -> ['t']), zeroing density for
+            # exactly the multilingual corpora the signal exists for;
+            # (?U) turns on UNICODE_CHARACTER_CLASS. Punctuation never
+            # glues to a word ('it.' counts as 'it'). Count via
+            # filter+isin (array_intersect DEDUPLICATES — it would cap
+            # the ratio at n_distinct_stopwords/len and reject every
+            # long prose block; isin over the plain list is the
+            # textstats.stopword_hits idiom and InSet-optimizable).
+            lowered = [w.lower() for w in stopwords]
             words = F.filter(
-                F.split(F.lower(b.getField("text")), r"\W+"),
+                F.split(F.lower(b.getField("text")), r"(?U)\W+"),
                 lambda w: w != "",
             )
-            sw = F.array(*[F.lit(w.lower()) for w in stopwords])
-            hits = F.size(
-                F.filter(words, lambda w: F.array_contains(sw, w))
-            )
+            hits = F.size(F.filter(words, lambda w: w.isin(lowered)))
             ratio = hits / F.greatest(F.size(words), F.lit(1))
             ok = ok & (ratio >= min_stopword_ratio)
         return ok
