@@ -152,3 +152,50 @@ def test_main_text_justext_lite(page_df, spark):
     assert htmlx.html_main_text(tiny).first().main_text == ""
     with pytest.raises(ValueError, match="max_link_density"):
         htmlx.html_main_text(page_df, max_link_density=1.5)
+
+
+def test_web_graph_from_raw_html(spark):
+    """End-to-end composition the north star implies: raw HTML pages
+    -> html_links (one parsing UDF) -> url_normalize (Catalyst
+    canonicalizer) -> graph.pagerank over the host-level link graph.
+    Pins that the extraction output feeds the existing relational
+    lanes with no glue code beyond explode + select."""
+    from pyspark.sql import functions as F
+
+    from vrl_spark.operators import graph, urltools
+
+    pages = spark.createDataFrame(
+        [
+            (0, "http://a.example/",
+             "<a href='http://b.example/x'>b</a>"
+             "<a href='http://c.example/y?z=1'>c</a>"),
+            (1, "http://b.example/",
+             "<a href='http://c.example/y'>c</a>"),
+            (2, "http://c.example/",
+             "<a href='http://a.example/#frag'>a</a>"),
+        ],
+        ["doc_id", "url", "html"],
+    )
+    edges = (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(htmlx.html_links(F.col("html"))).alias("l"),
+        )
+        .select(
+            urltools.url_normalize(F.col("src_url")).alias("src_u"),
+            urltools.url_normalize(F.col("l.href")).alias("dst_u"),
+        )
+        .select(
+            F.parse_url(F.col("src_u"), F.lit("HOST")).alias("src"),
+            F.parse_url(F.col("dst_u"), F.lit("HOST")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, damping=0.85, iterations=30).collect()
+    by_node = {r.node: r.rank for r in ranks}
+    assert set(by_node) == {"a.example", "b.example", "c.example"}
+    # at convergence c (linked by both a and b) outranks a (fed only
+    # by c) which outranks b (fed only by half of a's mass)
+    assert by_node["c.example"] > by_node["a.example"] > by_node["b.example"]
+    assert abs(sum(by_node.values()) - 1.0) < 1e-9
