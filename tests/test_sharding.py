@@ -318,3 +318,48 @@ def test_shard_and_pack_budgets_in_bpe_units(spark):
         budget=budget, token_col="bpe_tokens", n_buckets=8,
     )._jdf.queryExecution().executedPlan().toString()
     assert lazy_plan.count("ArrowEvalPython") == 2, lazy_plan
+
+
+def test_shard_budgets_in_unigram_units(spark):
+    """The unigram-LM counter slots into the same shard-budget lane
+    as bpe_token_count: just a column, budgets measured in the
+    trained model's units, one model collect shared between encode
+    and count via model=."""
+    from vrl_spark.operators import unigram
+
+    vocab = ["lowest", "lower", "newest", "widest", "newer", "low",
+             "wide", "new", "est", "tokenization"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(vocab[(i + j) % len(vocab)]
+                      for j in range(i % 7 + 3)))
+         for i in range(60)],
+        ["doc_id", "text"],
+    )
+    pieces = unigram.unigram_train(
+        docs, vocab_size=80, iterations=1, max_piece_len=6, max_seed=300
+    )
+    model = unigram.unigram_model(pieces)
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws"),
+        unigram.unigram_token_count(
+            None, F.col("text"), model=model
+        ).alias("uni_tokens"),
+    ).localCheckpoint()
+    rows = counted.collect()
+    assert all(r["uni_tokens"] >= r["ws"] for r in rows)  # subword split
+    budget = 40
+    placed = sharding.shard_assign(
+        counted, budget=budget, token_col="uni_tokens", seed="uni",
+        n_buckets=8,
+    ).collect()
+    ordered = sorted(placed, key=lambda r: (r["perm_key"], r["doc_id"]))
+    start = 0
+    for r in ordered:
+        assert r["shard_id"] == start // budget, r
+        start += r["uni_tokens"]
+    mass = {}
+    for r in placed:
+        mass[r["shard_id"]] = mass.get(r["shard_id"], 0) + r["uni_tokens"]
+    biggest = max(r["uni_tokens"] for r in placed)
+    assert all(m < budget + biggest for m in mass.values())
