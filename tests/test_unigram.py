@@ -282,3 +282,32 @@ def test_roundtrip_hypothesis(spark, texts):
     }
     for i, t in enumerate(norm):
         assert dec[i] == t
+
+
+def test_tokenizer_eval_metrics(trained, spark):
+    """fertility/compression metrics agree with hand computation for
+    BOTH tokenizer families (unigram's ▁ marker, bpe's </w> ends)."""
+    from vrl_spark.operators import bpe as bpe_mod
+
+    df, pieces, _ = trained
+    enc = unigram.unigram_encode(df, pieces)
+    m = unigram.tokenizer_eval(enc, "units").first()
+    rows = enc.collect()
+    tu = sum(len(r.units) for r in rows)
+    tw = sum(len(r.text.split()) for r in rows)
+    tc = sum(len(r.text) for r in rows)
+    starts = sum(1 for r in rows for u in r.units if u.startswith(WB))
+    assert m.total_units == tu and m.total_words == tw
+    assert m.fertility == pytest.approx(tu / tw)
+    assert m.chars_per_unit == pytest.approx(tc / tu)
+    assert m.continued_ratio == pytest.approx(1 - starts / tu)
+    assert m.fertility >= 1.0  # subword models never merge words
+    # bpe lane: word-initial detection via </w> END counts
+    merges = bpe_mod.bpe_train(df, num_merges=10)
+    benc = df.withColumn("units", bpe_mod.bpe_encode(merges, F.col("text")))
+    bm = unigram.tokenizer_eval(benc, "units").first()
+    brows = benc.collect()
+    btu = sum(len(r.units) for r in brows)
+    bends = sum(1 for r in brows for u in r.units if u.endswith(bpe_mod.EOW))
+    assert bm.fertility == pytest.approx(btu / tw)
+    assert bm.continued_ratio == pytest.approx(1 - bends / btu)

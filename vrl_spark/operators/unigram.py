@@ -349,3 +349,59 @@ def unigram_token_count(
         return s.map(one)
 
     return cnt(text)
+
+
+def tokenizer_eval(
+    df: DataFrame,
+    units_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level quality metrics for ANY learned tokenizer's
+    ``units`` column (bpe_encode or unigram_encode output) — the
+    numbers a tokenizer sweep compares:
+
+    - ``fertility``: units per word (SentencePiece/NMT convention;
+      1.0 = whole-word vocab, higher = more subword splitting),
+    - ``chars_per_unit``: text chars compressed into each unit
+      (higher = better compression),
+    - ``continued_ratio``: share of units that CONTINUE a word
+      (fertility's distributional twin: the fraction of units that
+      are not word-initial).
+
+    Pure Catalyst over the already-encoded frame — one global agg,
+    no Python, no re-tokenization (word counts use the same JVM
+    whitespace charset the encoders tokenize with). Word-initial
+    units are detected by the word-boundary marker (``▁`` prefix for
+    unigram, any unit whose PREDECESSOR carries the BPE end-of-word
+    suffix for bpe) — pass ``units_col`` from either encoder."""
+    from vrl_spark.operators.bpe import EOW
+
+    units = F.col(units_col)
+    text = F.col(text_col)
+    n_units = F.size(units)
+    n_words = F.size(
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+    )
+    n_chars = F.length(text)
+    # word-initial units: carry the ▁ marker (unigram), or follow a
+    # unit ending in </w> / open the doc (bpe)
+    is_uni = F.exists(units, lambda u: u.startswith(WB))
+    starts = F.when(
+        is_uni,
+        F.size(F.filter(units, lambda u: u.startswith(WB))),
+    ).otherwise(
+        F.size(F.filter(units, lambda u: u.endswith(EOW)))
+    )
+    per_doc = df.where(text.isNotNull() & units.isNotNull()).select(
+        n_units.cast("double").alias("_u"),
+        n_words.cast("double").alias("_w"),
+        n_chars.cast("double").alias("_c"),
+        starts.cast("double").alias("_s"),
+    )
+    return per_doc.agg(
+        (F.sum("_u") / F.sum("_w")).alias("fertility"),
+        (F.sum("_c") / F.sum("_u")).alias("chars_per_unit"),
+        (F.lit(1.0) - F.sum("_s") / F.sum("_u")).alias("continued_ratio"),
+        F.sum("_u").cast("long").alias("total_units"),
+        F.sum("_w").cast("long").alias("total_words"),
+    )
