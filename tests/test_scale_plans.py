@@ -436,3 +436,21 @@ def test_ivfpq_encode_plan_is_map_only(spark):
     assert all(c == "sub_id" for c in hash_cols), hash_cols
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_html_main_text_map_only(spark):
+    """HTML extraction + boilerplate removal is ONE map-only stage:
+    a single Arrow eval (the parser UDF evaluated once behind the
+    materialize barrier — not re-triggered by the filter/when
+    consumers) and ZERO exchanges/joins."""
+    from vrl_spark.operators import htmlx
+
+    df = spark.createDataFrame(
+        [(0, "<p>hello world block</p>")], ["doc_id", "html"]
+    )
+    plan = plan_of(htmlx.html_main_text(
+        df, min_chars=3, stopwords=["the"], min_stopword_ratio=0.0
+    ))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
