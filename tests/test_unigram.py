@@ -296,18 +296,37 @@ def test_tokenizer_eval_metrics(trained, spark):
     tu = sum(len(r.units) for r in rows)
     tw = sum(len(r.text.split()) for r in rows)
     tc = sum(len(r.text) for r in rows)
+    # one word-marked unit per word BY CONSTRUCTION in both families
     starts = sum(1 for r in rows for u in r.units if u.startswith(WB))
+    assert starts == tw
     assert m.total_units == tu and m.total_words == tw
     assert m.fertility == pytest.approx(tu / tw)
     assert m.chars_per_unit == pytest.approx(tc / tu)
-    assert m.continued_ratio == pytest.approx(1 - starts / tu)
+    assert m.continued_ratio == pytest.approx(1 - tw / tu)
     assert m.fertility >= 1.0  # subword models never merge words
-    # bpe lane: word-initial detection via </w> END counts
+    # bpe lane: same identity via </w> ENDS
     merges = bpe_mod.bpe_train(df, num_merges=10)
     benc = df.withColumn("units", bpe_mod.bpe_encode(merges, F.col("text")))
     bm = unigram.tokenizer_eval(benc, "units").first()
     brows = benc.collect()
     btu = sum(len(r.units) for r in brows)
     bends = sum(1 for r in brows for u in r.units if u.endswith(bpe_mod.EOW))
+    assert bends == tw
     assert bm.fertility == pytest.approx(btu / tw)
-    assert bm.continued_ratio == pytest.approx(1 - bends / btu)
+    assert bm.continued_ratio == pytest.approx(1 - tw / btu)
+    # literal-marker text cannot corrupt the ratio (word-count based)
+    weird = spark.createDataFrame(
+        [(0, "\u2581foo bar</w> baz")], ["doc_id", "text"]
+    )
+    wenc = weird.withColumn(
+        "units", bpe_mod.bpe_encode(merges, F.col("text"))
+    )
+    wm = unigram.tokenizer_eval(wenc, "units").first()
+    assert wm.total_words == 3
+    assert wm.continued_ratio == pytest.approx(1 - 3 / wm.total_units)
+    # degenerate corpus raises in-plan, never NULL metrics
+    nul = spark.createDataFrame(
+        [(0, None)], "doc_id long, text string"
+    ).withColumn("units", bpe_mod.bpe_encode(merges, F.col("text")))
+    with pytest.raises(Exception, match="zero words"):
+        unigram.tokenizer_eval(nul, "units").collect()

@@ -364,44 +364,42 @@ def tokenizer_eval(
       1.0 = whole-word vocab, higher = more subword splitting),
     - ``chars_per_unit``: text chars compressed into each unit
       (higher = better compression),
-    - ``continued_ratio``: share of units that CONTINUE a word
-      (fertility's distributional twin: the fraction of units that
-      are not word-initial).
+    - ``continued_ratio``: share of units that CONTINUE a word —
+      identically ``1 - total_words/total_units``, because BOTH
+      families emit exactly one word-marked unit per word (unigram's
+      ``▁`` prefix, bpe's ``</w>`` suffix). Computed from the word
+      count, NOT by sniffing marker strings in the units: text that
+      happens to contain a literal marker would silently corrupt a
+      marker-based count.
 
     Pure Catalyst over the already-encoded frame — one global agg,
     no Python, no re-tokenization (word counts use the same JVM
-    whitespace charset the encoders tokenize with). Word-initial
-    units are detected by the word-boundary marker (``▁`` prefix for
-    unigram, any unit whose PREDECESSOR carries the BPE end-of-word
-    suffix for bpe) — pass ``units_col`` from either encoder."""
-    from vrl_spark.operators.bpe import EOW
-
+    whitespace charset the encoders tokenize with). An all-NULL /
+    zero-word corpus raises IN-PLAN rather than returning NULL
+    metrics a sweep would sort arbitrarily."""
     units = F.col(units_col)
     text = F.col(text_col)
     n_units = F.size(units)
     n_words = F.size(
         F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
     )
-    n_chars = F.length(text)
-    # word-initial units: carry the ▁ marker (unigram), or follow a
-    # unit ending in </w> / open the doc (bpe)
-    is_uni = F.exists(units, lambda u: u.startswith(WB))
-    starts = F.when(
-        is_uni,
-        F.size(F.filter(units, lambda u: u.startswith(WB))),
-    ).otherwise(
-        F.size(F.filter(units, lambda u: u.endswith(EOW)))
-    )
     per_doc = df.where(text.isNotNull() & units.isNotNull()).select(
         n_units.cast("double").alias("_u"),
         n_words.cast("double").alias("_w"),
-        n_chars.cast("double").alias("_c"),
-        starts.cast("double").alias("_s"),
+        F.length(text).cast("double").alias("_c"),
     )
+    tw = F.sum("_w")
+    guarded = F.when(
+        tw.isNull() | (tw == 0),
+        F.raise_error(
+            "tokenizer_eval: zero words in the corpus (all text/"
+            "units NULL or whitespace-only?)"
+        ),
+    ).otherwise(tw)
     return per_doc.agg(
-        (F.sum("_u") / F.sum("_w")).alias("fertility"),
+        (F.sum("_u") / guarded).alias("fertility"),
         (F.sum("_c") / F.sum("_u")).alias("chars_per_unit"),
-        (F.lit(1.0) - F.sum("_s") / F.sum("_u")).alias("continued_ratio"),
+        (F.lit(1.0) - guarded / F.sum("_u")).alias("continued_ratio"),
         F.sum("_u").cast("long").alias("total_units"),
         F.sum("_w").cast("long").alias("total_words"),
     )
