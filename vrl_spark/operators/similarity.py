@@ -417,12 +417,20 @@ def ivf_assign(
     # id keeps the tie-break correct for string/any-typed centroid
     # ids. transform-then-array_min computes each cosine exactly once
     # (a reduce() whose merge compares the candidate would inline the
-    # O(dim) cosine aggregate twice per element).
+    # O(dim) cosine aggregate twice per element). Norms are hoisted:
+    # each centroid's norm folds ONCE at collect time (not once per
+    # corpus row) and the row's own norm folds ONCE per row via bind
+    # (not once per centroid) — the float-op order (sqrt per side,
+    # multiply, divide, 0.0 sentinel) is _guarded_cosine's, identical
+    # to the inline cosine() it replaces.
+    from vrl_spark.functions.parse import bind
+
     cents = centroids.agg(
         F.collect_list(
             F.struct(
                 F.col("centroid_id").alias("cid"),
                 F.col("centroid_vec").alias("cvec"),
+                norm(F.col("centroid_vec")).alias("cn"),
             )
         ).alias("_cents")
     )
@@ -434,16 +442,22 @@ def ivf_assign(
     return corpus.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_min(
-            F.transform(
-                F.col("_cents"),
-                lambda c: F.struct(
-                    (-F.round(
-                        cosine(F.col(vec_col), c.getField("cvec")), 6
-                    )).alias("neg_cs"),
-                    c.getField("cid").alias("cid"),
-                ),
-            )
+        bind(
+            norm(F.col(vec_col)),
+            lambda nv: F.array_min(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        (-F.round(
+                            _guarded_cosine(
+                                F.col(vec_col), c.getField("cvec"),
+                                nv * c.getField("cn"),
+                            ), 6
+                        )).alias("neg_cs"),
+                        c.getField("cid").alias("cid"),
+                    ),
+                )
+            ),
         ).getField("cid").alias("list_id"),
     ).where(F.col("list_id").isNotNull())
 

@@ -2346,10 +2346,35 @@ def dataset_split_pack(spark, sf_dir):
           _join_oracles("node", _pagerank_oracle(), _hits_oracle()))
 def graph_link_analysis(spark, sf_dir):
     """PageRank + HITS over the same planted host link graph, joined
-    on node (merged r3 queries graph_pagerank + graph_hits)."""
-    return graph_pagerank(spark, sf_dir).join(
-        graph_hits(spark, sf_dir), "node"
-    )
+    on node (merged r3 queries graph_pagerank + graph_hits).
+
+    The two loops are INDEPENDENT until the final join, so their
+    construction (which runs each round's broadcast/materialization
+    jobs) is overlapped from two driver threads — guide §2.6: one
+    loop's straggler tail back-fills with the other loop's jobs. The
+    shuffle-partition override the loops would each apply is hoisted
+    around the pair (both derive parts=1 from this mod-97 planted
+    graph's edge count by the same edge-sized formula; hoisting makes
+    set/restore race-free), and each thread restores to the hoisted
+    value, the outer finally to the session's."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pr = pool.submit(
+                inheritable_thread_target(graph_pagerank), spark, sf_dir
+            )
+            f_hits = pool.submit(
+                inheritable_thread_target(graph_hits), spark, sf_dir
+            )
+            pr, ht = f_pr.result(), f_hits.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return pr.join(ht, "node")
 
 
 # ---------------------------------------------------------------------
