@@ -547,21 +547,62 @@ def _ip_udf(key: bytes, mode: str, forward: bool):
         # cipher contexts built ONCE per Arrow batch (ECB streaming is
         # stateless per 16-byte block, so sharing is sound)
         if mode == "aes128":
+            # BATCHED: AES-ECB over a batch is one update() over the
+            # concatenated 16-byte blocks — per-row update() calls
+            # spent more time in FFI than in AES. Addresses parse and
+            # format through _ip16/_fmt16's exact semantics, with the
+            # common dotted-quad shapes short-circuited in Python
+            # (same accept/reject set: ipaddress rejects leading
+            # zeros, so the fast regex does too).
             c = Cipher(algorithms.AES(key), modes.ECB())
             op = c.encryptor() if forward else c.decryptor()
-        else:
-            k1, k2 = key[:16], key[16:]
-            if k1 == k2:
-                raise ValueError("ipcrypt-pfx requires two distinct key halves")
-            e1 = Cipher(algorithms.AES(k1), modes.ECB()).encryptor()
-            e2 = Cipher(algorithms.AES(k2), modes.ECB()).encryptor()
+            import re as _re
+
+            v4 = _re.compile(
+                r"(0|[1-9][0-9]{0,2})\.(0|[1-9][0-9]{0,2})"
+                r"\.(0|[1-9][0-9]{0,2})\.(0|[1-9][0-9]{0,2})\Z"
+            )
+            mapped_prefix = b"\x00" * 10 + b"\xff\xff"
+            out: list = [None] * len(s)
+            idxs: list[int] = []
+            blocks: list[bytes] = []
+            for i, v in enumerate(s):
+                if v is None:
+                    continue
+                m = v4.match(v)
+                if m is not None:
+                    o = tuple(int(g) for g in m.groups())
+                    if max(o) <= 255:
+                        blocks.append(mapped_prefix + bytes(o))
+                        idxs.append(i)
+                        continue
+                try:
+                    b, _ = _ip16(v)
+                except ValueError:
+                    continue  # unparseable IP -> error branch (NULL)
+                blocks.append(b)
+                idxs.append(i)
+            if blocks:
+                enc = op.update(b"".join(blocks))
+                for j, i in enumerate(idxs):
+                    b = enc[16 * j: 16 * j + 16]
+                    if b[:12] == mapped_prefix:
+                        # str(IPv6Address(b).ipv4_mapped) == dotted quad
+                        out[i] = f"{b[12]}.{b[13]}.{b[14]}.{b[15]}"
+                    else:
+                        out[i] = _fmt16(b, as_ipv4=True)
+            return pd.Series(out, dtype=object)
+
+        k1, k2 = key[:16], key[16:]
+        if k1 == k2:
+            raise ValueError("ipcrypt-pfx requires two distinct key halves")
+        e1 = Cipher(algorithms.AES(k1), modes.ECB()).encryptor()
+        e2 = Cipher(algorithms.AES(k2), modes.ECB()).encryptor()
 
         def one(v):
             if v is None:
                 return None
             try:
-                if mode == "aes128":
-                    return _ipcrypt_det(v, op, forward)
                 return _ipcrypt_pfx(v, e1, e2, forward)
             except ValueError:
                 return None  # unparseable IP -> error branch

@@ -151,11 +151,17 @@ def parse_yaml(col: Column) -> Column:
 
         import yaml
 
+        # libyaml's C SafeLoader parses ~10x faster than the pure-
+        # Python one with the same safe-construction semantics; fall
+        # back when the wheel ships without it
+        loader = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+
         def one(v):
             if v is None:
                 return None
             try:
-                return json.dumps(yaml.safe_load(v), sort_keys=True)
+                return json.dumps(yaml.load(v, Loader=loader),
+                                  sort_keys=True)
             except yaml.YAMLError:
                 return None
 

@@ -197,6 +197,7 @@ def train_logistic(
     lr: float = 5.0,
     l2: float = 0.0,
     stats: dict | None = None,
+    driver_rows_max: int = 100_000,
 ) -> DataFrame:
     """Full-batch logistic GD over a featurized frame (must carry
     ``y``). Returns the (bucket, weight) frame — ``num_buckets`` + 1
@@ -225,14 +226,38 @@ def train_logistic(
     n_train = feats.count()
     if n_train == 0:
         raise ValueError("train_logistic needs a non-empty training set")
+    if n_train <= driver_rows_max:
+        # fastText-sized fast path: the labeled set is seed-sized by
+        # the module contract (thousands of rows regardless of corpus
+        # size), so pull the featurized frame ONCE and run every GD
+        # epoch vectorized on the driver — a distributed epoch costs
+        # a full plan-compile + job (~0.5 s) to aggregate a few
+        # hundred gradient cells. Accumulation order is kept
+        # fold-identical: np.add.reduceat / np.add.at accumulate
+        # strictly in-order (not pairwise), so margins match the JVM
+        # per-doc fold double-for-double and the gradient sums stay
+        # inside the same 1e-15 reorder wobble class as before.
+        # Corpora labeled beyond ``driver_rows_max`` take the
+        # distributed epoch loop below.
+        return _train_logistic_driver(
+            spark, feats, n_train, num_buckets, epochs, lr, l2, stats
+        )
     w = [0.0] * (num_buckets + 1)
     for _ in range(epochs):
-        w_arr = F.lit(w)
-        resid = feats.select(
+        # the epoch's weights enter as a 1-row LOCAL relation: its
+        # broadcast builds driver-side with no Spark job, and —
+        # unlike a literal array, whose changing values would force a
+        # fresh whole-stage-codegen compile every epoch — the
+        # generated code is identical across epochs, so the codegen
+        # cache hits and an epoch pays only its single gradient job
+        warr = spark.createDataFrame([(w,)], "w_arr array<double>")
+        resid = feats.crossJoin(F.broadcast(warr)).select(
             "bks", "total",
             (
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-_margin(F.col("bks"), F.col("total"), w_arr)))
+                / (F.lit(1.0) + F.exp(
+                    -_margin(F.col("bks"), F.col("total"), F.col("w_arr"))
+                ))
                 - F.col("y")
             ).alias("r"),
         )
@@ -271,6 +296,57 @@ def train_logistic(
         stats["n_train"] = n_train
     return spark.createDataFrame(
         [(b, wv) for b, wv in enumerate(w)], "bucket long, weight double"
+    )
+
+
+def _train_logistic_driver(
+    spark, feats, n_train: int, num_buckets: int, epochs: int,
+    lr: float, l2: float, stats: dict | None,
+) -> DataFrame:
+    """Driver-side vectorized epochs over the collected seed-sized
+    feature frame (see train_logistic's fast-path note)."""
+    import numpy as np
+
+    pdf = feats.select("y", "bks", "total").toPandas()
+    lens = np.fromiter((len(b) for b in pdf["bks"]), dtype=np.int64,
+                       count=len(pdf))
+    if (lens == 0).any():
+        # featurize guarantees total >= 1 ('' still yields one
+        # unigram); a foreign frame without that invariant would break
+        # the reduceat segment math — refuse rather than miscompute
+        raise ValueError(
+            "train_logistic: empty bks array (featurize contract "
+            "guarantees >= 1 gram per row)"
+        )
+    flat = np.concatenate([np.asarray(b, dtype=np.int64)
+                           for b in pdf["bks"]])
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    totals = pdf["total"].to_numpy(dtype=np.float64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    bias_idx = np.full(len(lens), num_buckets, dtype=np.int64)
+    # out-of-space bucket ids read 0.0 (bucket_sum's hard bound below
+    # the bias slot); mask them out of gather/scatter entirely
+    valid = flat < num_buckets
+    w = np.zeros(num_buckets + 1, dtype=np.float64)
+    for _ in range(epochs):
+        gathered = np.where(valid, w[np.minimum(flat, num_buckets)], 0.0)
+        sums = np.add.reduceat(gathered, starts)
+        margins = sums / totals + w[num_buckets]
+        r = 1.0 / (1.0 + np.exp(-margins)) - ys
+        grad = np.zeros(num_buckets + 1, dtype=np.float64)
+        np.add.at(grad, flat[valid],
+                  np.repeat(r / totals, lens)[valid])
+        np.add.at(grad, bias_idx, r)
+        g = grad / n_train
+        w[:num_buckets] -= lr * (g[:num_buckets] + l2 * w[:num_buckets])
+        w[num_buckets] -= lr * g[num_buckets]
+    if stats is not None:
+        stats["epochs"] = epochs
+        stats["n_train"] = n_train
+    return spark.createDataFrame(
+        [(b, float(wv)) for b, wv in enumerate(w)],
+        "bucket long, weight double",
     )
 
 

@@ -6,6 +6,7 @@ DuckDB oracle and free of Python on the hot path."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -211,6 +212,46 @@ def line_repetition(col: Column) -> tuple[Column, Column]:
     return s.getField("dup_line_frac"), s.getField("dup_line_char_frac")
 
 
+def _gram_stats_udf():
+    """Arrow-batched per-doc n-gram repetition stats over the token
+    array: struct(top2gram_frac, dup5gram_frac). Counts are exact
+    integers (Counter over the same space-joined grams the relational
+    lowering counted), so the fractions are double-for-double
+    identical to the explode -> groupBy(id, gram) -> per-id aggregate
+    shape this replaces — which cost FOUR corpus-gram shuffles and two
+    joins; per-doc counting is a linear map-side pass bounded by the
+    document's own length (guide §2.4: remove shuffles outright)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<top2gram_frac:double,dup5gram_frac:double>")
+    def stats(toks_ser: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        out_t2 = []
+        out_d5 = []
+        for toks in toks_ser:
+            t2 = 0.0
+            d5 = 0.0
+            if toks is not None:
+                k = len(toks)
+                if k >= 2:
+                    c2 = Counter(
+                        " ".join(toks[i:i + 2]) for i in range(k - 1)
+                    )
+                    t2 = max(c2.values()) / (k - 1)
+                if k >= 5:
+                    c5 = Counter(
+                        " ".join(toks[i:i + 5]) for i in range(k - 4)
+                    )
+                    d5 = sum(v for v in c5.values() if v > 1) / (k - 4)
+            out_t2.append(t2)
+            out_d5.append(d5)
+        return pd.DataFrame({"top2gram_frac": out_t2,
+                             "dup5gram_frac": out_d5})
+
+    return stats
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document repetition metrics (Gopher-style):
 
@@ -219,45 +260,33 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
       all 2-gram occurrences
     - dup5gram_frac: fraction of 5-gram occurrences that are repeats
 
-    The n-gram counts lower RELATIONALLY (explode -> groupBy(id, gram)
-    -> per-id aggregate): shuffle keys are (id, short gram) — the
-    shape that survives a 100x corpus, unlike a per-row quadratic
-    mode scan."""
+    Every metric is a function of the row's own text, so the whole
+    frame is ONE map-side projection: line metrics as JVM expressions,
+    the two gram metrics as one Arrow-batched Counter pass over the
+    token array (see :func:`_gram_stats_udf` — fraction values are
+    identical to the relational explode/groupBy lowering it replaced,
+    which shuffled every corpus gram twice per gram size). Tokens are
+    split in the JVM (exact ``tokens()`` semantics, no Python regex
+    divergence) and routed through a materialize barrier so the Arrow
+    UDF receives a plain attribute and the split runs once per row."""
+    from vrl_spark.functions.parse import materialize
+
     text = F.col(text_col)
     dup_line, dup_char = line_repetition(text)
-    base = df.select(F.col(id_col), dup_line.alias("dup_line_frac"),
-                     dup_char.alias("dup_line_char_frac"))
-
-    def gram_stats(n: int, out_max: str | None, out_dup: str | None):
-        g = df.select(
-            F.col(id_col), F.explode(word_ngrams(text, n)).alias("g")
-        )
-        counts = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        aggs = [F.sum("c").alias("_t")]
-        if out_max:
-            aggs.append(F.max("c").alias("_m"))
-        if out_dup:
-            aggs.append(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_d")
-            )
-        per_doc = counts.groupBy(id_col).agg(*aggs)
-        cols = [F.col(id_col)]
-        if out_max:
-            cols.append((F.col("_m").cast("double") / F.col("_t")).alias(out_max))
-        if out_dup:
-            cols.append((F.col("_d").cast("double") / F.col("_t")).alias(out_dup))
-        return per_doc.select(*cols)
-
-    s2 = gram_stats(2, "top2gram_frac", None)
-    s5 = gram_stats(5, None, "dup5gram_frac")
-    return (
-        base.join(s2, id_col, "left")
-        .join(s5, id_col, "left")
-        .select(
-            id_col, "dup_line_frac", "dup_line_char_frac",
-            F.coalesce("top2gram_frac", F.lit(0.0)).alias("top2gram_frac"),
-            F.coalesce("dup5gram_frac", F.lit(0.0)).alias("dup5gram_frac"),
-        )
+    base = materialize(
+        df,
+        dup_line_frac=dup_line,
+        dup_line_char_frac=dup_char,
+        # word_ngrams' gram space: tokens of lower(trim(text)); the
+        # (trim != '') guard is implied for n >= 2 (a blank doc
+        # tokenizes to [''], k = 1 < 2 -> no grams either way)
+        _toks=tokens(text),
+    )
+    g = _gram_stats_udf()(F.col("_toks"))
+    return base.select(
+        id_col, "dup_line_frac", "dup_line_char_frac",
+        g.getField("top2gram_frac").alias("top2gram_frac"),
+        g.getField("dup5gram_frac").alias("dup5gram_frac"),
     )
 
 
