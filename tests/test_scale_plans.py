@@ -80,7 +80,11 @@ def test_ivf_broadcasts_probes_not_corpus(spark, sf_dir):
     """IVF-Flat: centroids and query probes ride as broadcasts; the
     corpus-sized relations never do (the probe join must be a
     BroadcastHashJoin on list_id with the corpus on the streamed
-    side), and nothing falls back to a cartesian product."""
+    side), and nothing falls back to a cartesian product. Candidate
+    scoring is ONE Arrow-batched cosine eval (r7 — order-exact
+    batched_cosine replaced the interpreted JVM fold; values pinned
+    by test_brute_force_topk etc.); never a row-at-a-time
+    BatchEvalPython."""
     from vrl_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -88,7 +92,8 @@ def test_ivf_broadcasts_probes_not_corpus(spark, sf_dir):
     plan = plan_of(ivf_topk(emb, q, n_lists=8, nprobe=3, k=3))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_ivf_assign_is_map_only(spark, sf_dir):

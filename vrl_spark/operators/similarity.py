@@ -13,6 +13,7 @@ natural next speed step if the JVM lambda shows up in profiles.)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,6 +49,85 @@ def cosine(a: Column, b: Column) -> Column:
     return _guarded_cosine(a, b, norm(a) * norm(b))
 
 
+def _pair_math_udf(with_norms: bool):
+    """Arrow-batched pair scorer, double-for-double identical to the
+    interpreted JVM folds it replaces (the dominant per-pair cost in
+    every pair-scoring plan — guide §4.2). Exactness: for each vector
+    slot j IN ORDER it executes ``acc = acc + a_j * b_j`` vectorized
+    ACROSS the batch's pairs, i.e. the same IEEE-754 double op
+    sequence per pair as ``F.aggregate``'s left fold, so sums match
+    bitwise (numpy's pairwise-summing ``sum()`` would not). With
+    ``with_norms`` it returns the full zero-guarded cosine
+    (dot / (sqrt(ssq_a) * sqrt(ssq_b)), 0.0 on zero norms — sqrt is
+    correctly rounded in both runtimes); otherwise the raw dot, for
+    callers whose norms ride the rows. NULL vectors and length
+    mismatches return NULL, matching zip_with's null-padding fold.
+    Rounding stays in the JVM on top of the returned double."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(a_ser: pd.Series, b_ser: pd.Series) -> pd.Series:
+        import numpy as np
+
+        av = a_ser.tolist()
+        bv = b_ser.tolist()
+        n = len(av)
+        out = np.full(n, np.nan)
+        ok = np.fromiter(
+            (
+                a is not None and b is not None and len(a) == len(b)
+                for a, b in zip(av, bv)
+            ),
+            dtype=bool, count=n,
+        )
+        if ok.any():
+            idx = np.nonzero(ok)[0]
+            lens = {len(av[i]) for i in idx}
+            for d in lens:  # uniform-dim groups vectorize together
+                sub = [i for i in idx if len(av[i]) == d]
+                if d == 0:
+                    out[sub] = 0.0
+                    continue
+                A = np.stack([np.asarray(av[i], dtype=np.float64)
+                              for i in sub])
+                B = np.stack([np.asarray(bv[i], dtype=np.float64)
+                              for i in sub])
+                dot = np.zeros(len(sub))
+                if with_norms:
+                    na = np.zeros(len(sub))
+                    nb = np.zeros(len(sub))
+                    for j in range(d):
+                        dot += A[:, j] * B[:, j]
+                        na += A[:, j] * A[:, j]
+                        nb += B[:, j] * B[:, j]
+                    den = np.sqrt(na) * np.sqrt(nb)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        out[sub] = np.where(den > 0, dot / den, 0.0)
+                else:
+                    for j in range(d):
+                        dot += A[:, j] * B[:, j]
+                    out[sub] = dot
+        # nullable Float64 so masked slots arrive as SQL NULL (a bare
+        # float NaN would cross Arrow as NaN, not NULL)
+        res = pd.array(out, dtype="Float64")
+        res[~ok] = pd.NA
+        return pd.Series(res)
+
+    # pure, but marked non-deterministic so threshold filters cannot
+    # duplicate the Arrow eval below themselves (guide §4.4)
+    return score.asNondeterministic()
+
+
+def batched_dot(a: Column, b: Column) -> Column:
+    """Order-exact Arrow dot product (see _pair_math_udf)."""
+    return _pair_math_udf(with_norms=False)(a, b)
+
+
+def batched_cosine(a: Column, b: Column) -> Column:
+    """Order-exact Arrow guarded cosine (see _pair_math_udf)."""
+    return _pair_math_udf(with_norms=True)(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,7 +148,9 @@ def brute_force_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            batched_cosine(F.col("qvec"), F.col("cvec")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -139,7 +221,9 @@ def lsh_topk(
     )
     scored = joined.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            batched_cosine(F.col("qvec"), F.col("cvec")), 6
+        ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])  # multiprobe overlap
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -177,28 +261,33 @@ def _blocked_exact_pairs(
     zero norms), so swapping a direct cosine() call for this helper is
     bit-identical. ``extra`` carries a-side columns into the output
     as ``[(out_name, sig_col), ...]``."""
-    from vrl_spark.functions.parse import materialize
-
     a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
     joined = a.join(
         b,
         (F.col("a._bucket") == F.col("b._bucket"))
         & (F.col("a._id") < F.col("b._id")),
     )
-    pair_cos = _guarded_cosine(
-        F.col("a._vec"), F.col("b._vec"),
-        F.col("a._nm") * F.col("b._nm"),
-    )
-    # materialize: the threshold filter would otherwise push through
-    # the projection and re-run the dot fold a second time per pair
-    scored = materialize(
-        joined,
-        cos=F.round(pair_cos, 6) if round6 else pair_cos,
-    ).select(
+    # the per-pair dot — the dominant within-bucket cost — runs as one
+    # order-exact Arrow batch (batched_dot); the guard/divide stays in
+    # the JVM over the returned double and the riding norm product,
+    # so the float-op sequence is _guarded_cosine's exactly. The UDF's
+    # non-deterministic marker keeps the threshold filter from
+    # duplicating the Arrow eval below itself (the job the materialize
+    # barrier did for the old inline fold).
+    scored = joined.select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
-        F.col("cos"),
+        batched_dot(F.col("a._vec"), F.col("b._vec")).alias("_dot"),
+        (F.col("a._nm") * F.col("b._nm")).alias("_den"),
         *[F.col(f"a.{c}").alias(name) for name, c in (extra or [])],
+    )
+    pair_cos = F.when(
+        F.col("_den") > 0, F.col("_dot") / F.col("_den")
+    ).otherwise(F.lit(0.0))
+    scored = scored.select(
+        "id_a", "id_b",
+        (F.round(pair_cos, 6) if round6 else pair_cos).alias("cos"),
+        *[name for name, _ in (extra or [])],
     )
     return scored.where(F.col("cos") >= threshold)
 
@@ -533,7 +622,9 @@ def ivf_topk(
     )
     scored = joined.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            batched_cosine(F.col("qvec"), F.col("cvec")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
