@@ -244,10 +244,14 @@ def test_new_textops_plan_shapes(spark, sf_dir):
     from vrl_spark import registry
 
     qs = registry.queries()
-    # pii scrub + entity extraction (merged vehicle): still map-only —
-    # fuses with the scan at any scale
+    # pii scrub + entity extraction (merged vehicle): still map-only
+    # past the scan — the ONLY exchange allowed is the r7 adaptive
+    # scan fan-out (round-robin, no key), which disappears whenever
+    # the input is properly split; never a hash/range shuffle, never
+    # Python
     plan = plan_of(qs["text_pii_entities"](spark, sf_dir))
-    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1 and "EvalPython" not in plan
     # url dedup: exactly the one aggregation shuffle
     plan = plan_of(qs["dedup_url"](spark, sf_dir))
     assert plan.count("Exchange") == 1 and "EvalPython" not in plan

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vrl_spark.registry import register
+from vrl_spark.sources import read_table
 
 # ---------------------------------------------------------------------
 # vrl_formats: xml / yaml / ruby-hash / cbor -> canonical JSON strings
@@ -296,7 +297,7 @@ def _breadth_oracle() -> str:
 
 
 def vrl_breadth(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", *_formats_cols(), *_vendor_cols(), *_ddquery_cols(),
         *_proto_cols(),

@@ -71,7 +71,7 @@ def vrl_coercions_json(spark, sf_dir):
     registry entries)."""
     from vrl_spark.functions import misc
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events", spread=True)
     e = F.col("event_id")
     s = (
         F.when(e % 5 == 0, "123").when(e % 5 == 1, " 42 ").when(e % 5 == 2, "1.5")
@@ -154,7 +154,7 @@ def vrl_parse_url_etld(spark, sf_dir):
     vrl_parse_url + vrl_parse_etld)."""
     from vrl_spark.functions import presets
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events", spread=True)
     e = F.col("event_id")
     url = F.concat(
         F.lit("https://Host"), (e % 7).cast("string"), F.lit(".Example.com"),
@@ -190,6 +190,7 @@ def vrl_parse_url_etld(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 from vrl_spark.sources.pages import derive_pages_sql  # noqa: E402
+from vrl_spark.sources import read_table
 
 _KV_ORACLE = f"""
 WITH pages AS ({derive_pages_sql()})
@@ -253,7 +254,7 @@ def vrl_strings_collections(spark, sf_dir):
     """String function vector + collection functions over the
     tokenized text, one map-only select over documents (merged r3
     queries vrl_strings + vrl_collections)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     toks = F.split(F.lower(F.trim(t)), " ")
     return docs.select(
@@ -330,7 +331,7 @@ def vrl_hashes_encode(spark, sf_dir):
     not per-row)."""
     from vrl_spark.functions import formats as FM
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -449,7 +450,7 @@ GROUP BY hour, event_type
 
 @register("events_windowed", _EVENTS_WINDOW_ORACLE)
 def events_windowed(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         F.col("event_type"),
@@ -494,7 +495,7 @@ def vrl_syslog_suite(spark, sf_dir):
     (merged r3 queries vrl_parse_syslog + vrl_syslog)."""
     from vrl_spark.functions import presets
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     e = F.col("event_id")
     line = F.concat(
         F.lit("<"), (e % 192).cast("string"), F.lit(">1 "),
@@ -565,7 +566,7 @@ def _ua_oracle() -> str:
 def vrl_parse_user_agent(spark, sf_dir):
     from vrl_spark.functions import presets
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     e = F.col("event_id")
     ua = None
     for i, (s, *_rest) in enumerate(_UA_SET):
@@ -611,7 +612,7 @@ FROM sess GROUP BY user_id, session_seq
 def events_sessionize(spark, sf_dir):
     from vrl_spark.operators.sessions import session_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events")
     return session_stats(ev, gap_minutes=30.0)
 
 
@@ -669,7 +670,7 @@ def vrl_math_ip_enrich(spark, sf_dir):
     vrl_math_ip + vrl_enrichment_range)."""
     from vrl_spark.operators.enrichment import find_table_row
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events", spread=True)
     facts = ev.select(
         "event_id", *_math_ip_cols(), "event_type", "ts"
     )
@@ -775,7 +776,7 @@ def vrl_crypto_codecs(spark, sf_dir):
     iv16 = b"16_bytes_" + b"x" * 7
     iv12 = b"12_bytes_" + b"x" * 3
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_table(spark, sf_dir, "events", spread=True)
     e = F.col("event_id")
     line = F.concat(
         F.lit("event "), F.col("event_type"), F.lit(" #"), e.cast("string")

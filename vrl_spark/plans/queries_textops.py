@@ -24,10 +24,19 @@ from vrl_spark.registry import register
 # ---------------------------------------------------------------------
 
 
-def _dup_corpus(spark, sf_dir):
+def _dup_corpus(spark, sf_dir, spread=True):
     """documents + exact copies (doc_id%5==0, id+1000000) + near-dup
-    perturbations (doc_id%7==0, id+2000000, first word -> 'xdup')."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    perturbations (doc_id%7==0, id+2000000, first word -> 'xdup').
+
+    ``spread`` fans the assembled corpus out AFTER the union (per-leg
+    fan-out would stack to 3 x cores partitions; one post-union
+    repartition measured faster). The shingle/signature consumers all
+    want it; dedup_exact's single cheap md5 pass does not."""
+    from vrl_spark.sources import spread_scan
+
+    docs = spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
     t = F.col("text")
     exact = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), t.alias("text")
@@ -38,7 +47,8 @@ def _dup_corpus(spark, sf_dir):
             F.lit("xdup"), t.substr(F.instr(t, " "), F.length(t))
         ).alias("text"),
     )
-    return docs.unionAll(exact).unionAll(near)
+    out = docs.unionAll(exact).unionAll(near)
+    return spread_scan(out) if spread else out
 
 
 _DUP_CORPUS_SQL = """
@@ -115,7 +125,9 @@ def dedup_exact(spark, sf_dir):
     exact join disproves)."""
     from vrl_spark.operators import bloom as _bloom
 
-    corpus = _dup_corpus(spark, sf_dir)
+    # no fan-out: one cheap md5 projection + id-key aggs — the spread
+    # shuffle and extra tasks measured as pure overhead here
+    corpus = _dup_corpus(spark, sf_dir, spread=False)
     h = corpus.select(
         "doc_id",
         F.md5("text").alias("content_hash"),
@@ -426,7 +438,7 @@ def dataset_split(spark, sf_dir):
     re-runs and corpus growth never reassign an existing row."""
     from vrl_spark.operators import sampling
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id")
     return sampling.split_table(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
@@ -468,7 +480,7 @@ def dataset_pack(spark, sf_dir):
     assembly): greedy first-fit in id order, JVM aggregate fold."""
     from vrl_spark.operators import sampling
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
     )
     return sampling.pack_documents(docs, budget=256).select(
@@ -736,7 +748,7 @@ FROM t
 
 
 def text_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -812,7 +824,7 @@ LEFT JOIN s5 ON s5.doc_id = t.doc_id
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics over documents (relational
     n-gram counting; see operators/textstats.repetition_stats)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     stats = textstats.repetition_stats(docs)
     return stats.select(
         "doc_id",
@@ -868,7 +880,7 @@ def text_decontaminate(spark, sf_dir):
     """n-gram benchmark decontamination with a planted benchmark set
     (tokens 11..30 of every 25th doc) — the flagged set is exactly the
     docs containing any benchmark 8-gram."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     bench = docs.where(
         (F.col("doc_id") % 25 == 0) & (F.size(toks) >= 30)
@@ -880,7 +892,7 @@ def text_decontaminate(spark, sf_dir):
 
 
 def text_lang_id(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_pred")
     )
@@ -914,7 +926,7 @@ SELECT query_id, neighbor_id, cos_x1m, rank FROM (
 
 
 def _similarity_brute(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -998,7 +1010,7 @@ FROM ranked WHERE rank <= {k}
 
 
 def _similarity_lsh(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 10)
     topk = similarity.lsh_topk(emb, q, dim=64, k=5, num_planes=6)
     return topk.select(
@@ -1054,7 +1066,7 @@ FROM toks
 
 
 def text_rolling_fingerprint(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         textstats.rolling_hash_fingerprint(F.col("text"), window=8).alias("sketch"),
@@ -1193,6 +1205,10 @@ def dedup_embedding_cosine(spark, sf_dir):
         semantic_dedup_pairs,
     )
 
+    from vrl_spark.sources import spread_scan
+
+    # spread once AFTER the union (see _dup_corpus), before the
+    # checkpoint pins the partitioning for every downstream consumer
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select(
         "vec_id",
@@ -1205,7 +1221,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
         ).alias("v"),
     )
-    corpus = base.unionByName(planted).localCheckpoint()
+    corpus = spread_scan(base.unionByName(planted)).localCheckpoint()
     pairs = cosine_dedup_pairs(
         corpus, id_col="vec_id", vec_col="v", threshold=0.99, block_bits=4
     ).select(
@@ -1280,7 +1296,7 @@ FROM planted
 def _pii_planted(spark, sf_dir):
     from vrl_spark.operators import pii as _  # noqa: F401  (import check)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
     did = F.col("doc_id")
@@ -1304,6 +1320,7 @@ def _pii_planted(spark, sf_dir):
 
 
 from vrl_spark.operators import pii as _pii  # noqa: E402
+from vrl_spark.sources import read_table
 
 _PII_ORACLE = _PII_ORACLE_TEMPLATE.format(
     plant=_PII_PLANT_SQL, **_pii.PII_PATTERNS
@@ -1351,7 +1368,7 @@ FROM c GROUP BY canonical_url
 def dedup_url(spark, sf_dir):
     from vrl_spark.operators import urltools
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     h = (d % 5).cast("string")
     k = (d % 30).cast("string")
@@ -1403,7 +1420,7 @@ def dataset_stratified(spark, sf_dir):
     and corpus growth."""
     from vrl_spark.operators import sampling
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
     )
     return sampling.sample_per_stratum(
@@ -1503,7 +1520,7 @@ def text_line_dedup(spark, sf_dir):
     cleaned text (8-token grams shared by >= 2 docs — planted inline
     on doc_id % 7 so it survives the line pass and only the span pass
     can catch it)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     d = F.col("doc_id")
@@ -1594,7 +1611,7 @@ FROM c
 
 
 def text_gopher_rules(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
     d = F.col("doc_id")
@@ -1644,7 +1661,7 @@ FROM r WHERE rank <= 100
 
 @register("text_vocab_stats", _VOCAB_ORACLE)
 def text_vocab_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     return textstats.vocab_stats(docs, "text", "doc_id", top_k=100)
@@ -1670,7 +1687,7 @@ FROM s, UNNEST(generate_series(0, len(w) - 1, 24)) AS g(st)
 
 @register("text_chunks", _CHUNK_ORACLE)
 def text_chunks(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     return textstats.chunk_documents(
@@ -1719,7 +1736,7 @@ FROM base LEFT JOIN s ON base.doc_id = s.doc_id
 def text_bm25(spark, sf_dir):
     from vrl_spark.operators import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     out = retrieval.bm25_scores(docs, _BM25_TERMS)
@@ -1761,7 +1778,7 @@ FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
 def text_unigram_nll(spark, sf_dir):
     from vrl_spark.operators import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     out = retrieval.unigram_nll(docs)
@@ -1844,7 +1861,7 @@ def text_bigram_lm(spark, sf_dir):
     from vrl_spark.operators import retrieval as _r
     from vrl_spark.operators.sampling import hash_frac
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text",
         (hash_frac(F.col("doc_id"), "lm") < 0.6).alias("_lm_train"),
     )
@@ -1885,7 +1902,7 @@ FROM t GROUP BY domain
 def text_domain_stats(spark, sf_dir):
     from vrl_spark.operators import urltools
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     d = F.col("doc_id")
@@ -1957,7 +1974,7 @@ def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
 def graph_pagerank(spark, sf_dir):
     from vrl_spark.operators.graph import pagerank
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     edges = (
         docs.select(
@@ -2080,7 +2097,7 @@ def dataset_weighted_sample(spark, sf_dir):
       log-weight and Gumbel key in DuckDB."""
     from vrl_spark.operators import dsir, sampling
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     es = sampling.weighted_sample(
         docs.select(
             "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
@@ -2165,7 +2182,7 @@ def _hits_oracle(iters: int = 5) -> str:
 def graph_hits(spark, sf_dir):
     from vrl_spark.operators.graph import hits
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     edges = (
         docs.select(
@@ -2201,7 +2218,7 @@ FROM documents GROUP BY lang
 
 @register("text_profile_stats", _PROFILE_ORACLE)
 def text_profile_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "lang", "n_chars"
     )
     return textstats.profile_stats(docs, "lang", "n_chars")
@@ -2262,7 +2279,7 @@ def text_stats_langid(spark, sf_dir):
     """Core text-quality stats + n-gram language ID in ONE map-only
     select over documents (merged r3 queries text_stats +
     text_lang_id)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2455,7 +2472,7 @@ def text_tfidf(spark, sf_dir):
     terms, joined on doc_id."""
     from vrl_spark.operators import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     vecs = retrieval.tfidf_doc_vectors(
@@ -2546,7 +2563,7 @@ def similarity_ivf_ann(spark, sf_dir):
     """IVF-Flat ANN over the embeddings table: 16 sampled-centroid
     inverted lists, 4 probes per query, exact cosine top-5 within the
     probed lists."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     out = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), n_lists=16, nprobe=4, k=5
     )
@@ -2609,7 +2626,7 @@ def multimodal_features(spark, sf_dir):
     descriptor vs the analytic DuckDB derivation."""
     from vrl_spark.operators import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_table(spark, sf_dir, "documents").select(
         "doc_id"
     )
     d = F.col("doc_id")
@@ -2736,7 +2753,7 @@ def text_quality_classifier(spark, sf_dir):
     1-in-5 slice, score the full corpus."""
     from vrl_spark.operators import classifier
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = F.col("doc_id")
     marker = F.when(d % 2 == 1, F.lit(_QC_POS)).otherwise(F.lit(_QC_NEG))
     planted = docs.select(
@@ -2844,7 +2861,7 @@ def dataset_mixture_shards(spark, sf_dir):
     sharding.shard_assign keyed on the per-epoch copy id)."""
     from vrl_spark.operators import sampling, sharding
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     srcnum = F.substring("source", 4, 10).cast("int") % 4
     base = docs.select(
         "doc_id", "text",

@@ -194,7 +194,7 @@ def events_asof(spark, sf_dir):
     (operators/asof.py) — O(L+R), no range-join row explosion."""
     from vrl_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
     users = ev.select("user_id").distinct()
@@ -268,7 +268,7 @@ def events_funnel(spark, sf_dir):
     from vrl_spark.operators.funnel import funnel
 
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        read_table(spark, sf_dir, "events")
         .where(F.col("ts") < "2024-01-04")
         .select("user_id", "ts", "event_type")
     )
@@ -280,6 +280,7 @@ def events_funnel(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 from vrl_spark.operators.textstats import TEMPLATE_MASKS  # noqa: E402
+from vrl_spark.sources import read_table
 
 
 def _template_oracle() -> str:
@@ -354,7 +355,7 @@ FROM w
 def events_error_anomalies(spark, sf_dir):
     from vrl_spark.operators.anomaly import error_rate_anomalies
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
     out = error_rate_anomalies(ev)

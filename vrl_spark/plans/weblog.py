@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from vrl_spark.grok import compile_grok
 from vrl_spark.sources.pages import derive_pages, derive_pages_sql
+from vrl_spark.sources import read_table
 
 ACCESS_PATTERN = (
     '%{IPV4:client_ip} - %{USER:user} \\[%{HTTPDATE:ts}\\] '
@@ -74,7 +75,7 @@ LANG_ROWS = [
 
 
 def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_table(spark, sf_dir, "documents")
     return derive_pages(docs)
 
 
