@@ -336,6 +336,30 @@ def test_dedup_clusters_multi_component(spark):
     assert got2[2] == (1, False) and got2[6] == (5, False)
 
 
+def test_dedup_clusters_driver_path_matches_distributed(spark):
+    """r7: small edge lists resolve with a driver union-find. Pin its
+    output row-for-row identical to the distributed propagate/jump
+    loop on a mixed graph (components, a chain, string ids elsewhere
+    covered), including the singleton pass-through."""
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(400), rng.randrange(400)) for _ in range(300)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(450)], ["doc_id"])
+    fast = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup.dedup_clusters(pairs, ids=ids).collect()}
+    slow_stats: dict = {}
+    slow = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup.dedup_clusters(
+                pairs, ids=ids, driver_edges_max=0, stats=slow_stats
+            ).collect()}
+    assert fast == slow
+    assert slow_stats["iterations"] >= 1
+
+
 def test_dedup_clusters_empty_and_survivors(spark):
     """Empty pair set -> every doc survives; survivor rows drop exactly
     the non-min members of each cluster."""
@@ -436,8 +460,12 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
         ["doc_id"],
     )
     stats: dict = {}
+    # driver_edges_max=0 forces the DISTRIBUTED loop: this test pins
+    # the O(log d) propagate/jump convergence, which the small-graph
+    # driver union-find path (tested separately) would bypass
     out = dedup.dedup_clusters(
-        pairs, ids=ids, max_iterations=20, stats=stats
+        pairs, ids=ids, max_iterations=20, stats=stats,
+        driver_edges_max=0,
     ).collect()
     by = {r["doc_id"]: r for r in out}
     assert len(out) == 1000 + 101 + 2

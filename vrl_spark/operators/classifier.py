@@ -35,6 +35,7 @@ zero Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,16 +64,10 @@ def _bucket(g: Column, num_buckets: int, engine: str, seed: str | None) -> Colum
     raise ValueError(f"unknown hash engine {engine!r}")
 
 
-def ngram_buckets(
-    text: Column,
-    num_buckets: int = 128,
-    engine: str = "xxh",
-    seed: str | None = None,
-) -> Column:
-    """array<long> of hashed feature ids for a text column: word
+def _grams(text: Column) -> Column:
+    """The classifier/DSIR feature grams for a text column: word
     unigrams + adjacent bigrams, whitespace-tokenized lowercase (the
-    repo-wide tokenization). Strings never leave the expression —
-    only long bucket ids reach any downstream shuffle."""
+    repo-wide tokenization), as one array<string>."""
 
     def body(toks: Column) -> Column:
         bigrams = F.when(
@@ -83,10 +78,53 @@ def ngram_buckets(
                 lambda a, b: F.concat(a, F.lit(" "), b),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(toks, bigrams)
-        return F.transform(grams, lambda g: _bucket(g, num_buckets, engine, seed))
+        return F.concat(toks, bigrams)
 
     return bind(F.split(F.lower(F.trim(text)), r"\s+"), body)
+
+
+def _md5_buckets_udf(num_buckets: int):
+    """Arrow-batched md5 bucket hashing over a gram array —
+    value-identical to the JVM expression lane
+    (``conv(substring(md5(g), 1, 15), 16, 10) % D``: the first 15 hex
+    chars are the digest's first 60 bits, i.e. bytes[0:8] as a
+    big-endian int shifted right 4). The interpreted per-gram
+    md5+conv transform was the dominant cost of every md5-lane
+    featurize pass (guide §4.2)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bks(grams_ser: pd.Series) -> pd.Series:
+        import hashlib
+
+        md5 = hashlib.md5
+        out = []
+        for grams in grams_ser:
+            if grams is None:
+                out.append(None)
+                continue
+            out.append([
+                (int.from_bytes(md5(g.encode("utf-8")).digest()[:8],
+                                "big") >> 4) % num_buckets
+                for g in grams
+            ])
+        return pd.Series(out)
+
+    return bks
+
+
+def ngram_buckets(
+    text: Column,
+    num_buckets: int = 128,
+    engine: str = "xxh",
+    seed: str | None = None,
+) -> Column:
+    """array<long> of hashed feature ids for a text column (see
+    :func:`_grams`). Strings never leave the expression — only long
+    bucket ids reach any downstream shuffle."""
+    return F.transform(
+        _grams(text), lambda g: _bucket(g, num_buckets, engine, seed)
+    )
 
 
 def featurize(
@@ -109,13 +147,22 @@ def featurize(
     DuckDB oracle lane (unnest over a NULL token list) emits no row
     for them either."""
     df = df.where(F.col(text_col).isNotNull())
-    cols = [
-        F.col(id_col),
-        ngram_buckets(F.col(text_col), num_buckets, engine, seed).alias("bks"),
-    ]
+    if engine == "md5" and seed is None:
+        # Arrow-batched md5 lane (bit-identical bucket ids — see
+        # _md5_buckets_udf); the gram array crosses a materialize
+        # barrier so the UDF receives a plain attribute and the
+        # tokenization runs once per row
+        from vrl_spark.functions.parse import materialize
+
+        base = materialize(df, _grams=_grams(F.col(text_col)))
+        bks = _md5_buckets_udf(num_buckets)(F.col("_grams"))
+    else:
+        base = df
+        bks = ngram_buckets(F.col(text_col), num_buckets, engine, seed)
+    cols = [F.col(id_col), bks.alias("bks")]
     if label_col is not None:
         cols.insert(1, F.col(label_col).cast("double").alias("y"))
-    out = df.select(*cols)
+    out = base.select(*cols)
     return out.withColumn("total", F.size("bks").cast("double"))
 
 

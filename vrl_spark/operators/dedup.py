@@ -653,6 +653,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iterations: int = 30,
     stats: dict | None = None,
+    driver_edges_max: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup PAIRS -> (id, cluster_id, keep): the decision stage
     that turns any of the pair-producing operators (minhash / simhash /
@@ -663,13 +664,20 @@ def dedup_clusters(
     ``ids`` (optional, any DataFrame with ``id_col``) adds singleton
     docs that appear in no pair: their own cluster, keep = true.
 
-    Algorithm: iterative min-label propagation to fixpoint — plain
-    DataFrame loop, no graph library. Each round every node takes the
-    min label among itself and its neighbors (one equi-join + one
-    groupBy-min), then a POINTER-JUMP round (label <- label(label),
-    a self-join on the label table) halves remaining path lengths, so
-    convergence is O(log diameter) rounds, not O(diameter) — a chain
-    of 1000 near-identical docs resolves in ~10 rounds.
+    Algorithm: edge lists up to ``driver_edges_max`` rows resolve with
+    a driver-side union-find (the duplicate-pair graph is normally a
+    tiny fraction of the corpus, and each distributed round costs
+    several serial stages of scheduler latency; the union-find labels
+    are by definition the same min-id-per-component fixpoint).
+    Larger graphs run iterative min-label propagation to fixpoint — a
+    plain DataFrame loop, no graph library. Each round every node
+    takes the min label among itself and its neighbors (one equi-join
+    + one groupBy-min), then a POINTER-JUMP round (label <-
+    label(label), a self-join on the label table) halves remaining
+    path lengths, so convergence is O(log diameter) rounds, not
+    O(diameter) — a chain of 1000 near-identical docs resolves in ~10
+    rounds. ``stats['iterations']`` reports the distributed round
+    count (0 on the driver path).
 
     Scale notes (100 TB story):
     - per-round cost: 3 shuffles on (long, long) rows — the edge list,
@@ -691,14 +699,60 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # also materializes the persist
+    spark = pairs.sparkSession
+    if n_edges <= driver_edges_max:
+        # SMALL-GRAPH FAST PATH: the duplicate-pair graph is usually a
+        # tiny fraction of the corpus, and each distributed round
+        # costs several serial 1-partition stages of pure scheduler
+        # latency. Pull the edge list once (bounded by
+        # ``driver_edges_max`` rows of two ids) and resolve components
+        # with a driver union-find — the labels are BY DEFINITION the
+        # same min-id-per-component fixpoint the loop converges to.
+        # Bigger graphs take the distributed O(log d) loop below.
+        from pyspark.sql import types as T
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        all_ids = set()
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            all_ids.add(a)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for x in all_ids:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        id_dt = edges.schema["src"].dataType
+        labels = spark.createDataFrame(
+            [(x, comp_min[find(x)]) for x in sorted(all_ids)],
+            schema=T.StructType([
+                T.StructField("id", id_dt),
+                T.StructField("label", id_dt),
+            ]),
+        )
+        edges.unpersist()
+        if stats is not None:
+            stats["iterations"] = 0  # resolved driver-side
+        return _cc_finish(labels, ids, id_col)
     # Size the loop's shuffles to the EDGE LIST, not the session's
     # corpus-sized shuffle setting: the label frame is O(nodes) longs,
     # and a 5k-node graph shuffled across 32 partitions pays ~10x more
     # scheduler overhead per round than compute. ~2M edges/partition
     # (~64 MB of long pairs); grows with the graph at 100 TB.
-    n_edges = edges.count()  # also materializes the persist
     parts = int(max(1, min(2048, n_edges // 2_000_000 + 1)))
-    spark = pairs.sparkSession
     # spark.sql.shuffle.partitions is session-global: the override is
     # visible to concurrent queries on this session until the finally
     # restores it. Multi-threaded callers should isolate iterative ops
@@ -770,6 +824,14 @@ def _cc_loop(
     if stats is not None:
         stats["iterations"] = rounds
     edges.unpersist()
+    return _cc_finish(labels, ids, id_col)
+
+
+def _cc_finish(
+    labels: DataFrame, ids: DataFrame | None, id_col: str
+) -> DataFrame:
+    """(id, label) -> the (id, cluster_id, keep) contract, plus the
+    singleton pass-through when ``ids`` is given."""
     out = labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
