@@ -685,7 +685,17 @@ def semantic_dedup_pairs(
     Returns (id_a, id_b, cos, cluster_id) with id_a < id_b, cos
     rounded 1e-6 — feed straight into dedup.dedup_clusters, or into
     :func:`semantic_dedup` for the paper's keep rule. ``stats``
-    (out-param) records {"centroids": DataFrame}."""
+    (out-param) records {"centroids": DataFrame}.
+
+    CALLER-UNPERSIST CONTRACT: when centroids are sampled internally
+    (``centroids is None`` and ``train_iterations == 0``) the returned
+    ``stats["centroids"]`` frame is persisted MEMORY_AND_DISK so its
+    corpus-sized TakeOrdered lineage runs once across the assign fold
+    and any keep rule. The persist is NOT released here (this is a
+    plan builder — it cannot know when the caller's last action ran):
+    long-lived sessions issuing many calls should
+    ``stats["centroids"].unpersist()`` after their final action, or
+    the cache entry lives until session clearCache/GC."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if centroids is not None and centroids.isEmpty():
